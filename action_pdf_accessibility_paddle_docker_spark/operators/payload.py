@@ -1,0 +1,360 @@
+"""Per-batch extraction kernel: the vectorized Spark-side implementation of
+the reference's page pipeline (stub detector -> threshold filter -> table /
+formula sub-pipelines -> NMS -> element conversion + formula nesting ->
+reading order -> artifact strip -> text assembly).
+
+This module is called from ``plans/extraction.py`` inside ``mapInPandas``:
+Arrow batches in, Arrow batches out; geometry is numpy-vectorized per page
+(operators/kernels.py). It must not import pyspark (runs in Python workers).
+
+Reference dataflow: /root/reference/src/create_template.py:99-189 (page loop)
+-> src/ai.py:51-157 -> src/process_bboxes.py -> src/process_table.py ->
+src/template_json.py:75-98,146-196.
+"""
+
+from __future__ import annotations
+
+import json
+from typing import Any, Iterator
+
+import numpy as np
+import pandas as pd
+
+from ..config import (
+    DEFAULT_ELEMENT_MAP,
+    LABEL_ELEMENT_MAP,
+    LABEL_TO_CLASS_ID,
+    PAYLOAD_KIND_HTML,
+    PAYLOAD_KIND_PDF,
+    PAYLOAD_KIND_TEXT,
+    PDE_CELL,
+    PDE_TABLE,
+    PDE_TEXT,
+    PDE_TYPE_CODE,
+    PDF_PAYLOAD_SENTINEL,
+    UNKNOWN_LABEL_THRESHOLD,
+    classify_payload,
+    effective_thresholds,
+)
+from ..functions.mathml import latex_to_mathml
+from . import kernels as VK
+from .html_extract import extract_html
+
+# Region row layout (tuple order must match REGION_DDL in plans/extraction.py)
+REGION_COLUMNS = (
+    "page", "ordinal", "label", "score", "bbox", "tag", "flags", "rtype",
+    "heading", "text", "reading_rank", "region_id", "parent_region_id",
+    "row_num", "col_num",
+)
+
+
+def _region(
+    page: int, ordinal: int, label: str, score: float, bbox: list[float],
+    tag: str | None, flags: str, rtype: str, heading: str | None, text: str,
+    reading_rank: int, region_id: int, parent_region_id: int | None,
+    row_num: int | None, col_num: int | None,
+) -> dict[str, Any]:
+    return {
+        "page": page, "ordinal": ordinal, "label": label, "score": score,
+        "bbox": bbox, "tag": tag, "flags": flags, "rtype": rtype,
+        "heading": heading, "text": text, "reading_rank": reading_rank,
+        "region_id": region_id, "parent_region_id": parent_region_id,
+        "row_num": row_num, "col_num": col_num,
+    }
+
+
+def _threshold_vector(labels: list[str], thresholds: dict[int, float]) -> np.ndarray:
+    out = np.empty(len(labels), dtype=np.float64)
+    for i, lbl in enumerate(labels):
+        cid = LABEL_TO_CLASS_ID.get(lbl)
+        if cid is None:
+            out[i] = UNKNOWN_LABEL_THRESHOLD
+        else:
+            out[i] = thresholds.get(cid, 0.0)
+    return out
+
+
+def _convert_box(
+    idx: int,
+    page_number: int,
+    labels: list[str],
+    scores: np.ndarray,
+    coords: np.ndarray,
+    page_bboxes: np.ndarray,
+    texts: list[str],
+    customs: list[Any],
+    page_h_px: float,
+    zoom: float,
+    formulas: list[tuple[int, str]],
+) -> dict[str, Any]:
+    """Element conversion for one surviving box (src/template_json.py:219-382)."""
+    label = labels[idx]
+    spec = LABEL_ELEMENT_MAP.get(label, DEFAULT_ELEMENT_MAP)
+    pb = page_bboxes[idx].tolist()
+    flag = spec["flag"] or ""
+    if label == "number":
+        hf = "footer" if pb[3] < page_h_px / 2 else "header"
+        flag = flag.replace("{hf}", hf)
+    rtype = spec["type"] or PDE_TEXT
+    rid = VK.region_id(page_number, PDE_TYPE_CODE[rtype], coords[idx])
+    el: dict[str, Any] = {
+        "label": label,
+        "score": float(scores[idx]),
+        "bbox": pb,
+        "tag": spec["tag"],
+        "flags": flag,
+        "rtype": rtype,
+        "heading": spec["heading"],
+        "text": texts[idx] or "",
+        "region_id": rid,
+        "row_num": None,
+        "col_num": None,
+        "cells": None,
+        "nested": [],
+    }
+    custom = customs[idx]
+    if label == "formula" and custom is not None:
+        formulas.append((rid, custom))
+    if label == "table" and custom is not None:
+        el["cells"] = custom["cells"]
+        el["row_num"] = custom["rows"]
+        el["col_num"] = custom["columns"]
+    return el
+
+
+def extract_pdf_turn(
+    text: str,
+    thresholds: dict[int, float],
+    process_table: bool = True,
+    process_formula: bool = True,
+) -> dict[str, Any]:
+    """Extract one PDF-shaped turn with vectorized kernels."""
+    payload = json.loads(text[len(PDF_PAYLOAD_SENTINEL):])
+    zoom = float(payload.get("zoom", 2.0))
+    page_h_px = float(payload.get("page_h", 1584))
+
+    all_regions: list[dict[str, Any]] = []
+    formulas: list[tuple[int, str]] = []
+    page_texts: list[str] = []
+    n_artifacts = 0
+    ordinal = 0
+
+    for page in payload.get("pages", []):
+        page_number = int(page["page"])
+        raw = page.get("boxes", [])
+        if not raw:
+            page_texts.append("")
+            continue
+        labels = [str(b["label"]).lower() for b in raw]
+        scores = np.array([float(b["score"]) for b in raw], dtype=np.float64)
+        coords = np.array([b["coordinate"] for b in raw], dtype=np.float64)
+
+        # P1: per-class threshold pushdown (stub detector)
+        det = scores >= _threshold_vector(labels, thresholds)
+        keep_idx = np.nonzero(det)[0]
+        labels = [labels[i] for i in keep_idx]
+        scores = scores[keep_idx]
+        coords = coords[keep_idx]
+        texts = [raw[i].get("text", "") or "" for i in keep_idx]
+
+        # table / formula sub-pipelines -> "custom" payloads
+        customs: list[Any] = [None] * len(keep_idx)
+        for k, i in enumerate(keep_idx):
+            b = raw[i]
+            lbl = labels[k]
+            if lbl == "table" and process_table and "cells" in b:
+                cc = np.array([c["coordinate"] for c in b["cells"]], dtype=np.float64)
+                ct = [c.get("text", "") or "" for c in b["cells"]]
+                customs[k] = VK.table_grid_np(cc, ct, coords[k])
+            elif lbl == "formula" and process_formula and "latex" in b:
+                mathml = latex_to_mathml(b["latex"])
+                if mathml != "":
+                    customs[k] = mathml
+
+        # NMS (J1/J2/A2/A3)
+        if len(coords):
+            nms_keep = VK.nms_keep_mask(coords, scores)
+            sel = np.nonzero(nms_keep)[0]
+            labels = [labels[i] for i in sel]
+            scores = scores[sel]
+            coords = coords[sel]
+            texts = [texts[i] for i in sel]
+            customs = [customs[i] for i in sel]
+
+        n = len(labels)
+        page_bboxes = VK.element_bboxes_to_page(coords, page_h_px, zoom)
+
+        # nesting overlap pass on survivors (src/template_json.py:165-191);
+        # the reference skips "self" by full-content dict equality, so
+        # identical-content duplicates are mutually skipped
+        elements: list[dict[str, Any]] = []
+        if n:
+            ov = VK.overlap_matrix(coords)
+
+            def same_content(i: int, j: int) -> bool:
+                return (
+                    labels[i] == labels[j]
+                    and scores[i] == scores[j]
+                    and bool(np.all(coords[i] == coords[j]))
+                    and texts[i] == texts[j]
+                    and customs[i] == customs[j]
+                )
+
+            is_text = np.array([lbl == "text" for lbl in labels])
+            is_formula = np.array([lbl == "formula" for lbl in labels])
+            for i in range(n):
+                neigh = np.nonzero(ov[i])[0]
+                neigh = [j for j in neigh if j != i and not same_content(i, j)]
+                if is_formula[i] and any(is_text[j] for j in neigh):
+                    continue  # re-emitted nested under the text element
+                el = _convert_box(
+                    i, page_number, labels, scores, coords, page_bboxes,
+                    texts, customs, page_h_px, zoom, formulas,
+                )
+                if is_text[i]:
+                    f_over = [j for j in neigh if is_formula[j]]
+                    el["nested"] = [
+                        _convert_box(
+                            j, page_number, labels, scores, coords, page_bboxes,
+                            texts, customs, page_h_px, zoom, formulas,
+                        )
+                        for j in f_over
+                    ]
+                elements.append(el)
+
+        # W1 reading order (stable)
+        if elements:
+            eb = np.array([e["bbox"] for e in elements], dtype=np.float64)
+            order = VK.reading_order_np(eb)
+            elements = [elements[i] for i in order]
+        for rank, el in enumerate(elements, start=1):
+            el["reading_rank"] = rank
+
+        # text assembly + region flattening
+        contributions: list[str] = []
+        for el in elements:
+            is_artifact = "artifact" in el["flags"]
+            if is_artifact:
+                n_artifacts += 1
+            elif el["rtype"] == PDE_TEXT:
+                if el["text"]:
+                    contributions.append(el["text"])
+            elif el["rtype"] == PDE_TABLE and el["cells"] is not None:
+                ncols = el["col_num"] or 0
+                if ncols > 0:
+                    cells = el["cells"]
+                    rows = [
+                        "\t".join(c.get("text", "") or "" for c in cells[r0:r0 + ncols])
+                        for r0 in range(0, len(cells), ncols)
+                    ]
+                    tbl_text = "\n".join(rows)
+                    if tbl_text.strip():
+                        contributions.append(tbl_text)
+
+            all_regions.append(
+                _region(
+                    page_number, ordinal, el["label"], el["score"], el["bbox"],
+                    el["tag"], el["flags"], el["rtype"], el["heading"], el["text"],
+                    el["reading_rank"], el["region_id"], None,
+                    el["row_num"], el["col_num"],
+                )
+            )
+            parent_ord = ordinal
+            ordinal += 1
+            for nested in el["nested"]:
+                all_regions.append(
+                    _region(
+                        page_number, ordinal, nested["label"], nested["score"],
+                        nested["bbox"], nested["tag"], nested["flags"], nested["rtype"],
+                        nested["heading"], nested["text"], 0, nested["region_id"],
+                        el["region_id"], None, None,
+                    )
+                )
+                ordinal += 1
+            if el["rtype"] == PDE_TABLE and el["cells"]:
+                for c in el["cells"]:
+                    cell_bbox = (
+                        VK.cell_bbox_to_page_np(c["bbox"], page_h_px, zoom)
+                        if "bbox" in c
+                        else [0.0, 0.0, 0.0, 0.0]
+                    )
+                    all_regions.append(
+                        _region(
+                            page_number, ordinal, "cell", el["score"], cell_bbox,
+                            None, "", PDE_CELL, None, c.get("text", "") or "", 0,
+                            VK.region_id(page_number, PDE_TYPE_CODE[PDE_CELL],
+                                         c.get("bbox", [0, 0, 0, 0])),
+                            el["region_id"], c["row"], c["column"],
+                        )
+                    )
+                    ordinal += 1
+            _ = parent_ord
+
+        page_texts.append("\n".join(contributions))
+
+    return {
+        "payload_kind": PAYLOAD_KIND_PDF,
+        "extracted_text": "\n".join(t for t in page_texts if t),
+        "regions": all_regions,
+        "mathml": [{"region_id": fid, "mathml": m} for fid, m in formulas],
+        "n_artifacts": n_artifacts,
+        "n_pages": len(payload.get("pages", [])),
+    }
+
+
+def extract_html_turn(text: str) -> dict[str, Any]:
+    extracted, blocks = extract_html(text)
+    regions = []
+    for b in blocks:
+        flags = b["flags"]
+        regions.append(
+            _region(
+                1, b["ordinal"], b["label"], 1.0, [0.0, 0.0, 0.0, 0.0],
+                None, flags, PDE_TEXT, b["heading"], b["text"],
+                0, VK.region_id(1, PDE_TYPE_CODE[PDE_TEXT], [b["ordinal"], 0, 0, 0]),
+                None, None, None,
+            )
+        )
+    return {
+        "payload_kind": PAYLOAD_KIND_HTML,
+        "extracted_text": extracted,
+        "regions": regions,
+        "mathml": [],
+        "n_artifacts": sum(1 for b in blocks if not b["kept"]),
+        "n_pages": 1,
+    }
+
+
+def extract_text_value(text: str | None) -> dict[str, Any]:
+    return {
+        "payload_kind": PAYLOAD_KIND_TEXT,
+        "extracted_text": (text or "").strip(),
+        "regions": [],
+        "mathml": [],
+        "n_artifacts": 0,
+        "n_pages": 0,
+    }
+
+
+def extract_series(
+    texts: pd.Series,
+    thresholds: dict[int, float] | None = None,
+    process_table: bool = True,
+    process_formula: bool = True,
+) -> Iterator[dict[str, Any]]:
+    """Extract a pandas Series of turn payloads (one Arrow batch column)."""
+    th = thresholds if thresholds is not None else effective_thresholds()
+    for text in texts:
+        if text is not None and text.startswith(PDF_PAYLOAD_SENTINEL):
+            try:
+                yield extract_pdf_turn(text, th, process_table, process_formula)
+            except (ValueError, KeyError, TypeError) as e:
+                bad = extract_text_value(text)
+                bad["error"] = f"pdf-payload-parse: {type(e).__name__}: {e}"
+                yield bad
+            continue
+        kind = classify_payload(text)
+        if kind == PAYLOAD_KIND_HTML:
+            yield extract_html_turn(text)
+        else:
+            yield extract_text_value(text)

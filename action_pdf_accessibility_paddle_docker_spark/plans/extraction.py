@@ -1,0 +1,187 @@
+"""The extraction plan: transcripts DataFrame -> extracted DataFrame.
+
+Design (Spark-first, sized for ~100 TB on a 1000-executor cluster):
+
+* The whole per-turn pipeline (payload classify -> stub detect -> threshold
+  filter -> table/formula sub-pipelines -> NMS -> element conversion ->
+  reading order -> artifact strip -> text assembly) is ONE fused
+  ``mapInPandas`` stage: zero shuffles for the map phase, Arrow-batched into
+  Python workers, numpy-vectorized geometry. This mirrors the reference's
+  page-at-a-time pipeline (bounded memory) while scoring whole batches.
+* Skew: a conversation with 10^6 turns is harmless in the map phase (rows are
+  independent; file splits bound partition size via
+  ``spark.sql.files.maxPartitionBytes``). When the input is an Iceberg table
+  partitioned by conv_id, enable ``salt`` to rebalance with
+  ``repartition(n, conv_id, pmod(xxhash64(turn_idx), salt))`` before the map
+  (north_rule: salted partitioning on conv_id).
+* Stable output ordering: ``repartitionByRange(conv_id, turn_idx)`` +
+  ``sortWithinPartitions`` gives a total order across partitions (range
+  partitioner) without a single-node sort -- the one unavoidable shuffle.
+* Lineage: the kernel stamps each row with its executor partition id and
+  counters; ``plans/lineage.py`` reduces them to a per-partition metrics
+  table, and ``df.observe`` exposes global counters on the same pass.
+
+The reference analog of this plan is the `template` entry point
+(/root/reference/src/create_template.py:66-137): transcript in -> structured
+extraction out, no document mutation.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+from ..config import effective_thresholds
+
+REGION_DDL = (
+    "array<struct<"
+    "page:int,ordinal:int,label:string,score:double,bbox:array<double>,"
+    "tag:string,flags:string,rtype:string,heading:string,text:string,"
+    "reading_rank:int,region_id:bigint,parent_region_id:bigint,"
+    "row_num:int,col_num:int>>"
+)
+
+MATHML_DDL = "array<struct<region_id:bigint,mathml:string>>"
+
+OUTPUT_DDL = (
+    "conv_id string, turn_idx int, role string, tool string, ts timestamp, "
+    f"payload_kind string, extracted_text string, regions {REGION_DDL}, "
+    f"mathml {MATHML_DDL}, n_regions int, n_artifacts int, n_pages int, "
+    "error string, part_id int"
+)
+
+
+def make_extraction_kernel(
+    thresholds: dict[int, float] | None = None,
+    process_table: bool = True,
+    process_formula: bool = True,
+):
+    """Build the mapInPandas kernel. Thresholds are resolved on the driver
+    and closed over (the reference pushes them into the detector the same
+    way, src/ai.py:72-77)."""
+    th = thresholds if thresholds is not None else effective_thresholds()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # imports inside the worker process
+        from pyspark import TaskContext
+
+        from ..operators.payload import extract_series
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else -1
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            kinds: list[str] = [""] * n
+            texts: list[str] = [""] * n
+            regions: list[list] = [[]] * n
+            mathml: list[list] = [[]] * n
+            n_regions = [0] * n
+            n_artifacts = [0] * n
+            n_pages = [0] * n
+            errors: list[str | None] = [None] * n
+            for i, res in enumerate(
+                extract_series(pdf["text"], th, process_table, process_formula)
+            ):
+                kinds[i] = res["payload_kind"]
+                texts[i] = res["extracted_text"]
+                regions[i] = res["regions"]
+                mathml[i] = res["mathml"]
+                n_regions[i] = len(res["regions"])
+                n_artifacts[i] = res["n_artifacts"]
+                n_pages[i] = res["n_pages"]
+                errors[i] = res.get("error")
+            out = pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].values,
+                    "turn_idx": pdf["turn_idx"].values,
+                    "role": pdf["role"].values,
+                    "tool": pdf["tool"].values,
+                    "ts": pdf["ts"].values,
+                    "payload_kind": kinds,
+                    "extracted_text": texts,
+                    "regions": regions,
+                    "mathml": mathml,
+                    "n_regions": n_regions,
+                    "n_artifacts": n_artifacts,
+                    "n_pages": n_pages,
+                    "error": errors,
+                    "part_id": part_id,
+                }
+            )
+            yield out
+
+    return kernel
+
+
+def salt_expr(salt: int) -> Column:
+    """Salted co-partitioning key: keeps conv locality at bucket granularity
+    while splitting a mega-conversation across ``salt`` buckets."""
+    return F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt))
+
+
+def build_extraction(
+    df: DataFrame,
+    thresholds: dict[int, float] | None = None,
+    process_table: bool = True,
+    process_formula: bool = True,
+    salt: int | None = None,
+    salt_partitions: int | None = None,
+    order_output: bool = True,
+    observation: Observation | None = None,
+) -> DataFrame:
+    """Build the full extraction plan over a transcripts DataFrame.
+
+    salt: when set, pre-shuffle the input on (conv_id, salt_expr) to defeat
+          long-conversation skew in conv-clustered inputs. Leave None for
+          file-split inputs (splits are already balanced; saves a shuffle).
+    order_output: total (conv_id, turn_idx) order via range repartition.
+    """
+    kernel = make_extraction_kernel(thresholds, process_table, process_formula)
+
+    src = df.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
+    if order_output:
+        # Range-partition the INPUT, not the output: the range partitioner's
+        # boundary-sampling pass then scans only two pruned parquet columns
+        # instead of re-executing the extraction kernel (which would double
+        # kernel cost and double observe() counters). mapInPandas is a
+        # narrow transformation, so range partitioning survives it and a
+        # post-map sortWithinPartitions yields a total (conv_id, turn_idx)
+        # order. Bonus: a mega-conversation is split across range partitions
+        # by turn ranges, which is itself the skew defense.
+        src = src.repartitionByRange("conv_id", "turn_idx")
+    elif salt:
+        nparts = salt_partitions or src.sparkSession.sparkContext.defaultParallelism
+        src = src.repartition(nparts, F.col("conv_id"), salt_expr(salt))
+
+    out = src.mapInPandas(kernel, schema=OUTPUT_DDL)
+
+    if observation is not None:
+        out = out.observe(
+            observation,
+            F.count(F.lit(1)).alias("turns"),
+            F.sum("n_regions").alias("regions"),
+            F.sum("n_artifacts").alias("artifacts"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
+        )
+
+    if order_output:
+        out = out.sortWithinPartitions("conv_id", "turn_idx")
+    return out
+
+
+def read_transcripts(spark, path: str) -> DataFrame:
+    """Read a transcripts table. Iceberg when the catalog is configured
+    (``spark.read.format("iceberg")``); parquet fallback (this sandbox)."""
+    try:
+        if path.count(".") >= 2 and "/" not in path:
+            return spark.read.format("iceberg").load(path)
+    except Exception:
+        pass
+    return spark.read.parquet(path)
