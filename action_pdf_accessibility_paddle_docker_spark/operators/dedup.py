@@ -1,0 +1,163 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All shuffles are keyed deliberately:
+  * exact: one hash-groupBy on the content fingerprint (map-side combine).
+  * n-gram Jaccard: explode distinct shingles -> self equi-join on shingle
+    (shuffle co-partitions by shingle) -> pair aggregation. At web scale the
+    shingle join explodes on hot shingles, which is exactly why MinHash+LSH
+    is the scale path: candidate pairs only meet inside small LSH buckets.
+  * MinHash: per-doc signature is one groupBy(doc) over exploded shingles
+    with 16 mins computed map-side; LSH bands re-key by (band, band-hash) so
+    the candidate join is an equi-join on bucket ids.
+  * SimHash: per-doc 16-bit signature from token hashes; bucket by signature.
+
+Hashes are md5-derived (both Spark and DuckDB have md5) so every operator has
+an exact DuckDB oracle in plans/queries.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+NUM_MINHASHES = 16
+LSH_BANDS = 4  # 4 rows per band
+SIMHASH_BITS = 16
+
+
+def normalized(text_col):
+    return F.lower(F.regexp_replace(F.trim(text_col), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content hash; keeps min id as canonical.
+    Returns (fingerprint, canonical_id, n_dups)."""
+    return (
+        df.select(F.col(id_col), F.md5(normalized(F.col(text_col))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def word_bigrams(text_col):
+    """Distinct word-bigram shingles of the normalized text."""
+    toks = F.split(normalized(text_col), " ")
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(word_bigrams(F.col(text_col))).alias("shingle"),
+    ).where(F.length("shingle") > 0)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """All near-duplicate pairs with bigram-set Jaccard >= threshold.
+    Exact (no hashing); quadratic on docs sharing a shingle -- the
+    correctness baseline that MinHash approximates."""
+    sh = shingle_table(df, id_col, text_col)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def _hash_hex_to_long(col):
+    """First 8 hex chars of md5 -> bigint (same recipe as the DuckDB oracle:
+    ('0x' || substr(md5(x),1,8))::UBIGINT)."""
+    return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signatures(
+    df: DataFrame, num_hashes: int = NUM_MINHASHES, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, sig array<bigint>): sig[i] = min over shingles of
+    h_i(shingle) with h_i = int64(md5(i || ':' || shingle)[:8])."""
+    sh = shingle_table(df, id_col, text_col)
+    mins = [
+        F.min(_hash_hex_to_long(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle"))))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    band hash = md5 of the band's signature slice."""
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, num_hashes, id_col, text_col)
+    band_cols = []
+    for b in range(bands):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
+                F.element_at(sl, i + 1).cast("string") for i in range(rows_per_band)
+            ])).alias("bucket"))
+        )
+    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b_ = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b_,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, simhash int): per-bit majority vote over token hashes."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    ).where(F.length("tok") > 0)
+    h = _hash_hex_to_long(F.md5(F.col("tok")))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ]
+    agg = toks.groupBy("doc_id").agg(*votes)
+    sim = None
+    for b in range(bits):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b)
+        sim = bit if sim is None else (sim + bit)
+    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))

@@ -1,0 +1,147 @@
+"""Similarity search over an embedding column (array<float>).
+
+* ``brute_force_topk``: exact cosine top-k of corpus neighbours for a set of
+  query vectors -- broadcast the (small) query side, JVM-side dot product via
+  ``aggregate``/``zip_with`` (no Python), window top-k. The correctness
+  baseline; O(|Q| x |C|).
+* ``lsh_bucketed_topk``: the scale path -- random-hyperplane (SimHash) LSH:
+  sign-bit signature per vector from deterministic md5-derived hyperplanes,
+  candidates meet inside matching buckets (equi-join, no cross product),
+  exact cosine re-rank inside buckets. Recall measured against brute force
+  in tests.
+
+At 100 TB the brute-force path is only for small query batches against a
+bucketed/partition-pruned corpus; the LSH path is the default (bucket join
+co-partitions by signature; no broadcast of the corpus; AQE handles bucket
+skew).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine(a, b):
+    """JVM-side cosine similarity of two array<double> columns."""
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """For each query vector: exact top-k corpus neighbours by cosine
+    (excluding self). Returns (query_id, neighbor_id, rank, sim)."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    )
+    sims = (
+        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_exact", 6).alias("sim"))
+    )
+
+
+def hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes: entry (p, d) derived from
+    md5-like integer mixing -- stable across runs and processes."""
+    import hashlib
+
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        h = hashlib.md5(f"plane:{p}".encode()).digest()
+        rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
+        out[p] = rng.standard_normal(dim)
+    return out
+
+
+def signature_col(vec_col, planes: np.ndarray):
+    """Sign-bit LSH signature as a bigint column (JVM-side: one aggregate per
+    plane over the embedding array)."""
+    sig = None
+    for p in range(planes.shape[0]):
+        arr = F.array(*[F.lit(float(x)) for x in planes[p]])
+        dot = F.aggregate(
+            F.zip_with(_as_double(vec_col), arr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p)
+        sig = bit if sig is None else (sig + bit)
+    return sig.cast("bigint")
+
+
+def lsh_bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the LSH bucket; exact cosine
+    re-rank inside buckets. Fewer planes -> bigger buckets -> higher recall."""
+    planes = hyperplanes(dim, n_planes)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        _as_double(F.col(vec_col)).alias("qv"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _as_double(F.col(vec_col)).alias("cv"),
+        signature_col(F.col(vec_col), planes).alias("bucket"),
+    )
+    sims = (
+        q.join(c, ["bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_exact", 6).alias("sim"))
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold),
+    exact via broadcast self-join (small side broadcast; LSH variant for
+    scale is lsh_bucketed_topk with a threshold filter)."""
+    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .withColumn("sim_exact", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim_exact") >= threshold)
+        .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
+    )

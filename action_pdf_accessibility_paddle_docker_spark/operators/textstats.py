@@ -1,0 +1,80 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+token counting, quality scoring, language-ID heuristic, fingerprinting.
+
+All are pure JVM-side column expressions (whole-stage codegen; no Python on
+the hot path). Each has a DuckDB-equivalent SQL in ``plans/queries.py`` so
+the driver harness can verify them value-for-value.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# shared constants (mirrored literally in the oracle SQL)
+EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
+ES_STOPWORDS = ("el", "la", "de", "los", "y", "en")
+PUNCT_CLASS = "[.,;:!?]"
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), r"\s+")
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BPE-ish regex split)."""
+    return F.size(tokens(col))
+
+
+def _stop_hits(col: Column, words: tuple[str, ...]) -> Column:
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(F.lower(col)), lambda t: F.array_contains(arr, t)))
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """Length / punctuation-ratio / stopword-ratio quality signals."""
+    n_chars = F.length(text)
+    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
+    n_tokens = token_count(text)
+    en_hits = _stop_hits(text, EN_STOPWORDS)
+    return {
+        "n_chars": n_chars,
+        "n_tokens": n_tokens,
+        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
+        "stopword_ratio": F.round(en_hits.cast("double") / n_tokens, 6),
+        "mean_token_len": F.round(
+            (F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("double")) / n_tokens, 6
+        ),
+    }
+
+
+def lang_guess(text: Column) -> Column:
+    """Tiny deterministic language-ID heuristic (stopword voting)."""
+    en = _stop_hits(text, EN_STOPWORDS)
+    es = _stop_hits(text, ES_STOPWORDS)
+    return (
+        F.when(es > en, F.lit("es"))
+        .when(en > 0, F.lit("en"))
+        .otherwise(F.lit("und"))
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Content fingerprint: md5 of the whitespace-normalized lowercase text.
+    (A rolling-hash variant lives in tests as a non-SQL kernel.)"""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    cols = quality_columns(t)
+    return df.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars_calc"),
+        cols["n_tokens"].alias("n_tokens"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["mean_token_len"].alias("mean_token_len"),
+        lang_guess(t).alias("lang_guess"),
+        fingerprint(t).alias("fingerprint"),
+    )

@@ -1,0 +1,588 @@
+"""Query registry: every relationally-expressible operator from SURVEY.md
+section 2 plus the training-data-pipeline operators, each as
+  (spark_builder(spark, sf_dir) -> DataFrame, duckdb_oracle_sql | None).
+
+Column names are aliased identically on both sides (driver hash-compares
+values after sorting columns by name). Floats are rounded identically on
+both sides; both engines evaluate array folds sequentially so md5/cosine
+recipes agree bit-for-bit.
+
+SQL-inexpressible kernels (geometry NMS, FNV ids, streaming, multimodal
+decode) are registered with sql=None -> the driver records a rows-only
+check; their full value-equality gate is the pytest oracle suite.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import textstats as T
+
+Builder = Callable[[SparkSession, str], DataFrame]
+REGISTRY: dict[str, tuple[Builder, Optional[str]]] = {}
+
+
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def register(name: str, sql: Optional[str]):
+    def deco(fn: Builder) -> Builder:
+        REGISTRY[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ===========================================================================
+# Relational operator analogs (SURVEY.md 2.2-2.5)
+# ===========================================================================
+
+@register(
+    "q_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                   AS sum_qty,
+           round(sum(l_extendedprice), 2)                              AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)           AS sum_disc_price,
+           round(avg(l_quantity), 4)                                   AS avg_qty,
+           round(avg(l_extendedprice), 4)                              AS avg_price,
+           count(*)                                                    AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A8 aggregation analog (TPC-H Q1 shape): map-side partial agg,
+    predicate pushed to the parquet scan."""
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") < F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_region_revenue",
+    """
+    SELECT r.r_name AS region, o.o_orderpriority AS priority,
+           round(sum(o.o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, o.o_orderpriority
+    ORDER BY region, priority
+    """,
+)
+def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 equi-join analog: fact-to-dims with explicit broadcast of the small
+    sides (dimension tables are tiny at any SF)."""
+    o = _read(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    c = _read(spark, sf_dir, "customer")
+    n = _read(spark, sf_dir, "nation")
+    r = _read(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("region", "priority")
+    )
+
+
+@register(
+    "q_reading_order_window",
+    """
+    SELECT user_id, event_id, rank FROM (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, ts ASC, event_id ASC) AS rank
+      FROM events
+    ) WHERE rank <= 3
+    ORDER BY user_id, rank
+    """,
+)
+def q_reading_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/O1 analog: deterministic per-group ordering with row_number (the
+    reading-order sort is the same Window shape over (top, left))."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("user_id", "event_id", "rank")
+        .orderBy("user_id", "rank")
+    )
+
+
+@register(
+    "q_group_argmax",
+    """
+    SELECT user_id, event_id AS top_event_id, round(value, 6) AS top_value FROM (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY value DESC, event_id ASC) AS rn
+      FROM events
+    ) WHERE rn = 1 ORDER BY user_id
+    """,
+)
+def q_group_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1 analog: greedy top-1 by score per group (the NMS argmax step)."""
+    ev = _read(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_id").alias("top_event_id"),
+                F.round("value", 6).alias("top_value"))
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "q_anti_join",
+    """
+    SELECT c.c_custkey, c.c_name FROM customer c
+    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 removal anti-join analog (filter out members of the removal set)."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_semi_join",
+    """
+    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+)
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 containment semi-join analog."""
+    c = _read(spark, sf_dir, "customer")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "q_theta_range_join",
+    """
+    SELECT s.s_suppkey, count(*) AS n_parts_in_band
+    FROM supplier s JOIN part p
+      ON p.p_retailprice BETWEEN s.s_acctbal - 100 AND s.s_acctbal + 100
+    GROUP BY s.s_suppkey ORDER BY s.s_suppkey
+    """,
+)
+def q_theta_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 theta/range-join analog. Spark-side it is rewritten as a
+    bucketed interval join: both sides key on floor(value/100) buckets (the
+    supplier side explodes to its 3 candidate buckets), so the match becomes
+    an equi-join + residual predicate instead of a broadcast nested loop --
+    the same trick that makes interval joins scale on a cluster."""
+    s = _read(spark, sf_dir, "supplier")
+    p = _read(spark, sf_dir, "part")
+    bucket = F.floor(F.col("p_retailprice") / 100)
+    p_b = p.withColumn("bucket", bucket)
+    s_b = s.withColumn(
+        "bucket",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("s_acctbal") - 100) / 100),
+                F.floor((F.col("s_acctbal") + 100) / 100),
+            )
+        ),
+    )
+    return (
+        s_b.join(p_b, "bucket")
+        .where(
+            (F.col("p_retailprice") >= F.col("s_acctbal") - 100)
+            & (F.col("p_retailprice") <= F.col("s_acctbal") + 100)
+        )
+        .groupBy("s_suppkey")
+        .agg(F.count(F.lit(1)).alias("n_parts_in_band"))
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q_asof_join",
+    """
+    SELECT e.event_id, e.user_id, c.ts AS last_click_ts
+    FROM (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON e.user_id = c.user_id AND e.ts >= c.ts
+    ORDER BY e.event_id
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 as-of join analog (nearest preceding). Spark-side: the scalable
+    union+window merge -- tag both streams, sort within user by (ts, tag),
+    carry the last click ts forward; no O(n^2) pair join."""
+    ev = _read(spark, sf_dir, "events")
+    tagged = ev.where(F.col("event_type").isin("click", "error")).select(
+        "event_id", "user_id", "ts", "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias("click_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_type").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_click_ts", F.last("click_ts", ignorenulls=True).over(w))
+        .where(F.col("event_type") == "error")
+        .select("event_id", "user_id", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "q_threshold_filter",
+    """
+    SELECT event_type, count(*) AS n_kept, round(avg(value), 4) AS avg_value
+    FROM events
+    WHERE value >= CASE event_type
+        WHEN 'view' THEN 20.0 WHEN 'click' THEN 30.0 WHEN 'purchase' THEN 50.0
+        WHEN 'signup' THEN 10.0 WHEN 'error' THEN 5.0 ELSE 50.0 END
+    GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 per-class score-threshold analog: per-key threshold pushed into the
+    scan as a CASE predicate (Catalyst pushes it to parquet)."""
+    ev = _read(spark, sf_dir, "events")
+    th = (
+        F.when(F.col("event_type") == "view", 20.0)
+        .when(F.col("event_type") == "click", 30.0)
+        .when(F.col("event_type") == "purchase", 50.0)
+        .when(F.col("event_type") == "signup", 10.0)
+        .when(F.col("event_type") == "error", 5.0)
+        .otherwise(50.0)
+    )
+    return (
+        ev.where(F.col("value") >= th)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_header_footer_split",
+    """
+    SELECT event_type,
+           CASE WHEN extract(hour FROM ts) < 12 THEN 'header' ELSE 'footer' END AS half,
+           count(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY event_type, half
+    """,
+)
+def q_header_footer_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3 header/footer half-split analog (position-relative classification)."""
+    ev = _read(spark, sf_dir, "events")
+    half = F.when(F.hour("ts") < 12, F.lit("header")).otherwise(F.lit("footer"))
+    return (
+        ev.groupBy("event_type", half.alias("half"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "half")
+    )
+
+
+# ===========================================================================
+# Deduplication (training-data pipeline)
+# ===========================================================================
+
+_NORM_SQL = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_TOKS_SQL = f"regexp_split_to_array({_NORM_SQL}, ' ')"
+
+
+@register(
+    "q_dedup_exact",
+    f"""
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY 1 ORDER BY fingerprint
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_read(spark, sf_dir, "documents")).orderBy("fingerprint")
+
+
+_SHINGLES_SQL = f"""
+  WITH toks AS (
+    SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+  ), sh AS (
+    SELECT DISTINCT doc_id, shingle FROM (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle
+      FROM toks
+    ) WHERE length(shingle) > 0
+  )
+"""
+
+
+@register(
+    "q_ngram_jaccard",
+    _SHINGLES_SQL
+    + """
+    , sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           round(inter / (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+    WHERE round(inter / (sa.sz + sb.sz - inter), 6) >= 0.6
+    ORDER BY id_a, id_b
+    """,
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(_read(spark, sf_dir, "documents"), threshold=0.6).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def _minhash_sql(num_hashes: int) -> str:
+    mins = ",\n      ".join(
+        f"min((('0x' || substr(md5({i} || ':' || shingle), 1, 8))::UBIGINT)::BIGINT) AS h{i}"
+        for i in range(num_hashes)
+    )
+    return _SHINGLES_SQL + f""",
+    sig AS (
+      SELECT doc_id,
+      {mins}
+      FROM sh GROUP BY doc_id
+    )"""
+
+
+def _band_sql(bands: int, rows: int) -> str:
+    selects = []
+    for b in range(bands):
+        cols = " || ',' || ".join(f"h{b * rows + i}" for i in range(rows))
+        selects.append(
+            f"SELECT doc_id, {b} AS band, md5({cols}) AS bucket FROM sig"
+        )
+    return " UNION ALL ".join(selects)
+
+
+@register(
+    "q_minhash_lsh",
+    _minhash_sql(D.NUM_MINHASHES)
+    + f""",
+    buckets AS ({_band_sql(D.LSH_BANDS, D.NUM_MINHASHES // D.LSH_BANDS)})
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ORDER BY id_a, id_b
+    """,
+)
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_candidates(_read(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
+
+
+def _simhash_sql(bits: int) -> str:
+    votes = ",\n      ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
+    )
+    recombine = " + ".join(f"(CASE WHEN v{b} > 0 THEN 1 ELSE 0 END) * {2 ** b}" for b in range(bits))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS tok FROM documents
+    ), hashed AS (
+      SELECT doc_id, (('0x' || substr(md5(tok), 1, 8))::UBIGINT)::BIGINT AS h
+      FROM toks WHERE length(tok) > 0
+    ), agg AS (
+      SELECT doc_id, {votes} FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id, ({recombine})::BIGINT AS simhash FROM agg ORDER BY doc_id
+    """
+
+
+@register("q_simhash", _simhash_sql(D.SIMHASH_BITS))
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+# ===========================================================================
+# Text analysis
+# ===========================================================================
+
+_EN_LIST = "['the','a','of','and','to','in']"
+_ES_LIST = "['el','la','de','los','y','en']"
+
+
+@register(
+    "q_doc_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id, text,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             length(text) AS n_chars_calc,
+             length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> list_contains({_EN_LIST}, x))) AS en_hits,
+             len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             x -> list_contains({_ES_LIST}, x))) AS es_hits
+      FROM documents
+    )
+    SELECT doc_id, n_chars_calc, n_tokens,
+           round(n_punct / n_chars_calc, 6) AS punct_ratio,
+           round(en_hits / n_tokens, 6) AS stopword_ratio,
+           round(length(regexp_replace(trim(text), '\\s+', '', 'g')) / n_tokens, 6)
+             AS mean_token_len,
+           CASE WHEN es_hits > en_hits THEN 'es'
+                WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS lang_guess,
+           md5({_NORM_SQL}) AS fingerprint
+    FROM base ORDER BY doc_id
+    """,
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return T.document_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "q_extract_plaintext",
+    "SELECT doc_id, trim(text) AS extracted_text FROM documents ORDER BY doc_id",
+)
+def q_extract_plaintext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain-text extraction branch parity (pass-through trim)."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select("doc_id", F.trim("text").alias("extracted_text"))
+        .orderBy("doc_id")
+    )
+
+
+# ===========================================================================
+# Similarity search
+# ===========================================================================
+
+@register(
+    "q_ann_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS sim_exact
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_exact DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "q_embedding_near_dup",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.55
+    ORDER BY id_a, id_b
+    """,
+)
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return S.embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.55
+    ).orderBy("id_a", "id_b")
+
+
+# ===========================================================================
+# Non-SQL-expressible (rows-only driver check; full gate is pytest vs oracle)
+# ===========================================================================
+
+@register("q_extract_transcripts", None)
+def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction over deterministic synthetic transcripts (the
+    geometric kernels are not ANSI-SQL-expressible; per-turn equality is
+    enforced in tests/test_extraction_spark.py against the oracle)."""
+    from ..sources.transcripts import iter_rows
+    from .extraction import build_extraction
+
+    rows = list(iter_rows(n_convs=30, median_turns=6, seed=42))
+    df = spark.createDataFrame(rows)
+    return build_extraction(df).select(
+        "conv_id", "turn_idx", "payload_kind", "extracted_text",
+        "n_regions", "n_artifacts",
+    )
+
+
+@register("q_multimodal_decode", None)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: synthesize fake image/audio binaries, batch-decode
+    via mapInPandas (real decoders stubbed; see operators/multimodal.py)."""
+    from ..operators.multimodal import decode_media, make_fake_audio, make_fake_image
+
+    rows = [
+        (i, make_fake_image(i, 32 + i % 8, 24) if i % 2 == 0 else make_fake_audio(i, 16000, 200 + i))
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    return decode_media(df).orderBy("media_id")
+
+
+@register("q_lsh_ann_topk", None)
+def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (LSH-bucketed); recall vs brute force is asserted in
+    tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 20), k=5).orderBy(
+        "query_id", "rank"
+    )
+
+
+def queries() -> dict[str, Builder]:
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (fn, sql) in REGISTRY.items() if sql is not None}

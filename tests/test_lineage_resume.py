@@ -1,0 +1,65 @@
+"""Lineage counters + checkpoint-resume semantics (north_rule)."""
+
+import pytest
+
+from action_pdf_accessibility_paddle_docker_spark.plans.extraction import build_extraction
+from action_pdf_accessibility_paddle_docker_spark.plans.lineage import (
+    completed_buckets,
+    lineage_metrics,
+    run_resumable,
+)
+from action_pdf_accessibility_paddle_docker_spark.sources.transcripts import (
+    write_transcripts_parquet,
+)
+
+
+@pytest.fixture(scope="module")
+def input_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("transcripts")
+    n = write_transcripts_parquet(str(p), n_convs=20, median_turns=4, seed=7)
+    return str(p), n
+
+
+def test_lineage_metrics_cover_all_rows(spark, input_path):
+    path, n = input_path
+    df = spark.read.parquet(path)
+    out = build_extraction(df, order_output=False)
+    m = lineage_metrics(out).collect()
+    assert sum(r["turns"] for r in m) == n
+    assert all(r["errors"] == 0 for r in m)
+    assert all(r["part_id"] >= 0 for r in m)
+
+
+def test_resume_after_injected_crash(spark, input_path, tmp_path):
+    path, n = input_path
+    out_root = str(tmp_path / "out")
+
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_resumable(spark, path, out_root, n_buckets=8, bucket_batch=2,
+                      fail_after_batches=2)
+    done_first = completed_buckets(out_root)
+    assert len(done_first) == 4  # 2 batches x 2 buckets committed
+
+    summary = run_resumable(spark, path, out_root, n_buckets=8, bucket_batch=2)
+    assert summary["resumed_buckets"] == 4
+    assert summary["ran_buckets"] == 4
+
+    # completeness + exactly-once: every input turn exactly once
+    got = spark.read.parquet(out_root + "/data")
+    assert got.count() == n
+    assert got.select("conv_id", "turn_idx").distinct().count() == n
+
+    # matches a plain single-shot run
+    plain = build_extraction(spark.read.parquet(path)).select(
+        "conv_id", "turn_idx", "extracted_text").collect()
+    resumed = got.select("conv_id", "turn_idx", "extracted_text").collect()
+    assert sorted(map(tuple, resumed)) == sorted(map(tuple, plain))
+
+
+def test_rerun_is_noop(spark, input_path, tmp_path):
+    path, n = input_path
+    out_root = str(tmp_path / "out2")
+    run_resumable(spark, path, out_root, n_buckets=4, bucket_batch=4)
+    again = run_resumable(spark, path, out_root, n_buckets=4, bucket_batch=4)
+    assert again["ran_buckets"] == 0
+    assert again["resumed_buckets"] == 4
