@@ -39,23 +39,35 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def word_bigrams(text_col):
-    """Distinct word-bigram shingles of the normalized text."""
+    """Distinct word-bigram shingles of the normalized text. Built as
+    zip_with of two shifted slices -- O(n) per document; the element_at-in-
+    transform formulation is O(n^2) because element_at walks the array."""
     toks = F.split(normalized(text_col), " ")
     n = F.size(toks)
     grams = F.when(
         n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
+def _widen(df: DataFrame) -> DataFrame:
+    """Single fat parquet files arrive as one split; spread the per-row-heavy
+    shingle/token projections across the cluster before exploding."""
+    want = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < want:
+        return df.repartition(want)
+    return df
+
+
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(word_bigrams(F.col(text_col))).alias("shingle"),
+    return _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))).select(
+        "doc_id",
+        F.explode(word_bigrams(F.col("text"))).alias("shingle"),
     ).where(F.length("shingle") > 0)
 
 
@@ -65,7 +77,9 @@ def ngram_jaccard_pairs(
     """All near-duplicate pairs with bigram-set Jaccard >= threshold.
     Exact (no hashing); quadratic on docs sharing a shingle -- the
     correctness baseline that MinHash approximates."""
-    sh = shingle_table(df, id_col, text_col)
+    # repartition by shingle so hot shingles parallelize across the cluster
+    # instead of serializing on the (often single) input split
+    sh = shingle_table(df, id_col, text_col).repartition("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -144,9 +158,9 @@ def minhash_lsh_candidates(
 
 def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash int): per-bit majority vote over token hashes."""
-    toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalized(F.col(text_col)), " ")).alias("tok"),
+    toks = _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))).select(
+        "doc_id",
+        F.explode(F.split(normalized(F.col("text")), " ")).alias("tok"),
     ).where(F.length("tok") > 0)
     h = _hash_hex_to_long(F.md5(F.col("tok")))
     votes = [

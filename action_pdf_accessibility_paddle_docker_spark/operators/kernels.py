@@ -265,13 +265,10 @@ def reading_order_np(page_bboxes: np.ndarray) -> np.ndarray:
 
 
 def fnv1a32(s: str) -> int:
-    h = np.uint32(0x811C9DC5)
-    prime = np.uint32(0x1000193)
-    with np.errstate(over="ignore"):
-        for ch in s.encode("ascii"):
-            h = np.uint32(h ^ np.uint32(ch))
-            h = np.uint32(h * prime)
-    return int(h)
+    h = 0x811C9DC5
+    for ch in s.encode("ascii"):
+        h = ((h ^ ch) * 0x1000193) & 0xFFFFFFFF
+    return h
 
 
 def region_id(page_number: int, type_code: int, coordinate) -> int:

@@ -83,6 +83,22 @@ def _decode_one(media_id: int, payload: bytes) -> dict:
                 error=f"unknown magic {magic!r}")
 
 
+def decode_base64_media(
+    df: DataFrame, id_col: str = "media_id", b64_col: str = "data_url"
+) -> DataFrame:
+    """Data-URL media: split the 'data:...;base64,' header and b64-decode,
+    then decode the container (reference analog: header-split + b64decode +
+    cv2.imdecode, /root/reference/src/page_renderer.py:111-124). The
+    header-split + unbase64 stay JVM-side; only container decode hits Python."""
+    from pyspark.sql import functions as F
+
+    binary = df.select(
+        F.col(id_col),
+        F.unbase64(F.substring_index(F.col(b64_col), ",", -1)).alias("payload"),
+    )
+    return decode_media(binary, id_col=id_col, bin_col="payload")
+
+
 def decode_media(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload") -> DataFrame:
     """Batch decode: binary column -> typed metadata + features."""
 

@@ -326,6 +326,52 @@ def q_header_footer_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_json_extract",
+    """
+    SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS sum_k, count(*) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8/K2 JSON analog: semi-structured extraction from a JSON string
+    column, JVM-side (get_json_object; no Python)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.get_json_object("props", "$.k").cast("bigint")).alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_date_buckets",
+    """
+    SELECT extract(year FROM o_orderdate)::INT AS yr,
+           extract(month FROM o_orderdate)::INT AS mon,
+           count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY 1, 2 ORDER BY yr, mon
+    """,
+)
+def q_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time bucketing (the reference only stamps dates; our engine
+    needs real event-time bucketing for transcripts)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.year("o_orderdate").alias("yr"), F.month("o_orderdate").alias("mon")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yr", "mon")
+    )
+
+
 # ===========================================================================
 # Deduplication (training-data pipeline)
 # ===========================================================================

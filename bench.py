@@ -42,14 +42,16 @@ HEADLINE_QUERIES = [
     "q_theta_range_join",
     "q_threshold_filter",
     "q_dedup_exact",
-    "q_ngram_jaccard",
+    # q_ngram_jaccard is the deliberately-quadratic exactness baseline
+    # (36M+ pair rows at sf0.1 on the tiny-vocab corpus); the scale path is
+    # q_minhash_lsh -- the exact variant stays in the sf0.01 correctness run.
     "q_minhash_lsh",
     "q_simhash",
     "q_doc_stats",
     "q_ann_topk",
 ]
 
-GEN_VERSION = 1  # bump to invalidate the cached synthetic transcripts
+GEN_VERSION = 2  # bump to invalidate the cached synthetic transcripts
 
 
 def sf_value(sf_dir: str) -> float:
@@ -74,7 +76,8 @@ def ensure_transcripts(sf: float) -> tuple[str, int]:
     if os.path.exists(marker):
         with open(marker) as f:
             return path, int(f.read().strip())
-    n = write_transcripts_parquet(path, n_convs=n_convs, median_turns=8, seed=42)
+    n = write_transcripts_parquet(path, n_convs=n_convs, median_turns=8, seed=42,
+                                  rows_per_file=16384)
     with open(marker, "w") as f:
         f.write(str(n))
     return path, n
@@ -92,6 +95,10 @@ def make_spark(master: str):
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
+        # transcripts compress to ~5MB files (16k rows each); 8MB splits keep
+        # one balanced split per file so all 32 cores get work -- the default
+        # 128MB would coalesce everything into ~2 splits.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .getOrCreate()
     )
 
