@@ -147,15 +147,21 @@ def build_extraction(
 
     src = df.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
     if order_output:
-        # Range-partition the INPUT, not the output: the range partitioner's
-        # boundary-sampling pass then scans only two pruned parquet columns
-        # instead of re-executing the extraction kernel (which would double
-        # kernel cost and double observe() counters). mapInPandas is a
-        # narrow transformation, so range partitioning survives it and a
-        # post-map sortWithinPartitions yields a total (conv_id, turn_idx)
-        # order. Bonus: a mega-conversation is split across range partitions
-        # by turn ranges, which is itself the skew defense.
-        src = src.repartitionByRange("conv_id", "turn_idx")
+        # Order the INPUT, not the output:
+        #  * the range partitioner's boundary sampling then scans only two
+        #    pruned parquet columns instead of re-executing the kernel
+        #    (which would double kernel cost and double observe() counters);
+        #  * the within-partition sort handles raw rows (text only) instead
+        #    of kernel output rows fattened with regions arrays -- measured
+        #    ~35s cheaper at 489k turns on local[32];
+        #  * mapInPandas is a narrow, order-preserving per-partition map, so
+        #    the output inherits the total (conv_id, turn_idx) order and the
+        #    kernel stays the final (perfectly scaling) stage.
+        # Bonus: a mega-conversation is split across range partitions by
+        # turn ranges, which is itself the skew defense.
+        src = src.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
+            "conv_id", "turn_idx"
+        )
     elif salt:
         nparts = salt_partitions or src.sparkSession.sparkContext.defaultParallelism
         src = src.repartition(nparts, F.col("conv_id"), salt_expr(salt))
@@ -171,8 +177,6 @@ def build_extraction(
             F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
         )
 
-    if order_output:
-        out = out.sortWithinPartitions("conv_id", "turn_idx")
     return out
 
 
