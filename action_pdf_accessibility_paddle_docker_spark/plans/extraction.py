@@ -134,6 +134,7 @@ def build_extraction(
     salt: int | None = None,
     salt_partitions: int | None = None,
     order_output: bool = True,
+    order_partitions: int | None = None,
     observation: Observation | None = None,
 ) -> DataFrame:
     """Build the full extraction plan over a transcripts DataFrame.
@@ -159,9 +160,14 @@ def build_extraction(
         #    kernel stays the final (perfectly scaling) stage.
         # Bonus: a mega-conversation is split across range partitions by
         # turn ranges, which is itself the skew defense.
-        src = src.repartitionByRange("conv_id", "turn_idx").sortWithinPartitions(
-            "conv_id", "turn_idx"
-        )
+        # order_partitions pins the range-partition count (AQE otherwise
+        # coalesces small shuffles -- right at scale, but pin it when a
+        # minimum spread is required, e.g. skew tests / small clusters)
+        if order_partitions:
+            src = src.repartitionByRange(order_partitions, "conv_id", "turn_idx")
+        else:
+            src = src.repartitionByRange("conv_id", "turn_idx")
+        src = src.sortWithinPartitions("conv_id", "turn_idx")
     elif salt:
         nparts = salt_partitions or src.sparkSession.sparkContext.defaultParallelism
         src = src.repartition(nparts, F.col("conv_id"), salt_expr(salt))

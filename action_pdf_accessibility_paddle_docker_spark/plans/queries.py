@@ -582,6 +582,99 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@register(
+    "q_line_cluster",
+    """
+    WITH lines AS (
+      SELECT DISTINCT event_type, round(value)::BIGINT AS line FROM events
+    ), lagged AS (
+      SELECT event_type, line,
+             lag(line, 1, -10) OVER (PARTITION BY event_type ORDER BY line) AS prev
+      FROM lines
+    )
+    SELECT event_type, line FROM lagged WHERE line - prev > 2
+    ORDER BY event_type, line
+    """,
+)
+def q_line_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4/A5 analog: distinct rounded 'grid lines' per group, then the
+    reference's 1-D clustering -- drop a line within 2 of its sorted
+    predecessor (strict > 2, predecessor advances even when dropped;
+    /root/reference/src/process_table.py:166-186)."""
+    ev = _read(spark, sf_dir, "events")
+    lines = ev.select(
+        "event_type", F.round("value").cast("bigint").alias("line")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("line")
+    return (
+        lines.withColumn("prev", F.lag("line", 1, -10).over(w))
+        .where(F.col("line") - F.col("prev") > 2)
+        .select("event_type", "line")
+        .orderBy("event_type", "line")
+    )
+
+
+@register(
+    "q_dense_grid",
+    """
+    WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 40),
+    t AS (SELECT DISTINCT event_type FROM events),
+    counts AS (
+      SELECT user_id, event_type, count(*) AS n FROM events
+      WHERE user_id < 40 GROUP BY 1, 2
+    )
+    SELECT u.user_id, t.event_type, coalesce(c.n, 0) AS n
+    FROM u CROSS JOIN t LEFT JOIN counts c
+      ON c.user_id = u.user_id AND c.event_type = t.event_type
+    ORDER BY u.user_id, t.event_type
+    """,
+)
+def q_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2 analog: densify a sparse (row, col) grid with zero-filled
+    placeholders then flatten row-major (the reference's missing-cell fill,
+    /root/reference/src/process_table.py:85-122)."""
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id") < 40)
+    u = ev.select("user_id").distinct()
+    t = _read(spark, sf_dir, "events").select("event_type").distinct()
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        u.crossJoin(F.broadcast(t))
+        .join(counts, ["user_id", "event_type"], "left")
+        .select("user_id", "event_type", F.coalesce("n", F.lit(0)).alias("n"))
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "q_set_ops",
+    """
+    SELECT c_custkey, 'both' AS src FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    UNION ALL
+    SELECT c_custkey, 'only_building' AS src FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+    )
+    ORDER BY src, c_custkey
+    """,
+)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (union/intersect/except) -- the reference's only
+    set-like ops are list concat + removal-set union (SURVEY.md 2.5)."""
+    c = _read(spark, sf_dir, "customer")
+    building = c.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    rich = c.where(F.col("c_acctbal") > 5000).select("c_custkey")
+    both = building.intersect(rich).select("c_custkey", F.lit("both").alias("src"))
+    only_b = building.exceptAll(rich).distinct().select(
+        "c_custkey", F.lit("only_building").alias("src")
+    )
+    return both.unionAll(only_b).orderBy("src", "c_custkey")
+
+
 # ===========================================================================
 # Non-SQL-expressible (rows-only driver check; full gate is pytest vs oracle)
 # ===========================================================================

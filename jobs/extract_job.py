@@ -1,0 +1,99 @@
+#!/usr/bin/env python
+"""Production entry point: spark-submit --py-files pkg.zip jobs/extract_job.py
+
+Examples:
+  # one-shot ordered extraction
+  spark-submit --py-files pkg.zip jobs/extract_job.py \
+      --input /data/transcripts --output /data/extracted
+
+  # checkpoint-resumable bucketed run (restart-safe; re-run to resume)
+  spark-submit --py-files pkg.zip jobs/extract_job.py \
+      --input /data/transcripts --output /data/extracted \
+      --resumable --buckets 256 --bucket-batch 16
+
+  # streaming
+  spark-submit --py-files pkg.zip jobs/extract_job.py \
+      --input /data/landing --output /data/extracted \
+      --streaming --checkpoint /data/ckpt
+
+Build pkg.zip:  zip -qr pkg.zip action_pdf_accessibility_paddle_docker_spark -x '*__pycache__*'
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Transcript extraction job")
+    ap.add_argument("--input", required=True, help="transcripts table path (parquet/iceberg)")
+    ap.add_argument("--output", required=True, help="output path")
+    ap.add_argument("--resumable", action="store_true", help="bucketed checkpoint-resumable run")
+    ap.add_argument("--buckets", type=int, default=64)
+    ap.add_argument("--bucket-batch", type=int, default=8)
+    ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    ap.add_argument("--salt", type=int, default=0,
+                    help="salt buckets for conv-clustered unordered runs (0=off)")
+    ap.add_argument("--no-order", action="store_true", help="skip total-order output")
+    ap.add_argument("--threshold", action="append", default=[],
+                    metavar="CLASS_ID=VAL", help="per-class detector threshold override")
+    args = ap.parse_args()
+
+    from pyspark.sql import Observation, SparkSession
+
+    from action_pdf_accessibility_paddle_docker_spark.config import effective_thresholds
+    from action_pdf_accessibility_paddle_docker_spark.plans.extraction import (
+        build_extraction,
+        read_transcripts,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.plans.lineage import (
+        lineage_metrics,
+        run_resumable,
+    )
+
+    overrides = {}
+    for t in args.threshold:
+        k, v = t.split("=", 1)
+        overrides[int(k)] = float(v)
+    thresholds = effective_thresholds(overrides)
+
+    spark = SparkSession.builder.appName("transcript-extraction").getOrCreate()
+
+    if args.streaming:
+        from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+            run_stream_to_parquet,
+        )
+
+        if not args.checkpoint:
+            sys.exit("--streaming requires --checkpoint")
+        run_stream_to_parquet(spark, args.input, args.output, args.checkpoint, thresholds)
+        return
+
+    if args.resumable:
+        summary = run_resumable(
+            spark, args.input, args.output,
+            n_buckets=args.buckets, bucket_batch=args.bucket_batch,
+            thresholds=thresholds,
+        )
+        print(json.dumps({"mode": "resumable", **summary}))
+        return
+
+    obs = Observation("extract")
+    df = read_transcripts(spark, args.input)
+    out = build_extraction(
+        df, thresholds=thresholds,
+        salt=args.salt or None,
+        order_output=not args.no_order,
+        observation=obs,
+    )
+    out.write.mode("overwrite").parquet(args.output)
+    metrics = lineage_metrics(spark.read.parquet(args.output))
+    metrics.write.mode("overwrite").parquet(args.output.rstrip("/") + "_lineage")
+    print(json.dumps({"mode": "batch", "counters": {k: int(v) for k, v in obs.get.items()}}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,56 @@
+"""Skew handling (north_rule): a mega-conversation clustered into one input
+partition must spread across workers under salting / range partitioning."""
+
+from pyspark.sql import functions as F
+
+from action_pdf_accessibility_paddle_docker_spark.plans.extraction import build_extraction
+from action_pdf_accessibility_paddle_docker_spark.sources.transcripts import make_row
+
+
+def _skewed_df(spark):
+    rows = [make_row(5, 0, t) for t in range(3000)]           # one mega conv
+    rows += [make_row(5, c, t) for c in range(1, 20) for t in range(10)]
+    # cluster by conv: the mega conv lands in ONE partition (the hostile layout)
+    return spark.createDataFrame(rows).repartition(20, "conv_id")
+
+
+def test_salt_spreads_mega_conversation(spark):
+    df = _skewed_df(spark)
+    out = build_extraction(df, salt=8, order_output=False)
+    parts = (
+        out.where(F.col("conv_id") == "conv-000000")
+        .select("part_id").distinct().count()
+    )
+    assert parts >= 4, f"mega conv only touched {parts} partitions under salt"
+
+
+def test_unsalted_clustered_input_serializes(spark):
+    # control: without salt, the clustered mega conv stays in one partition
+    df = _skewed_df(spark)
+    out = build_extraction(df, order_output=False)
+    parts = (
+        out.where(F.col("conv_id") == "conv-000000")
+        .select("part_id").distinct().count()
+    )
+    assert parts == 1
+
+
+def test_range_order_also_spreads_mega_conversation(spark):
+    # the ordered path splits a mega conv by turn ranges -- skew defense
+    # without a separate salting pass
+    df = _skewed_df(spark)
+    out = build_extraction(df, order_output=True, order_partitions=8)
+    parts = (
+        out.where(F.col("conv_id") == "conv-000000")
+        .select("part_id").distinct().count()
+    )
+    assert parts >= 2
+
+
+def test_salted_output_equals_unsalted(spark):
+    df = _skewed_df(spark)
+    a = build_extraction(df, order_output=True).select(
+        "conv_id", "turn_idx", "extracted_text").collect()
+    b = build_extraction(df, salt=16, order_output=False).select(
+        "conv_id", "turn_idx", "extracted_text").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
