@@ -646,6 +646,34 @@ def q_dense_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_group_fold",
+    """
+    SELECT user_id,
+           count(*) AS n_events,
+           string_agg(event_id::VARCHAR, ',' ORDER BY ts, event_id) AS event_seq
+    FROM events WHERE user_id < 30
+    GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/A8 analog: per-group ordered fold (the reference accumulates
+    per-page element lists per document; here: time-ordered event sequence
+    per user via sort_array(collect_list(struct)))."""
+    ev = _read(spark, sf_dir, "events").where(F.col("user_id") < 30)
+    folded = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("ts", "event_id"))),
+                lambda s: s["event_id"].cast("string"),
+            ),
+        ).alias("event_seq"),
+    )
+    return folded.orderBy("user_id")
+
+
+@register(
     "q_set_ops",
     """
     SELECT c_custkey, 'both' AS src FROM (
