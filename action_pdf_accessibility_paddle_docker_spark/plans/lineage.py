@@ -27,8 +27,6 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Sequence
-
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 

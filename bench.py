@@ -64,7 +64,6 @@ def sf_value(sf_dir: str) -> float:
 
 def ensure_transcripts(sf: float) -> tuple[str, int]:
     from action_pdf_accessibility_paddle_docker_spark.sources.transcripts import (
-        total_turns,
         write_transcripts_parquet,
     )
 

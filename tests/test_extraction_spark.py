@@ -2,8 +2,6 @@
 pure-Python oracle PER TURN (text, regions, mathml), under stable
 (conv_id, turn_idx) ordering, identically at different parallelism."""
 
-import itertools
-
 import pytest
 
 from action_pdf_accessibility_paddle_docker_spark.oracle.extract import extract_turn

@@ -1,0 +1,73 @@
+"""HTML extractor robustness: malformed/hostile markup must not crash and
+must behave deterministically."""
+
+from action_pdf_accessibility_paddle_docker_spark.operators.html_extract import (
+    extract_html,
+    parse_blocks,
+)
+
+
+def test_unclosed_tags():
+    text, regions = extract_html(
+        "<html><body><p>first paragraph with plenty of words to keep here"
+        "<p>second paragraph also has plenty of words to keep around</body></html>"
+    )
+    assert "first paragraph" in text and "second paragraph" in text
+
+
+def test_stray_close_tags():
+    text, _ = extract_html(
+        "</div><html><body></span><article><p>content paragraph with plenty of "
+        "words to keep</p></article></aside></body></html>"
+    )
+    assert text.startswith("content paragraph")
+
+
+def test_entities_decoded():
+    text, _ = extract_html(
+        "<html><body><p>salt &amp; pepper &lt;quoted&gt; words keep this line</p></body></html>"
+    )
+    assert "salt & pepper <quoted>" in text
+
+
+def test_script_style_dropped_entirely():
+    text, _ = extract_html(
+        "<html><body><script>var x = 'not content words here at all';</script>"
+        "<style>.c { color: red; }</style>"
+        "<p>real content paragraph with plenty of words to keep</p></body></html>"
+    )
+    assert "var x" not in text and "color" not in text
+    assert "real content" in text
+
+
+def test_nested_artifact_containers():
+    _, regions = extract_html(
+        "<html><body><header><nav><div>nav inside header block</div></nav></header>"
+        "<p>body paragraph with plenty of words to keep here</p></body></html>"
+    )
+    by_text = {r["text"]: r for r in regions}
+    nav = by_text["nav inside header block"]
+    assert "artifact" in nav["flags"]
+    # innermost container label wins
+    assert nav["label"] == "aside_text"
+
+
+def test_empty_and_whitespace_docs():
+    assert extract_html("<html></html>") == ("", [])
+    assert extract_html("<html><body>   \n\t  </body></html>")[0] == ""
+
+
+def test_deeply_nested_does_not_blow_up():
+    doc = "<html><body>" + "<div>" * 200 + "<p>deep paragraph with plenty of words to keep</p>" \
+        + "</div>" * 200 + "</body></html>"
+    text, _ = extract_html(doc)
+    assert "deep paragraph" in text
+
+
+def test_attributes_and_comments_ignored():
+    text, _ = extract_html(
+        '<html><body><!-- hidden comment words --><p class="x" data-y="z">'
+        "visible paragraph content with plenty of words to keep</p></body></html>"
+    )
+    assert "hidden comment" not in text
+    assert "visible paragraph" in text

@@ -3,8 +3,6 @@
 These pin the scale-critical plan shapes so a regression (e.g. a filter that
 stops reaching the scan, a broadcast that degrades to shuffle) fails fast."""
 
-import pytest
-
 from action_pdf_accessibility_paddle_docker_spark.plans import queries as Q
 
 SF_DIR = "/root/testdata/sf0.001"
