@@ -1,0 +1,79 @@
+"""P3 stage gating (process_table / process_formula) and mega-payload
+robustness."""
+
+import json
+from datetime import datetime
+
+from action_pdf_accessibility_paddle_docker_spark.config import PDF_PAYLOAD_SENTINEL
+from action_pdf_accessibility_paddle_docker_spark.oracle.extract import extract_turn
+from action_pdf_accessibility_paddle_docker_spark.plans.extraction import build_extraction
+
+PAYLOAD = PDF_PAYLOAD_SENTINEL + json.dumps({
+    "kind": "pdf", "zoom": 2.0, "page_w": 1224, "page_h": 1584,
+    "pages": [{"page": 1, "boxes": [
+        {"label": "table", "score": 0.9, "coordinate": [100, 100, 600, 400],
+         "cells": [{"coordinate": [0, 0, 250, 150], "text": "a"},
+                   {"coordinate": [250, 0, 500, 150], "text": "b"},
+                   {"coordinate": [0, 150, 500, 300], "text": "c"}]},
+        {"label": "formula", "score": 0.8, "coordinate": [100, 500, 600, 600],
+         "latex": "a+b"},
+    ]}],
+})
+
+
+def test_process_table_gate_off():
+    on = extract_turn(PAYLOAD, process_table=True)
+    off = extract_turn(PAYLOAD, process_table=False)
+    assert any(r["label"] == "cell" or (r["cells"] or []) for r in on["regions"])
+    tbl_off = [r for r in off["regions"] if r["label"] == "table"]
+    assert tbl_off and tbl_off[0]["cells"] is None
+    assert "a\tb" in on["extracted_text"]
+    assert "a\tb" not in off["extracted_text"]
+
+
+def test_process_formula_gate_off():
+    on = extract_turn(PAYLOAD, process_formula=True)
+    off = extract_turn(PAYLOAD, process_formula=False)
+    assert len(on["mathml"]) == 1
+    assert off["mathml"] == []
+
+
+def test_gates_match_between_oracle_and_spark(spark):
+    from action_pdf_accessibility_paddle_docker_spark.operators.payload import extract_series
+    import pandas as pd
+
+    for pt in (True, False):
+        for pf in (True, False):
+            exp = extract_turn(PAYLOAD, process_table=pt, process_formula=pf)
+            got = next(iter(extract_series(pd.Series([PAYLOAD]), None, pt, pf)))
+            assert got["extracted_text"] == exp["extracted_text"], (pt, pf)
+            assert [(m["region_id"], m["mathml"]) for m in got["mathml"]] == list(exp["mathml"])
+
+
+def test_mega_payload_survives(spark):
+    # one turn with a ~6 MB payload (600 pages): must extract, not OOM,
+    # and match the oracle
+    pages = []
+    for p in range(1, 601):
+        pages.append({"page": p, "boxes": [
+            {"label": "doc_title", "score": 0.9, "coordinate": [100, 40, 1100, 110],
+             "text": f"title {p}"},
+            {"label": "text", "score": 0.8, "coordinate": [100, 140, 1100, 400],
+             "text": ("word " * 120).strip()},
+            {"label": "header", "score": 0.7, "coordinate": [100, 5, 1100, 30],
+             "text": "hdr"},
+        ]})
+    payload = PDF_PAYLOAD_SENTINEL + json.dumps(
+        {"kind": "pdf", "zoom": 2.0, "page_w": 1224, "page_h": 1584, "pages": pages})
+    assert len(payload) > 500_000
+
+    ts = datetime(2026, 1, 1)
+    df = spark.createDataFrame(
+        [("c1", 0, "user", payload, "", ts), ("c1", 1, "user", "tiny turn", "", ts)],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    rows = {r["turn_idx"]: r for r in build_extraction(df).collect()}
+    exp = extract_turn(payload)
+    assert rows[0]["extracted_text"] == exp["extracted_text"]
+    assert rows[0]["n_pages"] == 600
+    assert rows[1]["extracted_text"] == "tiny turn"
