@@ -168,14 +168,15 @@ def q_group_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_anti_join",
     """
     SELECT c.c_custkey, c.c_name FROM customer c
-    ANTI JOIN orders o ON c.c_custkey = o.o_custkey
+    ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
     ORDER BY c.c_custkey
     """,
 )
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J5 removal anti-join analog (filter out members of the removal set)."""
     c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders")
+    o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .select("c_custkey", "c_name")
@@ -572,13 +573,13 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.55
+    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
     ORDER BY id_a, id_b
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.55
+        _read(spark, sf_dir, "embeddings"), threshold=0.35
     ).orderBy("id_a", "id_b")
 
 
