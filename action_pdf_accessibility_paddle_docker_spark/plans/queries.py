@@ -738,6 +738,24 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(df).orderBy("media_id")
 
 
+@register("q_pipeline_extract_dedup", None)
+def q_pipeline_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed pipeline: transcript extraction -> exact dedup of the
+    extracted main-content text (the shape of a real training-data job:
+    extract then deduplicate)."""
+    from ..operators.dedup import exact_dedup
+    from ..sources.transcripts import iter_rows
+    from .extraction import build_extraction
+
+    rows = list(iter_rows(n_convs=25, median_turns=5, seed=17))
+    extracted = build_extraction(spark.createDataFrame(rows), order_output=False)
+    nonempty = extracted.where(F.length("extracted_text") > 0).select(
+        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+        F.col("extracted_text").alias("text"),
+    )
+    return exact_dedup(nonempty).orderBy("fingerprint")
+
+
 @register("q_lsh_ann_topk", None)
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (LSH-bucketed); recall vs brute force is asserted in
