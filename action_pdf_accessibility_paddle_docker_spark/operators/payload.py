@@ -63,17 +63,6 @@ def _region(
     }
 
 
-def _threshold_vector(labels: list[str], thresholds: dict[int, float]) -> np.ndarray:
-    out = np.empty(len(labels), dtype=np.float64)
-    for i, lbl in enumerate(labels):
-        cid = LABEL_TO_CLASS_ID.get(lbl)
-        if cid is None:
-            out[i] = UNKNOWN_LABEL_THRESHOLD
-        else:
-            out[i] = thresholds.get(cid, 0.0)
-    return out
-
-
 def _convert_box(
     idx: int,
     page_number: int,
@@ -127,8 +116,16 @@ def extract_pdf_turn(
     thresholds: dict[int, float],
     process_table: bool = True,
     process_formula: bool = True,
+    detector=None,
 ) -> dict[str, Any]:
-    """Extract one PDF-shaped turn with vectorized kernels."""
+    """Extract one PDF-shaped turn with vectorized kernels.
+
+    detector: a Detector (operators/detector.py); defaults to the
+    deterministic StubDetector. Production injects the per-worker PaddleX
+    singleton via make_extraction_kernel."""
+    from .detector import StubDetector
+
+    det = detector if detector is not None else StubDetector(thresholds)
     payload = json.loads(text[len(PDF_PAYLOAD_SENTINEL):])
     zoom = float(payload.get("zoom", 2.0))
     page_h_px = float(payload.get("page_h", 1584))
@@ -141,26 +138,19 @@ def extract_pdf_turn(
 
     for page in payload.get("pages", []):
         page_number = int(page["page"])
-        raw = page.get("boxes", [])
-        if not raw:
+        # detect stage (threshold pushdown happens detector-side, P1)
+        boxes = det.detect_page(page)
+        if not boxes:
             page_texts.append("")
             continue
-        labels = [str(b["label"]).lower() for b in raw]
-        scores = np.array([float(b["score"]) for b in raw], dtype=np.float64)
-        coords = np.array([b["coordinate"] for b in raw], dtype=np.float64)
-
-        # P1: per-class threshold pushdown (stub detector)
-        det = scores >= _threshold_vector(labels, thresholds)
-        keep_idx = np.nonzero(det)[0]
-        labels = [labels[i] for i in keep_idx]
-        scores = scores[keep_idx]
-        coords = coords[keep_idx]
-        texts = [raw[i].get("text", "") or "" for i in keep_idx]
+        labels = [str(b["label"]).lower() for b in boxes]
+        scores = np.array([float(b["score"]) for b in boxes], dtype=np.float64)
+        coords = np.array([b["coordinate"] for b in boxes], dtype=np.float64)
+        texts = [b.get("text", "") or "" for b in boxes]
 
         # table / formula sub-pipelines -> "custom" payloads
-        customs: list[Any] = [None] * len(keep_idx)
-        for k, i in enumerate(keep_idx):
-            b = raw[i]
+        customs: list[Any] = [None] * len(boxes)
+        for k, b in enumerate(boxes):
             lbl = labels[k]
             if lbl == "table" and process_table and "cells" in b:
                 cc = np.array([c["coordinate"] for c in b["cells"]], dtype=np.float64)
@@ -341,13 +331,17 @@ def extract_series(
     thresholds: dict[int, float] | None = None,
     process_table: bool = True,
     process_formula: bool = True,
+    detector=None,
 ) -> Iterator[dict[str, Any]]:
     """Extract a pandas Series of turn payloads (one Arrow batch column)."""
+    from .detector import StubDetector
+
     th = thresholds if thresholds is not None else effective_thresholds()
+    det = detector if detector is not None else StubDetector(th)
     for text in texts:
         if text is not None and text.startswith(PDF_PAYLOAD_SENTINEL):
             try:
-                yield extract_pdf_turn(text, th, process_table, process_formula)
+                yield extract_pdf_turn(text, th, process_table, process_formula, det)
             except (ValueError, KeyError, TypeError) as e:
                 bad = extract_text_value(text)
                 bad["error"] = f"pdf-payload-parse: {type(e).__name__}: {e}"

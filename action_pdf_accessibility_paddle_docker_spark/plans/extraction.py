@@ -59,18 +59,25 @@ def make_extraction_kernel(
     thresholds: dict[int, float] | None = None,
     process_table: bool = True,
     process_formula: bool = True,
+    detector_kind: str = "stub",
+    detector_kw: dict | None = None,
 ):
     """Build the mapInPandas kernel. Thresholds are resolved on the driver
     and closed over (the reference pushes them into the detector the same
-    way, src/ai.py:72-77)."""
+    way, src/ai.py:72-77). detector_kind selects the per-worker detector
+    ("stub" deterministic payload parser; "paddlex" production singleton --
+    loaded once per Python worker, operators/detector.py)."""
     th = thresholds if thresholds is not None else effective_thresholds()
+    det_kw = detector_kw or {}
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside the worker process
         from pyspark import TaskContext
 
+        from ..operators.detector import get_detector
         from ..operators.payload import extract_series
 
+        detector = get_detector(th, detector_kind, **det_kw)  # per-worker singleton
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else -1
 
@@ -87,7 +94,7 @@ def make_extraction_kernel(
             n_pages = [0] * n
             errors: list[str | None] = [None] * n
             for i, res in enumerate(
-                extract_series(pdf["text"], th, process_table, process_formula)
+                extract_series(pdf["text"], th, process_table, process_formula, detector)
             ):
                 kinds[i] = res["payload_kind"]
                 texts[i] = res["extracted_text"]
@@ -136,6 +143,8 @@ def build_extraction(
     order_output: bool = True,
     order_partitions: int | None = None,
     observation: Observation | None = None,
+    detector_kind: str = "stub",
+    detector_kw: dict | None = None,
 ) -> DataFrame:
     """Build the full extraction plan over a transcripts DataFrame.
 
@@ -143,8 +152,12 @@ def build_extraction(
           long-conversation skew in conv-clustered inputs. Leave None for
           file-split inputs (splits are already balanced; saves a shuffle).
     order_output: total (conv_id, turn_idx) order via range repartition.
+    detector_kind: "stub" (deterministic payload parser) or "paddlex"
+          (per-worker production model singleton).
     """
-    kernel = make_extraction_kernel(thresholds, process_table, process_formula)
+    kernel = make_extraction_kernel(
+        thresholds, process_table, process_formula, detector_kind, detector_kw
+    )
 
     src = df.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
     if order_output:
