@@ -65,6 +65,33 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def winnowing_fingerprints(
+    df: DataFrame, k: int = 8, w: int = 5,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprints per document -- the non-SQL
+    fingerprint variant (functions/fingerprint.py), computed in an Arrow
+    batch kernel (numpy-vectorized per doc)."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.fingerprint import fingerprints_np
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col].values,
+                    "fingerprints": [fingerprints_np(t or "", k, w) for t in pdf[text_col]],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(
+        kernel, schema="doc_id bigint, fingerprints array<bigint>"
+    )
+
+
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     cols = quality_columns(t)

@@ -738,6 +738,18 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(df).orderBy("media_id")
 
 
+@register("q_winnow_fingerprints", None)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing) fingerprints -- not ANSI-SQL expressible;
+    scalar==vectorized equality is pinned in tests/test_fingerprint.py."""
+    from ..operators.textstats import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    return winnowing_fingerprints(docs).select(
+        "doc_id", F.size("fingerprints").alias("n_fingerprints"), "fingerprints"
+    ).orderBy("doc_id")
+
+
 @register("q_pipeline_extract_dedup", None)
 def q_pipeline_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: transcript extraction -> exact dedup of the
