@@ -23,7 +23,6 @@ import pandas as pd
 from ..config import (
     DEFAULT_ELEMENT_MAP,
     LABEL_ELEMENT_MAP,
-    LABEL_TO_CLASS_ID,
     PAYLOAD_KIND_HTML,
     PAYLOAD_KIND_PDF,
     PAYLOAD_KIND_TEXT,
@@ -32,7 +31,6 @@ from ..config import (
     PDE_TEXT,
     PDE_TYPE_CODE,
     PDF_PAYLOAD_SENTINEL,
-    UNKNOWN_LABEL_THRESHOLD,
     classify_payload,
     effective_thresholds,
 )
@@ -44,7 +42,7 @@ from .html_extract import extract_html
 REGION_COLUMNS = (
     "page", "ordinal", "label", "score", "bbox", "tag", "flags", "rtype",
     "heading", "text", "reading_rank", "region_id", "parent_region_id",
-    "row_num", "col_num",
+    "row_num", "col_num", "row_span", "col_span",
 )
 
 
@@ -53,6 +51,7 @@ def _region(
     tag: str | None, flags: str, rtype: str, heading: str | None, text: str,
     reading_rank: int, region_id: int, parent_region_id: int | None,
     row_num: int | None, col_num: int | None,
+    row_span: int | None = None, col_span: int | None = None,
 ) -> dict[str, Any]:
     return {
         "page": page, "ordinal": ordinal, "label": label, "score": score,
@@ -60,6 +59,7 @@ def _region(
         "heading": heading, "text": text, "reading_rank": reading_rank,
         "region_id": region_id, "parent_region_id": parent_region_id,
         "row_num": row_num, "col_num": col_num,
+        "row_span": row_span, "col_span": col_span,
     }
 
 
@@ -275,6 +275,7 @@ def extract_pdf_turn(
                             VK.region_id(page_number, PDE_TYPE_CODE[PDE_CELL],
                                          c.get("bbox", [0, 0, 0, 0])),
                             el["region_id"], c["row"], c["column"],
+                            c.get("row_span", 0), c.get("column_span", 0),
                         )
                     )
                     ordinal += 1
@@ -284,6 +285,7 @@ def extract_pdf_turn(
 
     return {
         "payload_kind": PAYLOAD_KIND_PDF,
+        "zoom": zoom,
         "extracted_text": "\n".join(t for t in page_texts if t),
         "regions": all_regions,
         "mathml": [{"region_id": fid, "mathml": m} for fid, m in formulas],
@@ -307,6 +309,7 @@ def extract_html_turn(text: str) -> dict[str, Any]:
         )
     return {
         "payload_kind": PAYLOAD_KIND_HTML,
+        "zoom": 2.0,
         "extracted_text": extracted,
         "regions": regions,
         "mathml": [],
@@ -318,6 +321,7 @@ def extract_html_turn(text: str) -> dict[str, Any]:
 def extract_text_value(text: str | None) -> dict[str, Any]:
     return {
         "payload_kind": PAYLOAD_KIND_TEXT,
+        "zoom": 2.0,
         "extracted_text": (text or "").strip(),
         "regions": [],
         "mathml": [],

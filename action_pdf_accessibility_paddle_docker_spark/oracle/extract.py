@@ -255,3 +255,62 @@ def extract_turn(
         "n_artifacts": 0,
         "n_pages": 0,
     }
+
+def flatten_regions(res: dict[str, Any]) -> list[Region]:
+    """Flatten the oracle's nested region structure into the engine's
+    region-row shape (same fields as plans/extraction.REGION_DDL)."""
+    rows: list[Region] = []
+
+    def row(**kw: Any) -> Region:
+        base = {
+            "page": None, "ordinal": len(rows), "label": None, "score": None,
+            "bbox": None, "tag": None, "flags": "", "rtype": None,
+            "heading": None, "text": "", "reading_rank": 0, "region_id": None,
+            "parent_region_id": None, "row_num": None, "col_num": None,
+            "row_span": None, "col_span": None,
+        }
+        base.update(kw)
+        return base
+
+    for el in res.get("regions", []):
+        if "type" not in el:  # html block dicts -> region-row shape
+            rows.append(row(
+                page=1, label=el["label"], score=1.0, bbox=[0.0, 0.0, 0.0, 0.0],
+                flags=el["flags"], rtype=PDE_TEXT, heading=el.get("heading"),
+                text=el["text"],
+                region_id=K.fnv1a_region_id(
+                    1, PDE_TYPE_CODE[PDE_TEXT], [el["ordinal"], 0, 0, 0]
+                ),
+            ))
+            continue
+        rows.append(row(
+            page=el["page"], label=el["label"], score=el["score"], bbox=el["bbox"],
+            tag=el["tag"], flags=el["flags"], rtype=el["type"], heading=el["heading"],
+            text=el["text"], reading_rank=el["reading_rank"], region_id=el["region_id"],
+            row_num=el["row_num"], col_num=el["col_num"],
+        ))
+        for nested in el["nested"]:
+            rows.append(row(
+                page=nested["page"], label=nested["label"], score=nested["score"],
+                bbox=nested["bbox"], tag=nested["tag"], flags=nested["flags"],
+                rtype=nested["type"], heading=nested["heading"], text=nested["text"],
+                region_id=nested["region_id"], parent_region_id=el["region_id"],
+            ))
+        if el["type"] == "pde_table" and el["cells"]:
+            for c in el["cells"]:
+                rows.append(row(
+                    page=el["page"], label="cell", score=el["score"],
+                    bbox=c["bbox"], rtype="pde_cell", text=c.get("text", ""),
+                    region_id=c["region_id"], parent_region_id=el["region_id"],
+                    row_num=c["row"], col_num=c["column"],
+                    row_span=c["row_span"], col_span=c["column_span"],
+                ))
+    return rows
+
+
+def template_for_turn(res: dict[str, Any], zoom: float = 2.0) -> dict[str, Any]:
+    """Reference-shaped tag-template document for one turn (K2 output)."""
+    from ..functions.template import template_from_region_rows
+
+    mathml_ids = {fid for fid, _ in res.get("mathml", [])}
+    return template_from_region_rows(flatten_regions(res), mathml_ids, zoom=zoom)

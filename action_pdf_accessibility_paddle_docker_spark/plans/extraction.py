@@ -42,7 +42,7 @@ REGION_DDL = (
     "page:int,ordinal:int,label:string,score:double,bbox:array<double>,"
     "tag:string,flags:string,rtype:string,heading:string,text:string,"
     "reading_rank:int,region_id:bigint,parent_region_id:bigint,"
-    "row_num:int,col_num:int>>"
+    "row_num:int,col_num:int,row_span:int,col_span:int>>"
 )
 
 MATHML_DDL = "array<struct<region_id:bigint,mathml:string>>"
@@ -54,6 +54,10 @@ OUTPUT_DDL = (
     "error string, part_id int"
 )
 
+# with include_template: the reference-shaped tag-template document (K2
+# output, src/template_json.py) serialized per turn
+OUTPUT_DDL_TEMPLATE = OUTPUT_DDL + ", template_json string"
+
 
 def make_extraction_kernel(
     thresholds: dict[int, float] | None = None,
@@ -61,12 +65,14 @@ def make_extraction_kernel(
     process_formula: bool = True,
     detector_kind: str = "stub",
     detector_kw: dict | None = None,
+    include_template: bool = False,
 ):
     """Build the mapInPandas kernel. Thresholds are resolved on the driver
     and closed over (the reference pushes them into the detector the same
     way, src/ai.py:72-77). detector_kind selects the per-worker detector
     ("stub" deterministic payload parser; "paddlex" production singleton --
-    loaded once per Python worker, operators/detector.py)."""
+    loaded once per Python worker, operators/detector.py). include_template
+    adds a template_json column in the reference's K2 document shape."""
     th = thresholds if thresholds is not None else effective_thresholds()
     det_kw = detector_kw or {}
 
@@ -93,6 +99,7 @@ def make_extraction_kernel(
             n_artifacts = [0] * n
             n_pages = [0] * n
             errors: list[str | None] = [None] * n
+            templates: list[str | None] = [None] * n
             for i, res in enumerate(
                 extract_series(pdf["text"], th, process_table, process_formula, detector)
             ):
@@ -104,6 +111,18 @@ def make_extraction_kernel(
                 n_artifacts[i] = res["n_artifacts"]
                 n_pages[i] = res["n_pages"]
                 errors[i] = res.get("error")
+                if include_template:
+                    import json as _json
+
+                    from ..functions.template import template_from_region_rows
+
+                    templates[i] = _json.dumps(
+                        template_from_region_rows(
+                            res["regions"],
+                            {m["region_id"] for m in res["mathml"]},
+                            zoom=res.get("zoom", 2.0),
+                        )
+                    )
             out = pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"].values,
@@ -122,6 +141,8 @@ def make_extraction_kernel(
                     "part_id": part_id,
                 }
             )
+            if include_template:
+                out["template_json"] = templates
             yield out
 
     return kernel
@@ -145,6 +166,7 @@ def build_extraction(
     observation: Observation | None = None,
     detector_kind: str = "stub",
     detector_kw: dict | None = None,
+    include_template: bool = False,
 ) -> DataFrame:
     """Build the full extraction plan over a transcripts DataFrame.
 
@@ -156,8 +178,10 @@ def build_extraction(
           (per-worker production model singleton).
     """
     kernel = make_extraction_kernel(
-        thresholds, process_table, process_formula, detector_kind, detector_kw
+        thresholds, process_table, process_formula, detector_kind, detector_kw,
+        include_template,
     )
+    ddl = OUTPUT_DDL_TEMPLATE if include_template else OUTPUT_DDL
 
     src = df.select("conv_id", "turn_idx", "role", "tool", "ts", "text")
     if order_output:
@@ -185,7 +209,7 @@ def build_extraction(
         nparts = salt_partitions or src.sparkSession.sparkContext.defaultParallelism
         src = src.repartition(nparts, F.col("conv_id"), salt_expr(salt))
 
-    out = src.mapInPandas(kernel, schema=OUTPUT_DDL)
+    out = src.mapInPandas(kernel, schema=ddl)
 
     if observation is not None:
         out = out.observe(
