@@ -143,17 +143,32 @@ def minhash_lsh_candidates(
     buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b_ = buckets.alias("a"), buckets.alias("b")
-    return (
-        a.join(
-            b_,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-        .distinct()
+    # Bucket-local pair expansion instead of a self-join: a self-join would
+    # recompute the whole signature pipeline on both sides (Spark does not
+    # reuse the exchange across differently-aliased subtrees -- observed 2x
+    # cost). One groupBy collects each bucket's sorted member list; all
+    # (i < j) pairs explode JVM-side inside the bucket, which is exactly the
+    # LSH candidate semantics and shuffles the signature data once.
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
     )
+    ids = F.col("ids")
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    ids,
+                    lambda x, i: F.transform(
+                        F.slice(ids, i + 2, F.size(ids)),
+                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                    ),
+                )
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.id_a", "p.id_b").distinct()
 
 
 def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

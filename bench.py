@@ -137,11 +137,16 @@ def run_queries(spark) -> dict[str, float]:
     for name in HEADLINE_QUERIES:
         fn, _sql = REGISTRY[name]
         # warm run: codegen, parquet footers, broadcast build (steady-state
-        # timing; cold-start is a constant, not a per-query cost at scale)
+        # timing; cold-start is a constant, not a per-query cost at scale);
+        # then min-of-2 timed runs (shared-VM noise can inflate a single
+        # run by >10x)
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        t0 = time.perf_counter()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        out[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
     return out
 
 
