@@ -79,13 +79,18 @@ def ngram_jaccard_pairs(
     correctness baseline that MinHash approximates."""
     # repartition by shingle so hot shingles parallelize across the cluster
     # instead of serializing on the (often single) input split
-    sh = shingle_table(df, id_col, text_col).repartition("shingle")
+    sh = shingle_table(df, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    # shingle-local pair expansion (same trick as minhash_lsh_candidates):
+    # avoids the self-join recomputing the shingle explode on both sides
+    posting = (
+        sh.groupBy("shingle")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        _pairs_from_sorted_ids(posting)
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
     out = (
@@ -99,6 +104,21 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return out
+
+
+def _pairs_from_sorted_ids(grouped: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
+    """All (id_a < id_b) pairs from rows carrying a sorted ``ids`` array.
+
+    Two chained explodes instead of materializing the O(n^2) pair array in a
+    single row: a hot bucket/shingle with a 10^5-doc posting list would
+    otherwise build billions of structs inside ONE row (executor OOM); the
+    chained explode streams pairs row-at-a-time."""
+    cols = extra_cols or []
+    step1 = grouped.select(*cols, F.explode("ids").alias("id_a"), F.col("ids").alias("_ids"))
+    return step1.select(
+        *cols, "id_a",
+        F.explode(F.filter("_ids", lambda y: y > F.col("id_a"))).alias("id_b"),
+    )
 
 
 def _hash_hex_to_long(col):
@@ -154,21 +174,7 @@ def minhash_lsh_candidates(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
-    ids = F.col("ids")
-    pairs = grouped.select(
-        F.explode(
-            F.flatten(
-                F.transform(
-                    ids,
-                    lambda x, i: F.transform(
-                        F.slice(ids, i + 2, F.size(ids)),
-                        lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                    ),
-                )
-            )
-        ).alias("p")
-    )
-    return pairs.select("p.id_a", "p.id_b").distinct()
+    return _pairs_from_sorted_ids(grouped).select("id_a", "id_b").distinct()
 
 
 def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
