@@ -2,9 +2,9 @@
 
 All shuffles are keyed deliberately:
   * exact: one hash-groupBy on the content fingerprint (map-side combine).
-  * n-gram Jaccard: explode distinct shingles -> self equi-join on shingle
-    (shuffle co-partitions by shingle) -> pair aggregation. At web scale the
-    shingle join explodes on hot shingles, which is exactly why MinHash+LSH
+  * n-gram Jaccard: explode distinct shingles -> per-shingle posting lists
+    -> streamed (i < j) pair explode -> pair aggregation. At web scale the
+    pair count explodes on hot shingles, which is exactly why MinHash+LSH
     is the scale path: candidate pairs only meet inside small LSH buckets.
   * MinHash: per-doc signature is one groupBy(doc) over exploded shingles
     with 16 mins computed map-side; LSH bands re-key by (band, band-hash) so
@@ -77,8 +77,6 @@ def ngram_jaccard_pairs(
     """All near-duplicate pairs with bigram-set Jaccard >= threshold.
     Exact (no hashing); quadratic on docs sharing a shingle -- the
     correctness baseline that MinHash approximates."""
-    # repartition by shingle so hot shingles parallelize across the cluster
-    # instead of serializing on the (often single) input split
     sh = shingle_table(df, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # shingle-local pair expansion (same trick as minhash_lsh_candidates):

@@ -38,6 +38,8 @@ def main() -> None:
     ap.add_argument("--salt", type=int, default=0,
                     help="salt buckets for conv-clustered unordered runs (0=off)")
     ap.add_argument("--no-order", action="store_true", help="skip total-order output")
+    ap.add_argument("--template", action="store_true",
+                    help="emit the reference-shaped tag-template JSON column")
     ap.add_argument("--threshold", action="append", default=[],
                     metavar="CLASS_ID=VAL", help="per-class detector threshold override")
     args = ap.parse_args()
@@ -88,6 +90,7 @@ def main() -> None:
         salt=args.salt or None,
         order_output=not args.no_order,
         observation=obs,
+        include_template=args.template,
     )
     out.write.mode("overwrite").parquet(args.output)
     metrics = lineage_metrics(spark.read.parquet(args.output))
