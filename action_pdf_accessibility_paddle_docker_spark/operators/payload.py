@@ -117,12 +117,16 @@ def extract_pdf_turn(
     process_table: bool = True,
     process_formula: bool = True,
     detector=None,
+    reading_order: str = "reference",
 ) -> dict[str, Any]:
     """Extract one PDF-shaped turn with vectorized kernels.
 
     detector: a Detector (operators/detector.py); defaults to the
     deterministic StubDetector. Production injects the per-worker PaddleX
-    singleton via make_extraction_kernel."""
+    singleton via make_extraction_kernel.
+    reading_order: "reference" (the reference's (top, 1000-left) sort,
+    bit-exact parity -- the default) or "xycut" (recursive XY-cut,
+    operators/xycut.py; better on multi-column layouts)."""
     from .detector import StubDetector
 
     det = detector if detector is not None else StubDetector(thresholds)
@@ -192,6 +196,7 @@ def extract_pdf_turn(
 
             is_text = np.array([lbl == "text" for lbl in labels])
             is_formula = np.array([lbl == "formula" for lbl in labels])
+            kept_idx: list[int] = []
             for i in range(n):
                 neigh = np.nonzero(ov[i])[0]
                 neigh = [j for j in neigh if j != i and not same_content(i, j)]
@@ -210,12 +215,19 @@ def extract_pdf_turn(
                         )
                         for j in f_over
                     ]
+                kept_idx.append(i)
                 elements.append(el)
 
-        # W1 reading order (stable)
+        # W1 reading order (stable); "xycut" mode uses the recursive cut
+        # over device coords instead of the reference's single sort
         if elements:
-            eb = np.array([e["bbox"] for e in elements], dtype=np.float64)
-            order = VK.reading_order_np(eb)
+            if reading_order == "xycut":
+                from .xycut import xycut_order
+
+                order = xycut_order(coords[np.array(kept_idx)])
+            else:
+                eb = np.array([e["bbox"] for e in elements], dtype=np.float64)
+                order = VK.reading_order_np(eb)
             elements = [elements[i] for i in order]
         for rank, el in enumerate(elements, start=1):
             el["reading_rank"] = rank
@@ -336,6 +348,7 @@ def extract_series(
     process_table: bool = True,
     process_formula: bool = True,
     detector=None,
+    reading_order: str = "reference",
 ) -> Iterator[dict[str, Any]]:
     """Extract a pandas Series of turn payloads (one Arrow batch column)."""
     from .detector import StubDetector
@@ -345,7 +358,8 @@ def extract_series(
     for text in texts:
         if text is not None and text.startswith(PDF_PAYLOAD_SENTINEL):
             try:
-                yield extract_pdf_turn(text, th, process_table, process_formula, det)
+                yield extract_pdf_turn(text, th, process_table, process_formula, det,
+                                       reading_order)
             except (ValueError, KeyError, TypeError) as e:
                 bad = extract_text_value(text)
                 bad["error"] = f"pdf-payload-parse: {type(e).__name__}: {e}"
