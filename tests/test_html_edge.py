@@ -71,3 +71,26 @@ def test_attributes_and_comments_ignored():
     )
     assert "hidden comment" not in text
     assert "visible paragraph" in text
+
+
+def test_fast_parser_equals_stdlib():
+    # the fast regex tokenizer must match the stdlib-HTMLParser twin
+    from action_pdf_accessibility_paddle_docker_spark.operators.html_extract import (
+        parse_blocks,
+        parse_blocks_stdlib,
+    )
+
+    docs = [
+        "<html><body><p>unclosed<p>second block words here</body></html>",
+        "<html><body><p>salt &amp; pepper &lt;q&gt; more words here</p></body></html>",
+        "<html><body><script>var x='<p>no</p>';</script><p>yes words</p></body></html>",
+        "<html><body><!-- c --><p class='x'>attr &quot;t&quot;</p><br/><p>m</p></body></html>",
+        "<!DOCTYPE html><html><head><title>T</title></head><body>"
+        "<header><div>h</div></header><nav><a href='/x'>x</a></nav>"
+        "<article><h1>H</h1><p>body words enough to keep here today</p></article>"
+        "<footer><p>f</p></footer></body></html>",
+    ]
+    for d in docs:
+        a = [(b.label, b.text, b.artifact, b.link_chars, b.n_tags, b.depth) for b in parse_blocks(d)]
+        b_ = [(b.label, b.text, b.artifact, b.link_chars, b.n_tags, b.depth) for b in parse_blocks_stdlib(d)]
+        assert a == b_, d
