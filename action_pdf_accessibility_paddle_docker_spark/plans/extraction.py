@@ -223,12 +223,46 @@ def build_extraction(
     return out
 
 
-def read_transcripts(spark, path: str) -> DataFrame:
-    """Read a transcripts table. Iceberg when the catalog is configured
-    (``spark.read.format("iceberg")``); parquet fallback (this sandbox)."""
-    try:
-        if path.count(".") >= 2 and "/" not in path:
-            return spark.read.format("iceberg").load(path)
-    except Exception:
-        pass
-    return spark.read.parquet(path)
+TRANSCRIPT_INPUT_DDL = (
+    "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+)
+
+
+def read_transcripts(spark, path: str, format: str | None = None) -> DataFrame:
+    """Read a transcripts table.
+
+    format=None auto-detects: an Iceberg table identifier (dotted, no
+    slashes) goes through the catalog; otherwise parquet. Explicit
+    "json" / "csv" readers enforce the transcript schema (landing-zone
+    ingestion formats; ts parsed, malformed rows fail loudly under ANSI)."""
+    if format is None:
+        try:
+            if path.count(".") >= 2 and "/" not in path:
+                return spark.read.format("iceberg").load(path)
+        except Exception:
+            pass
+        format = "parquet"
+    if format == "parquet":
+        return spark.read.parquet(path)
+    if format == "iceberg":
+        return spark.read.format("iceberg").load(path)
+    if format == "json":
+        return spark.read.schema(TRANSCRIPT_INPUT_DDL).json(path)
+    if format == "csv":
+        # name-based (a user schema would bind POSITIONALLY to the file's
+        # column order); cast after reading strings
+        raw = (
+            spark.read.option("header", "true")
+            .option("multiLine", "true")
+            .option("escape", '"')
+            .csv(path)
+        )
+        return raw.select(
+            F.col("conv_id").cast("string"),
+            F.col("turn_idx").cast("int"),
+            F.col("role").cast("string"),
+            F.col("text").cast("string"),
+            F.col("tool").cast("string"),
+            F.col("ts").cast("timestamp"),
+        )
+    raise ValueError(f"unknown transcripts format {format!r}")
