@@ -38,6 +38,8 @@ _HEADING_TAGS = {"h1", "h2", "h3", "h4", "h5", "h6"}
 # Keep rule (applied to non-artifact leaf blocks):
 MIN_WORDS = 5          # short crumbs are boilerplate
 MAX_LINK_DENSITY = 0.4  # link chars / text chars
+MAX_FRAGMENT_DEPTH = 12  # tag-depth scoring: deeper than this, short text
+MIN_DEEP_CHARS = 60      # fragments are widget/boilerplate debris
 
 
 @dataclass
@@ -230,6 +232,10 @@ def classify_block(block: HtmlBlock) -> bool:
     if words < MIN_WORDS:
         return False
     if block.link_density > MAX_LINK_DENSITY:
+        return False
+    # tag-depth scoring: a short text fragment buried deep in the DOM is
+    # widget/boilerplate debris even when it is not link-dense
+    if block.depth > MAX_FRAGMENT_DEPTH and block.text_chars < MIN_DEEP_CHARS:
         return False
     return True
 

@@ -58,10 +58,15 @@ def test_empty_and_whitespace_docs():
 
 
 def test_deeply_nested_does_not_blow_up():
-    doc = "<html><body>" + "<div>" * 200 + "<p>deep paragraph with plenty of words to keep</p>" \
+    long_para = "deep paragraph with plenty of words to keep " * 3
+    doc = "<html><body>" + "<div>" * 200 + f"<p>{long_para}</p>" \
         + "</div>" * 200 + "</body></html>"
     text, _ = extract_html(doc)
+    # long text survives any depth; the parse itself must not recurse/blow up
     assert "deep paragraph" in text
+    # a SHORT fragment at that depth is tag-depth-scored out
+    short = "<html><body>" + "<div>" * 200 + "<p>short deep widget words</p>" + "</div>" * 200 + "</body></html>"
+    assert extract_html(short)[0] == ""
 
 
 def test_attributes_and_comments_ignored():
@@ -94,3 +99,22 @@ def test_fast_parser_equals_stdlib():
         a = [(b.label, b.text, b.artifact, b.link_chars, b.n_tags, b.depth) for b in parse_blocks(d)]
         b_ = [(b.label, b.text, b.artifact, b.link_chars, b.n_tags, b.depth) for b in parse_blocks_stdlib(d)]
         assert a == b_, d
+
+
+def test_tag_depth_scoring_drops_deep_fragments():
+    from action_pdf_accessibility_paddle_docker_spark.operators.html_extract import (
+        extract_html,
+    )
+
+    deep_frag = "<div>" * 14 + "<p>tiny deep widget text here ok</p>" + "</div>" * 14
+    doc = (
+        "<html><body><article><p>normal article paragraph with plenty of words "
+        "to keep in the output</p></article>" + deep_frag + "</body></html>"
+    )
+    text, regions = extract_html(doc)
+    assert "normal article paragraph" in text
+    assert "tiny deep widget" not in text
+    # a LONG paragraph at the same depth survives (depth alone is not fatal)
+    long_deep = "<div>" * 14 + "<p>" + ("word " * 30).strip() + "</p>" + "</div>" * 14
+    text2, _ = extract_html("<html><body>" + long_deep + "</body></html>")
+    assert text2.startswith("word word")
