@@ -143,6 +143,12 @@ HTML_PREFIXES = ("<!doctype html", "<html")
 PAYLOAD_KIND_PDF = "pdf"
 PAYLOAD_KIND_HTML = "html"
 PAYLOAD_KIND_TEXT = "text"
+# Raw PDF bytes (a real document, not the structured %LAYOUT1% payload):
+# requires the production rasterize+layout-model path (PaddleX seam); the
+# stub engine surfaces an explicit error instead of silently treating the
+# bytes as plain text.
+PAYLOAD_KIND_PDF_BYTES = "pdf_bytes"
+PDF_BYTES_MAGIC = "%PDF-"
 
 
 def classify_payload(text: str) -> str:
@@ -152,6 +158,8 @@ def classify_payload(text: str) -> str:
         return PAYLOAD_KIND_TEXT
     if text.startswith(PDF_PAYLOAD_SENTINEL):
         return PAYLOAD_KIND_PDF
+    if text.startswith(PDF_BYTES_MAGIC):
+        return PAYLOAD_KIND_PDF_BYTES
     stripped = text.lstrip()[:15].lower()
     if stripped.startswith(HTML_PREFIXES):
         return PAYLOAD_KIND_HTML

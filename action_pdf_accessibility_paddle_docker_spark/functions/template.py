@@ -61,6 +61,14 @@ def element_template_dict(
     if spec["text_flag"]:
         el["text_flag"] = spec["text_flag"]
     el["type"] = spec["type"]
+    # A table never carries nested children in the current pipeline (only
+    # 'text' elements nest formulas); guard so a future caller can't silently
+    # drop the cell template by overwriting element_template.
+    if cells is not None and nested:
+        raise ValueError(
+            "element cannot carry both table cells and nested children "
+            "(element_template would be overwritten)"
+        )
     if label == "table" and cells is not None:
         el["element_template"] = {
             "template": {

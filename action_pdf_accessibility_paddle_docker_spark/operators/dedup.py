@@ -57,11 +57,15 @@ def word_bigrams(text_col):
 
 def _widen(df: DataFrame) -> DataFrame:
     """Single fat parquet files arrive as one split; spread the per-row-heavy
-    shingle/token projections across the cluster before exploding."""
+    shingle/token projections across the cluster before exploding. Guarded:
+    under Spark Connect there is no RDD API, so fall back to an unconditional
+    repartition (the explode below dominates the extra exchange anyway)."""
     want = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < want:
+    try:
+        n_parts = df.rdd.getNumPartitions()
+    except Exception:  # Spark Connect: DataFrame.rdd is unavailable
         return df.repartition(want)
-    return df
+    return df.repartition(want) if n_parts < want else df
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -72,11 +76,26 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, threshold: float = 0.6, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    threshold: float = 0.6,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_doc_freq: int | None = 100_000,
+    observation=None,
 ) -> DataFrame:
     """All near-duplicate pairs with bigram-set Jaccard >= threshold.
     Exact (no hashing); quadratic on docs sharing a shingle -- the
-    correctness baseline that MinHash approximates."""
+    correctness baseline that MinHash approximates.
+
+    ``max_doc_freq`` caps the posting-list length: a stop-word shingle shared
+    by 10^7 docs would otherwise expand to ~10^14 pairs. Shingles above the
+    cap are dropped from pair generation -- NOT silently: pass a
+    ``pyspark.sql.Observation`` as ``observation`` to get
+    ``hot_shingles_dropped`` / ``posting_lists`` counters after the action
+    (they are also what the skew test asserts). Dropping a hot shingle can
+    only lower a pair's intersection count, so the cap is a recall-trading
+    knob exactly like MinHash banding. Pass ``max_doc_freq=None`` for the
+    uncapped oracle-exact baseline."""
     sh = shingle_table(df, id_col, text_col)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     # shingle-local pair expansion (same trick as minhash_lsh_candidates):
@@ -86,6 +105,15 @@ def ngram_jaccard_pairs(
         .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
         .where(F.size("ids") >= 2)
     )
+    if max_doc_freq is not None:
+        posting = posting.withColumn("_hot", F.size("ids") > max_doc_freq)
+        if observation is not None:
+            posting = posting.observe(
+                observation,
+                F.sum(F.col("_hot").cast("long")).alias("hot_shingles_dropped"),
+                F.count(F.lit(1)).alias("posting_lists"),
+            )
+        posting = posting.where(~F.col("_hot")).drop("_hot")
     inter = (
         _pairs_from_sorted_ids(posting)
         .groupBy("id_a", "id_b")

@@ -83,6 +83,37 @@ def nms_adjacency(coords: np.ndarray) -> np.ndarray:
     return adj
 
 
+def reference_groups(adj: np.ndarray) -> list[np.ndarray]:
+    """Overlap groups with the reference's exact (quirky) semantics
+    (src/process_bboxes.py:225-282): per-member direct-neighbour growth in
+    ascending index order, then ONE forward merge pass with no fixpoint --
+    so the returned boolean masks may be NON-disjoint (a later merge that
+    enlarges a group does not re-check earlier-scanned groups). True
+    connected components would differ on some graphs (pinned by the 6-box
+    counterexample in tests/test_kernels.py); ``connected_components`` below
+    stays available as the general CC utility."""
+    n = adj.shape[0]
+    groups: list[np.ndarray] = []
+    for box in np.flatnonzero(adj.any(axis=1)):
+        gi = next((k for k, g in enumerate(groups) if g[box]), -1)
+        mask = groups[gi] if gi >= 0 else np.zeros(n, dtype=bool)
+        mask |= adj[box]
+        if gi < 0:
+            groups.append(mask)
+    dropped = np.zeros(len(groups), dtype=bool)
+    unique: list[np.ndarray] = []
+    for i1 in range(len(groups)):
+        if dropped[i1]:
+            continue
+        g1 = groups[i1].copy()
+        for i2 in range(i1 + 1, len(groups)):
+            if not dropped[i2] and (g1 & groups[i2]).any():
+                g1 |= groups[i2]
+                dropped[i2] = True
+        unique.append(g1)
+    return unique
+
+
 def connected_components(adj: np.ndarray) -> np.ndarray:
     """Component label per node (-1 for isolated nodes)."""
     n = adj.shape[0]
@@ -104,26 +135,28 @@ def connected_components(adj: np.ndarray) -> np.ndarray:
 
 
 def nms_keep_mask(coords: np.ndarray, scores: np.ndarray) -> np.ndarray:
-    """Greedy max-score NMS per overlap component; ties break to the smallest
+    """Greedy max-score NMS per overlap group; ties break to the smallest
     index (matches the reference's set-iteration argmax in practice).
+    Groups come from ``reference_groups`` and may be non-disjoint, so
+    removals union across groups (a box kept in one group can be removed via
+    another -- reference behavior, src/process_bboxes.py:304-333).
     Returns a boolean keep mask preserving input order."""
     n = len(coords)
-    keep = np.ones(n, dtype=bool)
     if n < 2:
-        return keep
+        return np.ones(n, dtype=bool)
     adj = nms_adjacency(coords)
-    labels = connected_components(adj)
     scores = np.asarray(scores, dtype=np.float64)
-    for comp in range(labels.max() + 1 if labels.size else 0):
-        pending = labels == comp
+    removed = np.zeros(n, dtype=bool)
+    for gmask in reference_groups(adj):
+        pending = gmask.copy()
         while pending.any():
             masked = np.where(pending, scores, -np.inf)
             best = int(np.argmax(masked))  # first max -> smallest index
             pending[best] = False
             neighbours = adj[best] & pending
-            keep[neighbours] = False
+            removed |= neighbours
             pending &= ~neighbours
-    return keep
+    return ~removed
 
 
 # ---------------------------------------------------------------------------

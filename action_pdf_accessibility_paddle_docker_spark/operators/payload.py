@@ -25,6 +25,7 @@ from ..config import (
     LABEL_ELEMENT_MAP,
     PAYLOAD_KIND_HTML,
     PAYLOAD_KIND_PDF,
+    PAYLOAD_KIND_PDF_BYTES,
     PAYLOAD_KIND_TEXT,
     PDE_CELL,
     PDE_TABLE,
@@ -357,10 +358,14 @@ def extract_series(
     det = detector if detector is not None else StubDetector(th)
     for text in texts:
         if text is not None and text.startswith(PDF_PAYLOAD_SENTINEL):
+            # Malformed payload -> error column, never a task failure: a
+            # structurally bad payload (3-element coordinate -> IndexError,
+            # non-list pages -> AttributeError, ...) must degrade to an
+            # error row, so catch Exception, not a narrow tuple.
             try:
                 yield extract_pdf_turn(text, th, process_table, process_formula, det,
                                        reading_order)
-            except (ValueError, KeyError, TypeError) as e:
+            except Exception as e:  # noqa: BLE001 -- per-turn error contract
                 bad = extract_text_value(text)
                 bad["error"] = f"pdf-payload-parse: {type(e).__name__}: {e}"
                 yield bad
@@ -368,5 +373,22 @@ def extract_series(
         kind = classify_payload(text)
         if kind == PAYLOAD_KIND_HTML:
             yield extract_html_turn(text)
+        elif kind == PAYLOAD_KIND_PDF_BYTES:
+            # Real PDF bytes need the production rasterize + layout-model
+            # path; without it, surface an explicit error instead of
+            # passing raw bytes through as "extracted text".
+            if hasattr(det, "detect_pdf_bytes"):
+                try:
+                    yield det.detect_pdf_bytes(text)  # production seam
+                except Exception as e:  # noqa: BLE001
+                    bad = extract_text_value("")
+                    bad["payload_kind"] = PAYLOAD_KIND_PDF_BYTES
+                    bad["error"] = f"pdf-bytes-decode: {type(e).__name__}: {e}"
+                    yield bad
+            else:
+                bad = extract_text_value("")
+                bad["payload_kind"] = PAYLOAD_KIND_PDF_BYTES
+                bad["error"] = "pdf-bytes-unsupported-without-paddlex"
+                yield bad
         else:
             yield extract_text_value(text)

@@ -51,8 +51,11 @@ def brute_force_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
     )
+    # Broadcast the QUERY side: the corpus is the 100 TB relation and must
+    # stream partition-local past the (small) replicated query batch. The
+    # build side is pinned by tests/test_plan_quality.py.
     sims = (
-        q.join(F.broadcast(c), F.col("query_id") != F.col("neighbor_id"))
+        F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
         .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -65,14 +68,15 @@ def brute_force_topk(
     )
 
 
-def hyperplanes(dim: int, n_planes: int) -> np.ndarray:
+def hyperplanes(dim: int, n_planes: int, salt: str = "") -> np.ndarray:
     """Deterministic pseudo-random hyperplanes: entry (p, d) derived from
-    md5-like integer mixing -- stable across runs and processes."""
+    md5-like integer mixing -- stable across runs and processes. ``salt``
+    derives independent plane sets (one per LSH band)."""
     import hashlib
 
     out = np.empty((n_planes, dim), dtype=np.float64)
     for p in range(n_planes):
-        h = hashlib.md5(f"plane:{p}".encode()).digest()
+        h = hashlib.md5(f"{salt}plane:{p}".encode()).digest()
         rng = np.random.default_rng(int.from_bytes(h[:8], "big"))
         out[p] = rng.standard_normal(dim)
     return out
@@ -132,16 +136,59 @@ def lsh_bucketed_topk(
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, threshold: float = 0.95, id_col: str = "vec_id", vec_col: str = "embedding"
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    method: str = "lsh",
+    n_bands: int = 12,
+    planes_per_band: int = 6,
+    dim: int = 64,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold),
-    exact via broadcast self-join (small side broadcast; LSH variant for
-    scale is lsh_bucketed_topk with a threshold filter)."""
-    a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
+
+    Default (``method='lsh'``) is the scale path: banded random-hyperplane
+    LSH -- ``n_bands`` independent signatures of ``planes_per_band`` sign
+    bits each; candidate pairs meet inside a (band, bucket) equi-join (never
+    a cross product), then are exact-cosine filtered. Recall vs exact is
+    asserted in tests/test_similarity.py.
+
+    ``method='exact'`` is the all-pairs correctness baseline (O(n^2) -- only
+    for oracle comparison at test scale; never call it on a real corpus).
+    """
+    if method == "exact":
+        a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
+        b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+        return (
+            a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+            .withColumn("sim_exact", cosine(F.col("va"), F.col("vb")))
+            .where(F.col("sim_exact") >= threshold)
+            .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
+        )
+
+    base = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
+    sigs = []
+    for band in range(n_bands):
+        planes = hyperplanes(dim, planes_per_band, salt=f"band:{band}")
+        sigs.append(
+            base.select(
+                "vid", "v", F.lit(band).alias("band"),
+                signature_col(F.col("v"), planes).alias("bucket"),
+            )
+        )
+    tagged = sigs[0]
+    for s in sigs[1:]:
+        tagged = tagged.unionAll(s)
+    a = tagged.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
+    b = tagged.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-        .withColumn("sim_exact", cosine(F.col("va"), F.col("vb")))
+        cand.withColumn("sim_exact", cosine(F.col("va"), F.col("vb")))
         .where(F.col("sim_exact") >= threshold)
         .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
     )

@@ -92,34 +92,57 @@ def find_overlap_pairs(boxes: list[Box]) -> list[tuple[int, int]]:
 
 
 def group_overlaps(pairs: list[tuple[int, int]]) -> list[set[int]]:
-    """Connected components of the overlap graph. The reference grows and
-    merges groups imperatively (src/process_bboxes.py:225-282); the result is
-    exactly the connected components, which we compute directly."""
-    parent: dict[int, int] = {}
+    """Overlap groups exactly as the reference builds them
+    (src/process_bboxes.py:225-282): grow a group per member from its DIRECT
+    neighbours (first group containing the member wins), then merge groups in
+    a SINGLE forward pass (no fixpoint). Deliberately NOT connected
+    components: when a later merge enlarges a group after an earlier group
+    was already scanned past, the result can contain NON-disjoint groups, and
+    NMS then unions the per-group removals -- e.g. 6 boxes with adjacency
+    (0-4)(2-4)(2-3)(3-5)(1-5) and scores [.1,.9,.1,.7,.2,.8] keep {1,4} here
+    but {1,3,4} under true CC (pinned in tests/test_kernels.py).
 
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for a, b in pairs:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            parent[ra] = rb
-    comps: dict[int, set[int]] = {}
-    for x in parent:
-        comps.setdefault(find(x), set()).add(x)
-    return list(comps.values())
+    Membership iteration is ascending index: the reference iterates a CPython
+    set of small ints, which iterates in value order whenever the ints are
+    smaller than the hash-table size -- always true for per-page box-index
+    sets (load factor < 1 guarantees table size > n > max index)."""
+    members = sorted({i for pair in pairs for i in pair})
+    groups: list[set[int]] = []
+    for box_index in members:
+        gi = next((i for i, g in enumerate(groups) if box_index in g), -1)
+        group = groups[gi] if gi >= 0 else set()
+        for a, b in pairs:
+            if box_index == a:
+                group.add(b)
+            if box_index == b:
+                group.add(a)
+        if gi < 0:
+            groups.append(group)
+    # Single forward merge pass (src/process_bboxes.py:257-271): a group that
+    # was checked before g1 grew is NOT re-checked -- no fixpoint, preserved.
+    dropped: set[int] = set()
+    unique: list[set[int]] = []
+    for i1 in range(len(groups)):
+        if i1 in dropped:
+            continue
+        g1 = groups[i1]
+        for i2 in range(i1 + 1, len(groups)):
+            if i2 in dropped:
+                continue
+            if g1.intersection(groups[i2]):
+                g1 = g1.union(groups[i2])
+                dropped.add(i2)
+        unique.append(g1)
+    return unique
 
 
 def nms_removals(boxes: list[Box]) -> set[int]:
     """Greedy max-score NMS per overlap group (src/process_bboxes.py:304-368):
     repeatedly take the highest-score member (ties -> smallest index, matching
     CPython small-int set iteration in practice), remove its direct
-    neighbours, keep the rest for the next round."""
+    neighbours, keep the rest for the next round. Groups may be NON-disjoint
+    (see group_overlaps); removals union across groups, so a box kept in one
+    group can still be removed via another -- reference behavior."""
     pairs = find_overlap_pairs(boxes)
     pairset = set(pairs)
     removed: set[int] = set()

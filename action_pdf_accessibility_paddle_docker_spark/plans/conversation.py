@@ -28,7 +28,15 @@ def fold_conversations(extracted: DataFrame) -> DataFrame:
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
         F.sort_array(F.collect_list(turn_struct)).alias("turns"),
-        F.flatten(F.collect_list("mathml")).alias("mathml"),
+        # collect_list order depends on task scheduling; sort by turn_idx
+        # before flattening so the conv-level mathml array is deterministic
+        # across runs/parallelism (same guarantee as the turns array).
+        F.flatten(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct(F.col("turn_idx"), F.col("mathml")))),
+                lambda s: s["mathml"],
+            )
+        ).alias("mathml"),
         F.sum("n_artifacts").alias("n_artifacts"),
     )
     return folded.withColumn(

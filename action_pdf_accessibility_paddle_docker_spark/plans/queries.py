@@ -330,7 +330,7 @@ def q_header_footer_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_json_extract",
     """
-    SELECT event_type, sum(CAST(props->>'k' AS BIGINT)) AS sum_k, count(*) AS n
+    SELECT event_type, sum(CAST(props->>'k' AS BIGINT))::BIGINT AS sum_k, count(*) AS n
     FROM events GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -578,6 +578,18 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline (oracle-checkable); the scale front door is
+    the banded-LSH default of embedding_near_dup_pairs (q_embedding_near_dup_lsh)."""
+    return S.embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, method="exact"
+    ).orderBy("id_a", "id_b")
+
+
+@register("q_embedding_near_dup_lsh", None)
+def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-path near-dup: banded random-hyperplane LSH candidates (bucket
+    equi-join, no cross product) + exact cosine re-check. Recall vs the exact
+    baseline is asserted in tests/test_similarity.py."""
     return S.embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"), threshold=0.35
     ).orderBy("id_a", "id_b")
@@ -684,9 +696,9 @@ def q_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, event_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id
-                                    ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_no
+             (sum(new_session) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT AS session_no
       FROM flagged
     )
     SELECT user_id, session_no, count(*) AS n_events,
@@ -761,11 +773,10 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship extraction over deterministic synthetic transcripts (the
     geometric kernels are not ANSI-SQL-expressible; per-turn equality is
     enforced in tests/test_extraction_spark.py against the oracle)."""
-    from ..sources.transcripts import iter_rows
+    from ..sources.transcripts import distributed_transcripts
     from .extraction import build_extraction
 
-    rows = list(iter_rows(n_convs=30, median_turns=6, seed=42))
-    df = spark.createDataFrame(rows)
+    df = distributed_transcripts(spark, n_convs=30, median_turns=6, seed=42)
     return build_extraction(df).select(
         "conv_id", "turn_idx", "payload_kind", "extracted_text",
         "n_regions", "n_artifacts",
@@ -793,8 +804,15 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import winnowing_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
+    # Scalar columns only: the driver canonicalizer sorts a pandas frame by
+    # every column and cannot hash a raw array<bigint>, so the fingerprint
+    # list is serialized to a deterministic csv string.
     return winnowing_fingerprints(docs).select(
-        "doc_id", F.size("fingerprints").alias("n_fingerprints"), "fingerprints"
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.concat_ws(
+            ",", F.transform("fingerprints", lambda x: x.cast("string"))
+        ).alias("fingerprint_csv"),
     ).orderBy("doc_id")
 
 
@@ -804,11 +822,11 @@ def q_pipeline_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     extracted main-content text (the shape of a real training-data job:
     extract then deduplicate)."""
     from ..operators.dedup import exact_dedup
-    from ..sources.transcripts import iter_rows
+    from ..sources.transcripts import distributed_transcripts
     from .extraction import build_extraction
 
-    rows = list(iter_rows(n_convs=25, median_turns=5, seed=17))
-    extracted = build_extraction(spark.createDataFrame(rows), order_output=False)
+    rows = distributed_transcripts(spark, n_convs=25, median_turns=5, seed=17)
+    extracted = build_extraction(rows, order_output=False)
     nonempty = extracted.where(F.length("extracted_text") > 0).select(
         F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
         F.col("extracted_text").alias("text"),

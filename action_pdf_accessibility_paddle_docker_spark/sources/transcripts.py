@@ -261,6 +261,35 @@ def total_turns(n_convs: int, median_turns: int = 8) -> int:
     return sum(turns_for_conv(c, n_convs, median_turns) for c in range(n_convs))
 
 
+def distributed_transcripts(spark, n_convs: int, median_turns: int = 8, seed: int = 42):
+    """Generate the synthetic transcripts table ON THE EXECUTORS: one
+    spark.range row per conversation fans out to its turn rows inside a
+    mapInPandas batch. No driver-side materialization -- the generation
+    parallelizes exactly like a real table scan would (each (seed, conv,
+    turn) substream is independent)."""
+    import pandas as pd  # noqa: F401  (executor-side import)
+
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for conv in pdf["id"].tolist():
+                conv = int(conv)
+                for turn in range(turns_for_conv(conv, n_convs, median_turns)):
+                    rows.append(make_row(seed, conv, turn))
+            yield pd.DataFrame(rows, columns=cols)
+
+    par = max(1, min(spark.sparkContext.defaultParallelism, n_convs))
+    return spark.range(n_convs).repartition(par).mapInPandas(gen, schema)
+
+
 def write_transcripts_parquet(
     path: str, n_convs: int, median_turns: int = 8, seed: int = 42,
     rows_per_file: int = 65536, row_group_size: int = 4096,

@@ -95,6 +95,35 @@ def test_nms_transitive_chain_greedy():
     assert VK.nms_keep_mask(coords, scores).tolist() == [True, False, True]
 
 
+def test_nms_single_merge_pass_non_disjoint_groups():
+    """The reference's group build merges in ONE forward pass (no fixpoint,
+    src/process_bboxes.py:257-271), so groups can be NON-disjoint and the
+    unioned per-group removals differ from true connected components.
+    Counterexample: chain 0-4-2-3-5-1 (adjacency pairs (0,4)(2,4)(2,3)(3,5)
+    (1,5)), scores [.1,.9,.1,.7,.2,.8] -> reference keeps {1,4}; CC-based
+    NMS would keep {1,3,4}. Both oracle and vectorized kernels must match
+    the reference."""
+    # Boxes of width 100 along a strip; chain-neighbours overlap 60 px (60%
+    # mutual, a real edge), next-but-one overlap 20 px (<50% both, special-
+    # cased away). Chain order 0,4,2,3,5,1 at x = 0,40,80,120,160,200.
+    xs = {0: 0, 4: 40, 2: 80, 3: 120, 5: 160, 1: 200}
+    coords = np.array([[xs[i], 0.0, xs[i] + 100.0, 10.0] for i in range(6)])
+    scores = np.array([0.1, 0.9, 0.1, 0.7, 0.2, 0.8])
+    boxes = [B("text", scores[i], coords[i]) for i in range(6)]
+
+    # group structure itself: non-disjoint (3 and 5 appear in both groups)
+    pairs = OK.find_overlap_pairs(boxes)
+    assert set(pairs) == {(0, 4), (2, 4), (2, 3), (3, 5), (1, 5)}
+    groups = OK.group_overlaps(pairs)
+    assert groups == [{0, 2, 3, 4, 5}, {1, 3, 5}]
+
+    kept = [boxes.index(b) for b in OK.process_bboxes(boxes)]
+    assert kept == [1, 4]
+    assert VK.nms_keep_mask(coords, scores).tolist() == [
+        False, True, False, False, True, False,
+    ]
+
+
 def test_nms_tie_breaks_to_smallest_index():
     boxes = [B("text", 0.8, [0, 0, 10, 10]), B("image", 0.8, [0, 0, 10, 10])]
     assert OK.process_bboxes(boxes) == [boxes[0]]
