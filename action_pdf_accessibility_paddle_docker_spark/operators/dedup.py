@@ -92,7 +92,9 @@ def ngram_jaccard_pairs(
     cap are dropped from pair generation -- NOT silently: pass a
     ``pyspark.sql.Observation`` as ``observation`` to get
     ``hot_shingles_dropped`` / ``posting_lists`` counters after the action
-    (they are also what the skew test asserts). Dropping a hot shingle can
+    (they are also what the skew test asserts; caveat: when the FINAL query
+    result is empty, AQE's empty-relation propagation prunes the observed
+    subtree and the metrics never materialize). Dropping a hot shingle can
     only lower a pair's intersection count, so the cap is a recall-trading
     knob exactly like MinHash banding. Pass ``max_doc_freq=None`` for the
     uncapped oracle-exact baseline."""

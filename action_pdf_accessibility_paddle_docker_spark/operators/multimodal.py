@@ -32,6 +32,10 @@ except Exception:
 
 IMG_MAGIC = b"IMG1"
 AUD_MAGIC = b"AUD1"
+# Fake formula-image container: the deterministic stand-in for a rendered
+# formula raster (the stub twin of PP-FormulaNet, playing the same role
+# StubDetector plays for layout): b"FML1" | uint16be len | latex utf-8.
+FML_MAGIC = b"FML1"
 
 DECODE_DDL = (
     "media_id bigint, kind string, width int, height int, sample_rate int, "
@@ -47,6 +51,11 @@ def make_fake_image(media_id: int, w: int, h: int) -> bytes:
     y = np.arange(h, dtype=np.int64)[:, None]
     px = ((x + 2 * y + media_id) % 256).astype(np.uint8)
     return IMG_MAGIC + struct.pack(">HH", w, h) + px.tobytes()
+
+
+def make_fake_formula_image(latex: str) -> bytes:
+    raw = latex.encode("utf-8")
+    return FML_MAGIC + struct.pack(">H", len(raw)) + raw
 
 
 def make_fake_audio(media_id: int, rate: int, n: int) -> bytes:
@@ -108,6 +117,55 @@ def decode_media(df: DataFrame, id_col: str = "media_id", bin_col: str = "payloa
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(kernel, schema=DECODE_DDL)
+
+
+MATHML_FROM_IMAGE_DDL = "media_id bigint, latex string, mathml string, ok boolean, error string"
+
+
+def mathml_from_images(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload") -> DataFrame:
+    """The reference's `mathml` entry point 3 composed as one Spark stage:
+    image payload -> formula recognition -> LaTeX -> annotated MathML XML
+    (/root/reference/src/generate_mathml.py:54-78: cv2.imread ->
+    process_formula_image_with_ai -> write XML; src/ai.py:159-263 for the
+    model + semantics annotation).
+
+    Recognition is the seam: the fake FML1 container decodes to its embedded
+    LaTeX (stub twin of PP-FormulaNet); with cv2/paddlex present the real
+    raster branch raises until wired, same honesty contract as decode_media.
+    The LaTeX -> MathML -> <semantics> annotation path is the SAME shared
+    code (functions/mathml.py) the extraction kernel uses."""
+    from ..functions.mathml import add_mathml_metadata, latex_to_mathml
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, p in zip(pdf[id_col], pdf[bin_col]):
+                mid = int(i)
+                p = bytes(p) if p is not None else b""
+                if p[:4] == FML_MAGIC:
+                    (n,) = struct.unpack(">H", p[4:6])
+                    latex = p[6:6 + n].decode("utf-8")
+                elif p[:4] == IMG_MAGIC and _HAS_CV2:  # pragma: no cover
+                    raise NotImplementedError(
+                        "real formula recognition (PP-FormulaNet on a raster) "
+                        "is wired here in production; this sandbox ships the "
+                        "FML1 stub container"
+                    )
+                else:
+                    rows.append(dict(media_id=mid, latex=None, mathml=None,
+                                     ok=False, error=f"unknown magic {p[:4]!r}"))
+                    continue
+                mathml = latex_to_mathml(latex)
+                if mathml == "":
+                    rows.append(dict(media_id=mid, latex=latex, mathml=None,
+                                     ok=False, error="latex-to-mathml failed"))
+                else:
+                    rows.append(dict(media_id=mid, latex=latex,
+                                     mathml=add_mathml_metadata(mathml),
+                                     ok=True, error=None))
+            yield pd.DataFrame(rows, columns=["media_id", "latex", "mathml", "ok", "error"])
+
+    return df.mapInPandas(kernel, schema=MATHML_FROM_IMAGE_DDL)
 
 
 def resize_images(

@@ -153,18 +153,26 @@ def extract_pdf_turn(
         coords = np.array([b["coordinate"] for b in boxes], dtype=np.float64)
         texts = [b.get("text", "") or "" for b in boxes]
 
-        # table / formula sub-pipelines -> "custom" payloads
+        # table / formula sub-pipelines -> "custom" payloads, driven through
+        # the detector seam (M2-M4): the stub reads cells/latex from the
+        # payload, PaddleXDetector runs table-cls -> cell-det / PP-FormulaNet
+        # on region crops -- one shared code path, only the detector differs
+        # (reference: src/ai.py:108-148, custom computed BEFORE NMS).
         customs: list[Any] = [None] * len(boxes)
         for k, b in enumerate(boxes):
             lbl = labels[k]
-            if lbl == "table" and process_table and "cells" in b:
-                cc = np.array([c["coordinate"] for c in b["cells"]], dtype=np.float64)
-                ct = [c.get("text", "") or "" for c in b["cells"]]
-                customs[k] = VK.table_grid_np(cc, ct, coords[k])
-            elif lbl == "formula" and process_formula and "latex" in b:
-                mathml = latex_to_mathml(b["latex"])
-                if mathml != "":
-                    customs[k] = mathml
+            if lbl == "table" and process_table:
+                cells = det.table_cells(page, b)
+                if cells is not None:
+                    cc = np.array([c["coordinate"] for c in cells], dtype=np.float64)
+                    ct = [c.get("text", "") or "" for c in cells]
+                    customs[k] = VK.table_grid_np(cc, ct, coords[k])
+            elif lbl == "formula" and process_formula:
+                latex = det.formula_latex(page, b)
+                if latex is not None:
+                    mathml = latex_to_mathml(latex)
+                    if mathml != "":
+                        customs[k] = mathml
 
         # NMS (J1/J2/A2/A3)
         if len(coords):

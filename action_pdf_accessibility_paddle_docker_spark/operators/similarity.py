@@ -141,8 +141,8 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     method: str = "lsh",
-    n_bands: int = 12,
-    planes_per_band: int = 6,
+    n_bands: int | None = None,
+    planes_per_band: int | None = None,
     dim: int = 64,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, sim >= threshold).
@@ -153,9 +153,22 @@ def embedding_near_dup_pairs(
     a cross product), then are exact-cosine filtered. Recall vs exact is
     asserted in tests/test_similarity.py.
 
+    When bands/planes are not given they are derived from the threshold:
+    sign-LSH per-plane collision prob at cosine s is p = 1 - arccos(s)/pi,
+    per-band match p^r, recall 1-(1-p^r)^b -- lower thresholds need shorter
+    bands (higher per-band collision) to keep recall up; higher thresholds
+    afford longer bands (fewer junk candidates).
+
     ``method='exact'`` is the all-pairs correctness baseline (O(n^2) -- only
     for oracle comparison at test scale; never call it on a real corpus).
     """
+    if planes_per_band is None or n_bands is None:
+        if threshold < 0.6:
+            planes_per_band, n_bands = 4, 16   # recall ~0.9 at s=0.35
+        elif threshold < 0.85:
+            planes_per_band, n_bands = 6, 14   # recall ~0.93 at s=0.7
+        else:
+            planes_per_band, n_bands = 8, 12   # recall ~0.98 at s=0.9
     if method == "exact":
         a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
         b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))

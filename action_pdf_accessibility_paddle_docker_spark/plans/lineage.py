@@ -11,22 +11,32 @@ Design:
 * ``run_resumable`` shards the job into ``n_buckets`` conv-hash buckets
   (``pmod(xxhash64(conv_id), n_buckets)``) -- a conversation never straddles
   buckets, so per-bucket (conv_id, turn_idx) ordering gives stable per-conv
-  output. Buckets are processed in batches; each batch is written with
-  dynamic partition overwrite (idempotent under retry), and a bucket's
-  lineage record is committed (atomic tmp+rename) only AFTER its data write
-  commits. A restart reads the lineage dir and anti-joins completed buckets:
-  exactly-once per bucket despite crashes between batches.
+  output. ALL pending buckets are written in ONE ``partitionBy("bucket")``
+  pass by default (one scan of the input per resume cycle -- the per-batch
+  re-filter of an earlier design scanned the full input once per batch).
+  ``bucket_batch`` remains as an opt-in recomputation bound: each batch costs
+  one additional input scan, the documented tradeoff.
+* Per-bucket counters are DERIVED per bucket: after the data write commits,
+  the just-written (partition-pruned, column-pruned) output is aggregated
+  ``groupBy(bucket)`` and each bucket's lineage JSON carries its own
+  counters, not batch-level copies.
+* A bucket's lineage record is committed (atomic create+rename through the
+  Hadoop FileSystem API, so HDFS/S3/cloud output roots work, not just the
+  driver's local disk) only AFTER its data write commits. A restart lists the
+  lineage dir and skips completed buckets: exactly-once per bucket despite
+  crashes between batches.
 
-At 100 TB / 1000 executors the bucket count is the resume granularity knob:
-n_buckets ~ 4-16x executor count keeps batches wide enough to saturate the
-cluster while bounding recomputation after a crash to one batch.
+At 100 TB / 1000 executors the bucket count is the resume granularity knob;
+recomputation after a crash is bounded by one batch (default: the whole
+pending set -- size batches only if crash-recomputation cost matters more
+than scan count).
 """
 
 from __future__ import annotations
 
 import json
-import os
 import time
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
@@ -50,29 +60,111 @@ def bucket_expr(n_buckets: int):
     return F.pmod(F.xxhash64("conv_id"), F.lit(n_buckets)).cast("int")
 
 
+# ---------------------------------------------------------------------------
+# Lineage records via the Hadoop FileSystem API (works for file://, hdfs://,
+# s3a://, ... -- driver-local os.* would silently see an empty dir on a
+# cluster with a remote output root).
+# ---------------------------------------------------------------------------
+
+
+def _fs_and_path(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath, jvm
+
+
 def _lineage_dir(output_root: str) -> str:
-    return os.path.join(output_root, "_lineage")
+    return output_root.rstrip("/") + "/_lineage"
 
 
-def completed_buckets(output_root: str) -> set[int]:
-    d = _lineage_dir(output_root)
-    if not os.path.isdir(d):
+def _active_spark() -> SparkSession:
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        raise RuntimeError("no active SparkSession for lineage filesystem access")
+    return spark
+
+
+def completed_buckets(output_root: str, spark: SparkSession | None = None) -> set[int]:
+    spark = spark or _active_spark()
+    fs, d, _jvm = _fs_and_path(spark, _lineage_dir(output_root))
+    if not fs.exists(d):
         return set()
     out: set[int] = set()
-    for name in os.listdir(d):
+    for status in fs.listStatus(d):
+        name = status.getPath().getName()
         if name.startswith("bucket_") and name.endswith(".json"):
             out.add(int(name[len("bucket_"):-len(".json")]))
     return out
 
 
-def _commit_lineage(output_root: str, bucket: int, record: dict) -> None:
+def read_lineage(output_root: str, spark: SparkSession | None = None) -> dict[int, dict]:
+    """All committed per-bucket lineage records."""
+    spark = spark or _active_spark()
+    fs, d, jvm = _fs_and_path(spark, _lineage_dir(output_root))
+    out: dict[int, dict] = {}
+    if not fs.exists(d):
+        return out
+    for status in fs.listStatus(d):
+        name = status.getPath().getName()
+        if name.startswith("bucket_") and name.endswith(".json"):
+            stream = fs.open(status.getPath())
+            try:
+                data = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8")
+            finally:
+                stream.close()
+            rec = json.loads(data)
+            out[int(rec["bucket"])] = rec
+    return out
+
+
+def _commit_lineage(
+    output_root: str, bucket: int, record: dict, spark: SparkSession | None = None
+) -> None:
+    spark = spark or _active_spark()
     d = _lineage_dir(output_root)
-    os.makedirs(d, exist_ok=True)
-    tmp = os.path.join(d, f".bucket_{bucket}.json.tmp")
-    final = os.path.join(d, f"bucket_{bucket}.json")
-    with open(tmp, "w") as f:
-        json.dump(record, f)
-    os.replace(tmp, final)  # atomic commit
+    fs, dpath, jvm = _fs_and_path(spark, d)
+    fs.mkdirs(dpath)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{d}/.bucket_{bucket}.json.tmp")
+    final = jvm.org.apache.hadoop.fs.Path(f"{d}/bucket_{bucket}.json")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(json.dumps(record).encode("utf-8")))
+    finally:
+        stream.close()
+    if fs.exists(final):
+        fs.delete(final, False)
+    fs.rename(tmp, final)  # atomic commit on HDFS/local; S3A: fast small copy
+
+
+_COUNTER_COLS = ("turns", "regions", "artifacts", "pages", "errors")
+
+
+def _per_bucket_counters(spark: SparkSession, data_root: str, buckets: list[int]) -> dict[int, dict]:
+    """Aggregate the just-written output per bucket (partition-pruned read of
+    tiny columns -- NOT a kernel re-execution)."""
+    df = (
+        spark.read.parquet(data_root)
+        .where(F.col("bucket").isin([int(b) for b in buckets]))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("turns"),
+            F.sum("n_regions").alias("regions"),
+            F.sum("n_artifacts").alias("artifacts"),
+            F.sum("n_pages").alias("pages"),
+            F.count(F.when(F.col("error").isNotNull(), 1)).alias("errors"),
+            F.min("conv_id").alias("min_conv_id"),
+            F.max("conv_id").alias("max_conv_id"),
+        )
+    )
+    out: dict[int, dict] = {}
+    for r in df.collect():
+        d = r.asDict()
+        b = int(d.pop("bucket"))
+        out[b] = {k: (int(v) if isinstance(v, int) else v) for k, v in d.items()}
+    return out
 
 
 def run_resumable(
@@ -80,31 +172,40 @@ def run_resumable(
     input_path: str,
     output_root: str,
     n_buckets: int = 64,
-    bucket_batch: int = 8,
+    bucket_batch: int | None = None,
     thresholds: dict[int, float] | None = None,
     fail_after_batches: int | None = None,
 ) -> dict:
     """Checkpoint-resumable extraction run. Returns a summary dict.
 
+    bucket_batch=None (default) writes every pending bucket in one
+    partitionBy("bucket") pass: exactly ONE scan of the input per resume
+    cycle (summary["input_scans"] reports it). Setting bucket_batch bounds
+    crash recomputation to a batch at the cost of one input scan per batch.
+
     fail_after_batches: test hook -- raise after N batches to simulate a
     crash; a subsequent call resumes from the lineage records.
     """
     df = spark.read.parquet(input_path)
-    done = completed_buckets(output_root)
+    done = completed_buckets(output_root, spark)
     pending = [b for b in range(n_buckets) if b not in done]
-    data_root = os.path.join(output_root, "data")
+    data_root = output_root.rstrip("/") + "/data"
 
-    batches = [pending[i:i + bucket_batch] for i in range(0, len(pending), bucket_batch)]
+    step = bucket_batch or max(1, len(pending))
+    batches = [pending[i:i + step] for i in range(0, len(pending), step)]
     n_done = 0
-    summary = {"resumed_buckets": len(done), "ran_buckets": 0, "turns": 0, "errors": 0}
+    summary = {
+        "resumed_buckets": len(done), "ran_buckets": 0, "turns": 0,
+        "errors": 0, "input_scans": 0,
+    }
 
     for batch in batches:
         if fail_after_batches is not None and n_done >= fail_after_batches:
             raise RuntimeError(f"injected failure after {n_done} batches")
-        obs = Observation(f"batch-{batch[0]}")
-        part = df.withColumn("bucket", bucket_expr(n_buckets)).filter(
-            F.col("bucket").isin([int(b) for b in batch])
-        )
+        obs = Observation(f"batch-{batch[0]}-{time.monotonic_ns()}")
+        part = df.withColumn("bucket", bucket_expr(n_buckets))
+        if len(batch) < n_buckets:
+            part = part.filter(F.col("bucket").isin([int(b) for b in batch]))
         out = build_extraction(
             part.drop("bucket"), thresholds=thresholds, order_output=False,
             observation=obs,
@@ -119,12 +220,22 @@ def run_resumable(
             .partitionBy("bucket")
             .parquet(data_root)
         )
+        summary["input_scans"] += 1
         got = obs.get
         stamp = time.time()
+        counters = _per_bucket_counters(spark, data_root, batch)
         for b in batch:
             _commit_lineage(
                 output_root, b,
-                {"bucket": b, "batch": batch, "counters": got, "committed_at": stamp},
+                {
+                    "bucket": b,
+                    "counters": counters.get(
+                        b, {k: 0 for k in _COUNTER_COLS} | {"min_conv_id": None, "max_conv_id": None}
+                    ),
+                    "batch_counters": got,
+                    "committed_at": stamp,
+                },
+                spark,
             )
         summary["ran_buckets"] += len(batch)
         summary["turns"] += got.get("turns", 0)

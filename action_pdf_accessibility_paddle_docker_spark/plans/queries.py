@@ -797,6 +797,20 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_media(df).orderBy("media_id")
 
 
+@register("q_mathml_from_image", None)
+def q_mathml_from_image(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image->XML composed path (reference src/generate_mathml.py:54-78):
+    formula-image payloads -> recognition seam -> LaTeX -> annotated MathML.
+    MathML correctness is pinned in tests/test_mathml.py; recognition runs
+    through the same stub-container honesty contract as q_multimodal_decode."""
+    from ..operators.multimodal import make_fake_formula_image, mathml_from_images
+
+    latexes = [r"x^{2}+y_{1}", r"\frac{a}{b}+c", r"\sqrt{z}=\alpha", r"E=mc^2"]
+    rows = [(i, make_fake_formula_image(latexes[i % len(latexes)])) for i in range(32)]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    return mathml_from_images(df).orderBy("media_id")
+
+
 @register("q_winnow_fingerprints", None)
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) fingerprints -- not ANSI-SQL expressible;

@@ -32,7 +32,10 @@ def main() -> None:
     ap.add_argument("--output", required=True, help="output path")
     ap.add_argument("--resumable", action="store_true", help="bucketed checkpoint-resumable run")
     ap.add_argument("--buckets", type=int, default=64)
-    ap.add_argument("--bucket-batch", type=int, default=8)
+    ap.add_argument("--bucket-batch", type=int, default=0,
+                    help="0 (default): all pending buckets in one pass (one input "
+                         "scan); N bounds crash recomputation to N buckets per "
+                         "batch at one extra input scan per batch")
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     ap.add_argument("--salt", type=int, default=0,
@@ -77,7 +80,7 @@ def main() -> None:
     if args.resumable:
         summary = run_resumable(
             spark, args.input, args.output,
-            n_buckets=args.buckets, bucket_batch=args.bucket_batch,
+            n_buckets=args.buckets, bucket_batch=args.bucket_batch or None,
             thresholds=thresholds,
         )
         print(json.dumps({"mode": "resumable", **summary}))

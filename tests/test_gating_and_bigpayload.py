@@ -77,3 +77,30 @@ def test_mega_payload_survives(spark):
     assert rows[0]["extracted_text"] == exp["extracted_text"]
     assert rows[0]["n_pages"] == 600
     assert rows[1]["extracted_text"] == "tiny turn"
+
+
+def test_raw_pdf_bytes_yield_explicit_error(spark):
+    """Real PDF bytes (no structured payload) must surface
+    error='pdf-bytes-unsupported-without-paddlex', not silently pass
+    through as plain text (classify_payload routes on the %PDF- magic)."""
+    from action_pdf_accessibility_paddle_docker_spark.config import (
+        PAYLOAD_KIND_PDF_BYTES,
+        classify_payload,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.plans.extraction import (
+        build_extraction,
+    )
+
+    assert classify_payload("%PDF-1.7\nxref...") == PAYLOAD_KIND_PDF_BYTES
+    assert classify_payload("plain text") == "text"
+
+    import datetime
+
+    df = spark.createDataFrame(
+        [("c", 0, "user", "%PDF-1.7 binary soup", "", datetime.datetime(2026, 1, 1))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    row = build_extraction(df, order_output=False).collect()[0]
+    assert row["payload_kind"] == PAYLOAD_KIND_PDF_BYTES
+    assert row["error"] == "pdf-bytes-unsupported-without-paddlex"
+    assert row["extracted_text"] == ""

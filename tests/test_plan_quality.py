@@ -43,6 +43,44 @@ def test_jvm_only_operators_have_no_python(spark):
         assert "MapInPandas" not in plan, name
 
 
+def test_ann_brute_force_broadcasts_query_side_not_corpus(spark):
+    """The corpus is the 100 TB relation: it must STREAM past a replicated
+    (small) query batch, never be the broadcast build side. The query
+    relation carries the filter vec_id < 20 -- that filtered scan is the one
+    that must sit under the BroadcastExchange."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan, plan[:2000]
+    # the broadcast subtree (between the exchange and the corpus-side scan)
+    # must contain the query-side filter
+    broadcast_part = plan.split("BroadcastExchange")[1]
+    assert "vec_id" in broadcast_part
+    assert "20" in broadcast_part.split("Scan parquet")[0]
+
+
+def test_near_dup_lsh_is_equi_join_not_cross(spark):
+    """Default near-dup path: candidates meet in a (band, bucket) hash join;
+    no cartesian/BNLJ anywhere in the plan."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plan = (
+        embedding_near_dup_pairs(emb, threshold=0.35)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan
+
+
 def test_semi_anti_join_shapes(spark):
     assert "LeftSemi" in _plan(spark, "q_semi_join")
     assert "LeftAnti" in _plan(spark, "q_anti_join")

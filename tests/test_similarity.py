@@ -6,12 +6,15 @@ from pyspark.sql import functions as F
 from action_pdf_accessibility_paddle_docker_spark.operators.multimodal import (
     decode_media,
     make_fake_audio,
+    make_fake_formula_image,
     make_fake_image,
+    mathml_from_images,
     resize_images,
     sample_frames,
 )
 from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
     brute_force_topk,
+    embedding_near_dup_pairs,
     lsh_bucketed_topk,
 )
 
@@ -55,6 +58,44 @@ def test_lsh_recall_at_5(spark, emb):
     assert recall > 0.1, recall
     again = lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 20), k=5, n_planes=4).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, approx))
+
+
+def test_near_dup_lsh_front_door_recall(spark, emb):
+    """The default (banded-LSH) near-dup path must recover most exact pairs
+    at the harness threshold and only emit true positives (every candidate
+    is exact-cosine re-checked)."""
+    exact = set(map(tuple, embedding_near_dup_pairs(
+        emb, threshold=0.35, method="exact").select("id_a", "id_b").collect()))
+    approx = set(map(tuple, embedding_near_dup_pairs(
+        emb, threshold=0.35).select("id_a", "id_b").collect()))
+    assert approx <= exact  # no false positives (exact re-check)
+    assert exact, "fixture must produce near-dup pairs"
+    recall = len(approx & exact) / len(exact)
+    assert recall >= 0.6, recall
+    # determinism
+    again = set(map(tuple, embedding_near_dup_pairs(
+        emb, threshold=0.35).select("id_a", "id_b").collect()))
+    assert again == approx
+
+
+def test_mathml_from_images(spark):
+    """Image->XML composed path (reference src/generate_mathml.py:54-78):
+    recognition seam -> shared LaTeX->MathML -> <semantics> annotation."""
+    from action_pdf_accessibility_paddle_docker_spark.functions.mathml import (
+        add_mathml_metadata,
+        latex_to_mathml,
+    )
+
+    rows = [(1, make_fake_formula_image(r"x^{2}+y_{1}")),
+            (2, make_fake_formula_image(r"\frac{a}{b}")),
+            (3, b"JUNKxxxx")]
+    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    out = {r["media_id"]: r for r in mathml_from_images(df).collect()}
+    assert out[1]["ok"] and out[1]["latex"] == r"x^{2}+y_{1}"
+    assert out[1]["mathml"] == add_mathml_metadata(latex_to_mathml(r"x^{2}+y_{1}"))
+    assert "semantics" in out[1]["mathml"] and "annotation" in out[1]["mathml"]
+    assert out[2]["ok"] and "mfrac" in out[2]["mathml"]
+    assert out[3]["ok"] is False and "unknown magic" in out[3]["error"]
 
 
 def test_multimodal_decode(spark):

@@ -54,3 +54,39 @@ def test_salted_output_equals_unsalted(spark):
     b = build_extraction(df, salt=16, order_output=False).select(
         "conv_id", "turn_idx", "extracted_text").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_hot_shingle_cap_bounds_pair_explosion(spark):
+    """One universal shingle shared by every doc must not explode to O(n^2)
+    pairs: the doc-frequency cap drops it from pair generation and reports
+    the drop through the Observation (no silent caps)."""
+    from pyspark.sql import Observation
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    n = 300
+    # every doc contains the hot bigram "common token"; each also has a
+    # unique tail so no two docs are actual near-duplicates. One genuine
+    # dup pair keeps the final result non-empty (AQE's empty-relation
+    # propagation would otherwise prune the observed subtree and the
+    # metrics would never materialize -- documented in the operator).
+    rows = [(i, f"common token unique{i} tail{i}") for i in range(n)]
+    rows += [(1000, "alpha beta gamma delta"), (1001, "alpha beta gamma delta")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    obs = Observation("hot-shingles")
+    out = ngram_jaccard_pairs(df, threshold=0.1, max_doc_freq=50, observation=obs)
+    pairs = out.count()
+    got = obs.get
+    assert got["hot_shingles_dropped"] >= 1
+    assert got["posting_lists"] >= got["hot_shingles_dropped"]
+    # without the cap the hot shingle alone yields n*(n-1)/2 = 44850 pairs
+    assert pairs == 1  # only the genuine dup pair survives
+
+    # uncapped baseline on a small slice stays exact (oracle parity mode)
+    small = df.where("doc_id < 20")
+    exact = ngram_jaccard_pairs(small, threshold=0.1, max_doc_freq=None).count()
+    capped_loose = ngram_jaccard_pairs(small, threshold=0.1, max_doc_freq=10_000).count()
+    assert exact == capped_loose
