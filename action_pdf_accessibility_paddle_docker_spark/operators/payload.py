@@ -39,7 +39,12 @@ from ..functions.mathml import latex_to_mathml
 from . import kernels as VK
 from .html_extract import extract_html
 
-# Region row layout (tuple order must match REGION_DDL in plans/extraction.py)
+# Region row layout (tuple order must match REGION_DDL in plans/extraction.py).
+# Regions travel as PLAIN TUPLES in this order, not dicts: pyarrow converts
+# tuples into struct arrays positionally, and at ~10 region rows per turn the
+# dict-per-region representation dominated kernel allocation (17 keys hashed
+# and stored per region, per turn, per batch -- measurable memory-bandwidth
+# pressure in the 32-thread regime).
 REGION_COLUMNS = (
     "page", "ordinal", "label", "score", "bbox", "tag", "flags", "rtype",
     "heading", "text", "reading_rank", "region_id", "parent_region_id",
@@ -53,15 +58,17 @@ def _region(
     reading_rank: int, region_id: int, parent_region_id: int | None,
     row_num: int | None, col_num: int | None,
     row_span: int | None = None, col_span: int | None = None,
-) -> dict[str, Any]:
-    return {
-        "page": page, "ordinal": ordinal, "label": label, "score": score,
-        "bbox": bbox, "tag": tag, "flags": flags, "rtype": rtype,
-        "heading": heading, "text": text, "reading_rank": reading_rank,
-        "region_id": region_id, "parent_region_id": parent_region_id,
-        "row_num": row_num, "col_num": col_num,
-        "row_span": row_span, "col_span": col_span,
-    }
+) -> tuple:
+    return (
+        page, ordinal, label, score, bbox, tag, flags, rtype, heading, text,
+        reading_rank, region_id, parent_region_id, row_num, col_num,
+        row_span, col_span,
+    )
+
+
+def region_as_dict(region: tuple) -> dict[str, Any]:
+    """Named view of a region tuple (template builder / tests)."""
+    return dict(zip(REGION_COLUMNS, region))
 
 
 def _convert_box(
@@ -135,7 +142,7 @@ def extract_pdf_turn(
     zoom = float(payload.get("zoom", 2.0))
     page_h_px = float(payload.get("page_h", 1584))
 
-    all_regions: list[dict[str, Any]] = []
+    all_regions: list[tuple] = []
     formulas: list[tuple[int, str]] = []
     page_texts: list[str] = []
     n_artifacts = 0
@@ -309,7 +316,7 @@ def extract_pdf_turn(
         "zoom": zoom,
         "extracted_text": "\n".join(t for t in page_texts if t),
         "regions": all_regions,
-        "mathml": [{"region_id": fid, "mathml": m} for fid, m in formulas],
+        "mathml": formulas,  # (region_id, mathml) tuples, struct-encoded positionally
         "n_artifacts": n_artifacts,
         "n_pages": len(payload.get("pages", [])),
     }

@@ -78,10 +78,20 @@ def make_extraction_kernel(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # imports inside the worker process
+        import gc
+
         from pyspark import TaskContext
 
         from ..operators.detector import get_detector
         from ..operators.payload import extract_series
+
+        # The kernel allocates heavily (tuples/lists per region) and creates
+        # no reference cycles; CPython's default gen0 threshold (700) makes
+        # the collector scan constantly under that load -- measurable
+        # memory-bandwidth overhead in the 32-worker regime. Raise it once
+        # per worker (idempotent).
+        if gc.get_threshold()[0] < 100_000:
+            gc.set_threshold(200_000, 50, 25)
 
         detector = get_detector(th, detector_kind, **det_kw)  # per-worker singleton
         ctx = TaskContext.get()
@@ -115,11 +125,12 @@ def make_extraction_kernel(
                     import json as _json
 
                     from ..functions.template import template_from_region_rows
+                    from ..operators.payload import region_as_dict
 
                     templates[i] = _json.dumps(
                         template_from_region_rows(
-                            res["regions"],
-                            {m["region_id"] for m in res["mathml"]},
+                            [region_as_dict(r) for r in res["regions"]],
+                            {m[0] for m in res["mathml"]},
                             zoom=res.get("zoom", 2.0),
                         )
                     )

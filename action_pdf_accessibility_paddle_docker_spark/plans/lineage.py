@@ -142,11 +142,14 @@ def _commit_lineage(
 _COUNTER_COLS = ("turns", "regions", "artifacts", "pages", "errors")
 
 
-def _per_bucket_counters(spark: SparkSession, data_root: str, buckets: list[int]) -> dict[int, dict]:
+def _per_bucket_counters(
+    spark: SparkSession, data_root: str, buckets: list[int], is_table: bool = False
+) -> dict[int, dict]:
     """Aggregate the just-written output per bucket (partition-pruned read of
     tiny columns -- NOT a kernel re-execution)."""
+    src = spark.read.table(data_root) if is_table else spark.read.parquet(data_root)
     df = (
-        spark.read.parquet(data_root)
+        src
         .where(F.col("bucket").isin([int(b) for b in buckets]))
         .groupBy("bucket")
         .agg(
@@ -175,6 +178,7 @@ def run_resumable(
     bucket_batch: int | None = None,
     thresholds: dict[int, float] | None = None,
     fail_after_batches: int | None = None,
+    iceberg_table: str | None = None,
 ) -> dict:
     """Checkpoint-resumable extraction run. Returns a summary dict.
 
@@ -182,6 +186,12 @@ def run_resumable(
     partitionBy("bucket") pass: exactly ONE scan of the input per resume
     cycle (summary["input_scans"] reports it). Setting bucket_batch bounds
     crash recomputation to a batch at the cost of one input scan per batch.
+
+    iceberg_table: when set (and the Iceberg runtime is on the classpath),
+    bucket data commits through ``overwritePartitions()`` -- one ATOMIC
+    snapshot per batch with snapshot isolation (K1 parity, SURVEY section
+    4.2) -- instead of parquet dynamic partition overwrite. Lineage JSON
+    stays under output_root either way.
 
     fail_after_batches: test hook -- raise after N batches to simulate a
     crash; a subsequent call resumes from the lineage records.
@@ -214,16 +224,24 @@ def run_resumable(
         out = out.repartition(len(batch), "bucket").sortWithinPartitions(
             "bucket", "conv_id", "turn_idx"
         )
-        (
-            out.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("bucket")
-            .parquet(data_root)
-        )
+        if iceberg_table is not None:
+            from .sinks import overwrite_buckets_iceberg
+
+            overwrite_buckets_iceberg(out, iceberg_table, batch)
+        else:
+            (
+                out.write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("bucket")
+                .parquet(data_root)
+            )
         summary["input_scans"] += 1
         got = obs.get
         stamp = time.time()
-        counters = _per_bucket_counters(spark, data_root, batch)
+        counters = _per_bucket_counters(
+            spark, data_root if iceberg_table is None else iceberg_table, batch,
+            is_table=iceberg_table is not None,
+        )
         for b in batch:
             _commit_lineage(
                 output_root, b,

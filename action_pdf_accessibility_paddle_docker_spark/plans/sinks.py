@@ -1,0 +1,91 @@
+"""Table sinks (K1): parquet (always available) and Iceberg.
+
+SURVEY.md maps K1 (the reference's ``doc.Save``, src/autotag.py:165-166) to
+``df.writeTo(tbl).append()`` on an Iceberg table. At 100 TB the Iceberg path
+is what makes the resumable runner's bucket overwrites ATOMIC table commits
+(snapshot isolation) instead of directory-level dynamic partition overwrite:
+a crash mid-commit leaves the previous snapshot readable, and concurrent
+readers never observe a half-written bucket.
+
+The sandbox ships no iceberg-spark-runtime jar (and has no network to fetch
+one), so ``iceberg_available`` gates everything: the code path is real and
+exercised by a skipif test that runs wherever the runtime + a configured
+catalog exist (e.g. a local hadoop catalog:
+``spark.sql.catalog.local=org.apache.iceberg.spark.SparkCatalog``,
+``spark.sql.catalog.local.type=hadoop``,
+``spark.sql.catalog.local.warehouse=/path``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def iceberg_available(spark: SparkSession) -> bool:
+    """True when the Iceberg Spark runtime is on the classpath."""
+    try:
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+        return True
+    except Exception:
+        return False
+
+
+def is_table_identifier(target: str) -> bool:
+    """catalog.db.table (dotted, no slashes) -> table; otherwise a path."""
+    return "/" not in target and target.count(".") >= 1
+
+
+def write_extracted(
+    df: DataFrame,
+    target: str,
+    format: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """One-shot sink. format='iceberg' requires a dotted table identifier
+    resolvable in a configured catalog; parquet takes a path."""
+    if format == "iceberg":
+        if not iceberg_available(df.sparkSession):
+            raise RuntimeError(
+                "iceberg sink requested but the Iceberg Spark runtime is not "
+                "on the classpath (add iceberg-spark-runtime and a catalog "
+                "config, or use format='parquet')"
+            )
+        writer = df.writeTo(target).using("iceberg")
+        if partition_by:
+            from pyspark.sql import functions as F
+
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
+        if mode == "overwrite":
+            writer.createOrReplace()
+        elif mode == "append":
+            # append requires the table to exist; create on first write
+            if not df.sparkSession.catalog.tableExists(target):
+                writer.create()
+            else:
+                df.writeTo(target).append()
+        else:
+            raise ValueError(f"unsupported iceberg mode {mode!r}")
+        return
+    if format == "parquet":
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(target)
+        return
+    raise ValueError(f"unknown sink format {format!r}")
+
+
+def overwrite_buckets_iceberg(df: DataFrame, target: str, buckets: list[int]) -> None:
+    """Idempotent per-bucket commit for the resumable runner: replace exactly
+    the rows of the given buckets in ONE atomic Iceberg snapshot
+    (overwritePartitions = dynamic overwrite with snapshot isolation --
+    the Iceberg analog of parquet dynamic partition overwrite, but a retry
+    after a crash can never leave a torn directory)."""
+    spark = df.sparkSession
+    if not spark.catalog.tableExists(target):
+        from pyspark.sql import functions as F
+
+        df.writeTo(target).using("iceberg").partitionedBy(F.col("bucket")).create()
+        return
+    df.writeTo(target).overwritePartitions()

@@ -43,6 +43,12 @@ def main() -> None:
     ap.add_argument("--no-order", action="store_true", help="skip total-order output")
     ap.add_argument("--template", action="store_true",
                     help="emit the reference-shaped tag-template JSON column")
+    ap.add_argument("--format", default="parquet", choices=("parquet", "iceberg"),
+                    help="sink format; iceberg needs the runtime jar + a catalog "
+                         "and a dotted table identifier as --output")
+    ap.add_argument("--iceberg-table", default=None,
+                    help="resumable mode: commit bucket data through atomic "
+                         "Iceberg overwritePartitions into this table")
     ap.add_argument("--threshold", action="append", default=[],
                     metavar="CLASS_ID=VAL", help="per-class detector threshold override")
     args = ap.parse_args()
@@ -81,7 +87,7 @@ def main() -> None:
         summary = run_resumable(
             spark, args.input, args.output,
             n_buckets=args.buckets, bucket_batch=args.bucket_batch or None,
-            thresholds=thresholds,
+            thresholds=thresholds, iceberg_table=args.iceberg_table,
         )
         print(json.dumps({"mode": "resumable", **summary}))
         return
@@ -95,9 +101,18 @@ def main() -> None:
         observation=obs,
         include_template=args.template,
     )
-    out.write.mode("overwrite").parquet(args.output)
-    metrics = lineage_metrics(spark.read.parquet(args.output))
-    metrics.write.mode("overwrite").parquet(args.output.rstrip("/") + "_lineage")
+    from action_pdf_accessibility_paddle_docker_spark.plans.sinks import write_extracted
+
+    write_extracted(out, args.output, format=args.format)
+    back = (
+        spark.read.table(args.output) if args.format == "iceberg"
+        else spark.read.parquet(args.output)
+    )
+    metrics = lineage_metrics(back)
+    if args.format == "iceberg":
+        metrics.writeTo(args.output + "_lineage").using("iceberg").createOrReplace()
+    else:
+        metrics.write.mode("overwrite").parquet(args.output.rstrip("/") + "_lineage")
     print(json.dumps({"mode": "batch", "counters": {k: int(v) for k, v in obs.get.items()}}))
 
 

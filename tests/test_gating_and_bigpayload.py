@@ -47,7 +47,7 @@ def test_gates_match_between_oracle_and_spark(spark):
             exp = extract_turn(PAYLOAD, process_table=pt, process_formula=pf)
             got = next(iter(extract_series(pd.Series([PAYLOAD]), None, pt, pf)))
             assert got["extracted_text"] == exp["extracted_text"], (pt, pf)
-            assert [(m["region_id"], m["mathml"]) for m in got["mathml"]] == list(exp["mathml"])
+            assert list(got["mathml"]) == list(exp["mathml"])
 
 
 def test_mega_payload_survives(spark):

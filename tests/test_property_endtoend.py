@@ -67,6 +67,6 @@ def test_random_pdf_payload_oracle_equals_kernel(payload):
     exp = extract_turn(payload)
     got = next(iter(extract_series(pd.Series([payload]))))
     assert got["extracted_text"] == exp["extracted_text"]
-    assert [(m["region_id"], m["mathml"]) for m in got["mathml"]] == list(exp["mathml"])
+    assert list(got["mathml"]) == list(exp["mathml"])
     assert flatten_region_rows(got["regions"]) == flatten_oracle_regions(exp)
     assert got["n_artifacts"] == exp["n_artifacts"]

@@ -33,10 +33,19 @@ def flatten_oracle_regions(res: dict) -> list[tuple]:
 
 
 def flatten_region_rows(regions) -> list[tuple]:
-    """Spark Row / plain-dict region rows -> comparable tuples."""
+    """Spark Row / plain-tuple / dict region rows -> comparable tuples."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.payload import (
+        region_as_dict,
+    )
+
     out = []
     for r in regions:
-        d = r.asDict() if hasattr(r, "asDict") else r
+        if hasattr(r, "asDict"):
+            d = r.asDict()
+        elif isinstance(r, tuple):
+            d = region_as_dict(r)
+        else:
+            d = r
         out.append(
             (d["page"], d["label"], round(float(d["score"]), 9), _r6(d["bbox"]),
              d["tag"], d["flags"], d["rtype"], d["heading"], d["text"],
