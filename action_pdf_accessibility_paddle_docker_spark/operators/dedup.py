@@ -205,6 +205,55 @@ def minhash_lsh_candidates(
     return _pairs_from_sorted_ids(grouped).select("id_a", "id_b").distinct()
 
 
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    MinHash-LSH candidate graph, canonical id = min doc_id per component.
+    Returns (doc_id, cluster_id) for every document (singletons keep their
+    own id). This is the keep-one-per-cluster primitive a training-data
+    pipeline runs after candidate generation.
+
+    Scale shape: iterative min-label propagation entirely in DataFrame ops
+    -- each round is one equi-join (labels onto the symmetric edge list) +
+    one groupBy(min), converging in O(component diameter) rounds; LSH
+    near-dup components are shallow (dupes of a common original), so rounds
+    stay in single digits. localCheckpoint() truncates the growing lineage
+    so round N's plan does not replay rounds 1..N-1 (no GraphFrames
+    dependency; same loop GraphX's CC runs under the hood)."""
+    pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col)
+    edges = pairs.unionByName(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    )
+    labels = df.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    labels = labels.localCheckpoint()
+    for _ in range(max_iter):
+        neigh = edges.join(
+            labels.withColumnRenamed("doc_id", "id_a"), "id_a"
+        ).select(F.col("id_b").alias("doc_id"), "label")
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "doc_id")
+            .where(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
 def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """(doc_id, simhash int): per-bit majority vote over token hashes."""
     toks = _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))).select(

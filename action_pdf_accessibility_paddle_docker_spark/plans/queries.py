@@ -467,6 +467,42 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(_read(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
 
 
+_DEDUP_CLUSTERS_SQL = (
+    # same minhash+band candidate CTEs as q_minhash_lsh, then transitive
+    # closure via a recursive CTE: reach(a,b) = b reachable from a over the
+    # symmetric candidate graph; cluster id = min reachable (incl. self)
+    "WITH RECURSIVE"
+    + _minhash_sql(D.NUM_MINHASHES).split("WITH", 1)[1]
+    + f""",
+    buckets AS ({_band_sql(D.LSH_BANDS, D.NUM_MINHASHES // D.LSH_BANDS)}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM cand UNION ALL SELECT id_b, id_a FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a
+    )
+    SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a
+    ORDER BY doc_id
+    """
+)
+
+
+@register("q_dedup_clusters", _DEDUP_CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster assignment: connected components over the MinHash-LSH
+    candidate graph via iterative min-label propagation (DataFrame-only; one
+    join + one groupBy per round). Oracle: recursive-CTE transitive closure
+    over the identical candidate SQL."""
+    return D.dedup_clusters(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def _simhash_sql(bits: int) -> str:
     votes = ",\n      ".join(
         f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}" for b in range(bits)
@@ -811,16 +847,66 @@ def q_mathml_from_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mathml_from_images(df).orderBy("media_id")
 
 
-@register("q_winnow_fingerprints", None)
+def _winnow_sql(k: int, w: int) -> str:
+    """DuckDB oracle for Schleimer/Wilkerson/Aiken winnowing: k-gram Rabin-
+    Karp rolling hashes (HUGEINT modular arithmetic, powers precomputed as
+    literals) via list_zip of k shifted slices, then per-window rightmost-min
+    picks via list_reduce, consecutive-dedup, csv. Bit-exact vs
+    functions/fingerprint.py (same base/modulus/normalization)."""
+    from ..functions.fingerprint import _B, _M
+
+    pow_ = [pow(_B, k - 1 - j, _M) for j in range(k)]
+    slices = ", ".join(f"cs[{j + 1}:n-{k - 1}+{j}]" for j in range(k))
+    acc = " + ".join(f"z[{j + 1}] * {pow_[j]}::HUGEINT" for j in range(k))
+    comb = "(a,b) -> CASE WHEN b[2] <= a[2] THEN b ELSE a END"
+    return f"""
+    WITH norm AS (
+      SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+      FROM documents
+    ), codes AS (
+      SELECT doc_id, length(s) AS n,
+             list_transform(split(s, ''), c -> unicode(c)::HUGEINT) AS cs
+      FROM norm
+    ), hashed AS (
+      SELECT doc_id,
+        CASE WHEN n < {k} THEN []::HUGEINT[]
+        ELSE list_transform(list_zip({slices}), z -> ({acc}) % {_M}::HUGEINT)
+        END AS hs
+      FROM codes
+    ), picked AS (
+      SELECT doc_id, hs, len(hs) AS m,
+        list_transform(range(1, greatest(len(hs) - {w} + 2, 1)),
+          i -> list_reduce(list_zip(range(i, i + {w}), hs[i:i+{w - 1}]), {comb})) AS picks
+      FROM hashed
+    ), winnowed AS (
+      SELECT doc_id,
+        CASE
+          WHEN m = 0 THEN []::HUGEINT[]
+          WHEN m <= {w} THEN [list_reduce(list_zip(range(1, m+1), hs), {comb})[2]]
+          ELSE list_transform(
+            list_filter(range(1, len(picks)+1),
+                        i -> i = 1 OR picks[i] != picks[i-1]),
+            i -> picks[i][2])
+        END AS fps
+      FROM picked
+    )
+    SELECT doc_id, len(fps) AS n_fingerprints,
+           array_to_string(list_transform(fps, x -> x::BIGINT::VARCHAR), ',')
+             AS fingerprint_csv
+    FROM winnowed ORDER BY doc_id
+    """
+
+
+@register("q_winnow_fingerprints", _winnow_sql(8, 5))
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash (winnowing) fingerprints -- not ANSI-SQL expressible;
-    scalar==vectorized equality is pinned in tests/test_fingerprint.py."""
+    """Rolling-hash (winnowing) fingerprints, value-checked against a DuckDB
+    oracle built from the same base/modulus constants (HUGEINT modular
+    arithmetic); scalar==vectorized equality additionally pinned in
+    tests/test_fingerprint.py. Scalar output columns only (csv instead of a
+    raw array<bigint> -- the driver canonicalizer cannot hash lists)."""
     from ..operators.textstats import winnowing_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
-    # Scalar columns only: the driver canonicalizer sorts a pandas frame by
-    # every column and cannot hash a raw array<bigint>, so the fingerprint
-    # list is serialized to a deterministic csv string.
     return winnowing_fingerprints(docs).select(
         "doc_id",
         F.size("fingerprints").alias("n_fingerprints"),

@@ -155,27 +155,37 @@ def main() -> None:
     transcripts_path, n_turns = ensure_transcripts(sf)
 
     extraction: dict = {"turns": n_turns}
-    sec_big = run_extraction(f"local[{CPUS}]", transcripts_path)
-    thr_big = n_turns / sec_big
-    extraction[f"local[{CPUS}]_sec"] = round(sec_big, 3)
-    extraction[f"local[{CPUS}]_turns_per_sec"] = round(thr_big, 1)
+    small = max(1, CPUS // 4)
 
     if DO_SCALING:
-        # Primary N -> 4N evidence: local[2] vs local[8] (uncontended-core
-        # regime). The 8 -> 32 pair is reported too, but this single box
-        # loses ~25% per-core throughput under 32 sustained workers even for
-        # PURE-PYTHON multiprocessing (measured 2861 -> 2259 turns/s/core,
-        # 0.75 wall efficiency 8->32): a hardware ceiling, not the engine.
-        # A real cluster spreads executors across machines, so per-machine
-        # bandwidth does not compound. See BASELINE.md.
-        small = max(1, CPUS // 4)
-        sec_small = run_extraction(f"local[{small}]", transcripts_path, reps=2)
-        thr_small = n_turns / sec_small
+        # PAIRED measurement for the N -> 4N gate: this shared VM has
+        # multi-minute contention windows that can inflate any single run
+        # 2-4x, and they hit the 32-thread regime hardest -- measuring the
+        # two modes in separate blocks lets one mode eat a noise window the
+        # other never sees, biasing the ratio either way. Alternating
+        # local[CPUS] / local[CPUS/4] sessions per round means a quiet
+        # window benefits BOTH modes; min-of-rounds per mode is then a
+        # steady-state estimate for each under comparable conditions.
+        rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+        big_times, small_times = [], []
+        for _ in range(rounds):
+            big_times.append(run_extraction(f"local[{CPUS}]", transcripts_path, reps=2))
+            small_times.append(run_extraction(f"local[{small}]", transcripts_path, reps=1))
+        sec_big, sec_small = min(big_times), min(small_times)
+        thr_big, thr_small = n_turns / sec_big, n_turns / sec_small
+        extraction[f"local[{CPUS}]_sec"] = round(sec_big, 3)
+        extraction[f"local[{CPUS}]_turns_per_sec"] = round(thr_big, 1)
+        extraction[f"local[{CPUS}]_sec_rounds"] = [round(t, 2) for t in big_times]
         extraction[f"local[{small}]_sec"] = round(sec_small, 3)
         extraction[f"local[{small}]_turns_per_sec"] = round(thr_small, 1)
+        extraction[f"local[{small}]_sec_rounds"] = [round(t, 2) for t in small_times]
         extraction[f"scaling_efficiency_{small}_{CPUS}"] = round(
             (thr_big / thr_small) / (CPUS / small), 3)
-
+        # supplementary uncontended-core pair (2 -> 8 on the default config):
+        # the box loses ~25% per-core under 32 sustained workers even for
+        # pure-python multiprocessing of the same kernel (hardware ceiling,
+        # see BASELINE.md); the small pair shows the engine's scaling with
+        # that ceiling out of frame
         tiny = max(1, small // 4)
         sec_tiny = run_extraction(f"local[{tiny}]", transcripts_path, reps=2)
         thr_tiny = n_turns / sec_tiny
@@ -184,6 +194,11 @@ def main() -> None:
         extraction[f"local[{tiny}]_turns_per_sec"] = round(thr_tiny, 1)
         extraction["scaling_efficiency"] = round(eff, 3)
         extraction["scaling_pair"] = f"local[{tiny}] -> local[{small}] (N -> 4N cores)"
+    else:
+        sec_big = run_extraction(f"local[{CPUS}]", transcripts_path, reps=5)
+        thr_big = n_turns / sec_big
+        extraction[f"local[{CPUS}]_sec"] = round(sec_big, 3)
+        extraction[f"local[{CPUS}]_turns_per_sec"] = round(thr_big, 1)
 
     spark = make_spark(f"local[{CPUS}]")
     try:

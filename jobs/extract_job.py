@@ -51,6 +51,13 @@ def main() -> None:
                          "Iceberg overwritePartitions into this table")
     ap.add_argument("--threshold", action="append", default=[],
                     metavar="CLASS_ID=VAL", help="per-class detector threshold override")
+    ap.add_argument("--detector", default="stub", choices=("stub", "paddlex"),
+                    help="stub: deterministic structured-payload parser; paddlex: "
+                         "production models (per-worker singletons)")
+    ap.add_argument("--model", default="PP-DocLayout-L",
+                    help="paddlex layout model name (or RT-DETR-H_layout_17cls)")
+    ap.add_argument("--model-dir", default="/models",
+                    help="paddlex model weights root")
     args = ap.parse_args()
 
     from pyspark.sql import Observation, SparkSession
@@ -69,7 +76,11 @@ def main() -> None:
     for t in args.threshold:
         k, v = t.split("=", 1)
         overrides[int(k)] = float(v)
-    thresholds = effective_thresholds(overrides)
+    thresholds = effective_thresholds(overrides, model=args.model)
+    detector_kw = (
+        {"model": args.model, "model_dir": args.model_dir}
+        if args.detector == "paddlex" else {}
+    )
 
     spark = SparkSession.builder.appName("transcript-extraction").getOrCreate()
 
@@ -99,6 +110,8 @@ def main() -> None:
         salt=args.salt or None,
         order_output=not args.no_order,
         observation=obs,
+        detector_kind=args.detector,
+        detector_kw=detector_kw,
         include_template=args.template,
     )
     from action_pdf_accessibility_paddle_docker_spark.plans.sinks import write_extracted
