@@ -205,6 +205,39 @@ def minhash_lsh_candidates(
     return _pairs_from_sorted_ids(grouped).select("id_a", "id_b").distinct()
 
 
+def decontaminate(
+    train: DataFrame,
+    benchmark: DataFrame,
+    min_overlap_frac: float = 0.3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Train/eval decontamination: flag (train, benchmark) pairs whose
+    distinct-bigram overlap covers >= min_overlap_frac of the TRAINING doc's
+    shingle set -- the standard n-gram test-set-leak check a training-data
+    pipeline runs before a corpus ships.
+
+    Scale shape: the 100 TB side (train) streams through one shingle explode;
+    the benchmark side (eval suites are KB-MB) is BROADCAST, so the shingle
+    match is a broadcast hash join -- no shuffle of the training corpus
+    beyond the per-pair count aggregation. Returns
+    (train_id, bench_id, n_shared, overlap_frac)."""
+    t = shingle_table(train, id_col, text_col).withColumnRenamed("doc_id", "train_id")
+    b = shingle_table(benchmark, id_col, text_col).withColumnRenamed("doc_id", "bench_id")
+    sizes = t.groupBy("train_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        t.join(F.broadcast(b), "shingle")
+        .groupBy("train_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes, "train_id")
+        .withColumn("overlap_frac", F.round(F.col("n_shared") / F.col("n_shingles"), 6))
+        .where(F.col("overlap_frac") >= min_overlap_frac)
+        .select("train_id", "bench_id", "n_shared", "overlap_frac")
+    )
+
+
 def dedup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",

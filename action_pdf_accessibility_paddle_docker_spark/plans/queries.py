@@ -467,6 +467,49 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_lsh_candidates(_read(spark, sf_dir, "documents")).orderBy("id_a", "id_b")
 
 
+def _side_shingles(name: str, pred: str) -> str:
+    """Distinct word-bigram shingles for one side of the decontamination
+    join (same recipe as _SHINGLES_SQL, parameterized by a doc_id filter)."""
+    return f"""
+    {name} AS (
+      SELECT DISTINCT doc_id, shingle FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS shingle
+        FROM (SELECT doc_id, {_TOKS_SQL} AS t FROM documents WHERE {pred})
+      ) WHERE length(shingle) > 0
+    )"""
+
+
+@register(
+    "q_decontaminate",
+    f"""
+    WITH {_side_shingles('tr', 'doc_id % 50 <> 0')},
+    {_side_shingles('be', 'doc_id % 50 = 0')},
+    sizes AS (SELECT doc_id AS train_id, count(*) AS n_shingles FROM tr GROUP BY 1),
+    shared AS (
+      SELECT tr.doc_id AS train_id, be.doc_id AS bench_id, count(*) AS n_shared
+      FROM tr JOIN be ON tr.shingle = be.shingle
+      GROUP BY 1, 2
+    )
+    SELECT train_id, bench_id, n_shared,
+           round(n_shared / n_shingles, 6) AS overlap_frac
+    FROM shared JOIN sizes USING (train_id)
+    WHERE round(n_shared / n_shingles, 6) >= 0.3
+    ORDER BY train_id, bench_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: training docs whose bigram sets overlap a
+    benchmark doc by >= 30% (benchmark side broadcast; plan gated in
+    test_plan_quality)."""
+    docs = _read(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 50 != 0)
+    bench = docs.where(F.col("doc_id") % 50 == 0)
+    return D.decontaminate(train, bench, min_overlap_frac=0.3).orderBy(
+        "train_id", "bench_id"
+    )
+
+
 _DEDUP_CLUSTERS_SQL = (
     # same minhash+band candidate CTEs as q_minhash_lsh, then transitive
     # closure via a recursive CTE: reach(a,b) = b reachable from a over the

@@ -81,6 +81,16 @@ def test_near_dup_lsh_is_equi_join_not_cross(spark):
     assert "HashJoin" in plan
 
 
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    """The training corpus is the 100 TB side; the shingle match must be a
+    broadcast hash join with the (small) benchmark relation as build side."""
+    plan = _plan(spark, "q_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # the broadcast subtree carries the benchmark filter (doc_id % 50 = 0)
+    broadcast_part = plan.split("BroadcastExchange")[1].split("Scan parquet")[0]
+    assert "% 50" in broadcast_part
+
+
 def test_semi_anti_join_shapes(spark):
     assert "LeftSemi" in _plan(spark, "q_semi_join")
     assert "LeftAnti" in _plan(spark, "q_anti_join")
