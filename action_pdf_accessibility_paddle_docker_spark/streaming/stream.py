@@ -61,6 +61,82 @@ def conversation_activity(
     )
 
 
+SESSION_OUT_DDL = (
+    "conv_id string, n_turns bigint, n_chars bigint, "
+    "first_ts timestamp, last_ts timestamp"
+)
+SESSION_STATE_DDL = "n_turns bigint, n_chars bigint, first_ts timestamp, last_ts timestamp"
+
+
+def conversation_sessions(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 seconds"
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): fold each
+    conversation's turns into running (n_turns, n_chars, first_ts, last_ts)
+    state and EMIT one finalized row when the conversation has been idle for
+    ``gap`` of event time -- the streaming twin of the batch
+    ``fold_conversations`` (A7/A8), with the idle-gap semantics of
+    ``q_sessionize``.
+
+    State is bounded by the watermark: a conversation's state lives exactly
+    until the event-time clock passes last_ts + gap (EventTimeTimeout), so
+    10^9 concurrent conversations hold one 4-field row each, evicted on
+    idle -- no unbounded accumulation. Arrow batches stream per group; no
+    per-row Python."""
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_ms = _duration_ms(gap)
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, c, f, l = state.get
+            state.remove()
+            yield pd.DataFrame(
+                [{"conv_id": key[0], "n_turns": n, "n_chars": c,
+                  "first_ts": f, "last_ts": l}]
+            )
+            return
+        n, c, f, l = (state.get if state.exists else (0, 0, None, None))
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            n += len(pdf)
+            c += int(pdf["text"].str.len().fillna(0).sum())
+            lo = pdf["ts"].min().to_pydatetime()
+            hi = pdf["ts"].max().to_pydatetime()
+            f = lo if f is None else min(f, lo)
+            l = hi if l is None else max(l, hi)
+        state.update((n, c, f, l))
+        # fire when event time passes last activity + gap (must stay above
+        # the current watermark or Spark rejects the timestamp)
+        fire_at = max(
+            int(l.timestamp() * 1000) + gap_ms,
+            state.getCurrentWatermarkMs() + 1,
+        )
+        state.setTimeoutTimestamp(fire_at)
+
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_OUT_DDL,
+            stateStructType=SESSION_STATE_DDL,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _duration_ms(s: str) -> int:
+    n, unit = s.split()
+    mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000,
+            "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
+    return int(n) * mult
+
+
 def run_stream_to_parquet(
     spark: SparkSession,
     input_path: str,

@@ -70,3 +70,69 @@ def test_conversation_activity_windows(spark, stream_input, tmp_path):
     assert all(r["turns"] >= 1 for r in rows)
     total_convs = {r["conv_id"] for r in rows}
     assert len(total_convs) >= 1
+
+
+def test_conversation_sessions_stateful(spark, tmp_path):
+    """applyInPandasWithState session fold: conversations emit exactly one
+    finalized row once idle past the gap; counts match a batch groupBy."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        conversation_sessions,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), str(src / name))
+
+    write("f0.parquet", [
+        dict(conv_id="a", turn_idx=i, role="user", text="x" * (i + 1), tool="",
+             ts=t0 + timedelta(seconds=i)) for i in range(3)
+    ] + [
+        dict(conv_id="b", turn_idx=i, role="user", text="yy", tool="",
+             ts=t0 + timedelta(seconds=10 + i)) for i in range(2)
+    ])
+    # sentinel conversation 2h later: advances the watermark past a+b's
+    # idle gap so their state times out and flushes
+    write("f1.parquet", [
+        dict(conv_id="z", turn_idx=0, role="user", text="late", tool="",
+             ts=t0 + timedelta(hours=2)),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = conversation_sessions(stream, gap="30 minutes", watermark="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["conv_id"]: r
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # a and b idled out; z is still live state (no later watermark advance)
+    assert set(got) == {"a", "b"}
+    assert got["a"]["n_turns"] == 3 and got["a"]["n_chars"] == 1 + 2 + 3
+    assert got["b"]["n_turns"] == 2 and got["b"]["n_chars"] == 4
+    assert got["a"]["first_ts"] < got["a"]["last_ts"]
