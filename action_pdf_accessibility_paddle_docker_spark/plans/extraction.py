@@ -247,11 +247,18 @@ def read_transcripts(spark, path: str, format: str | None = None) -> DataFrame:
     "json" / "csv" readers enforce the transcript schema (landing-zone
     ingestion formats; ts parsed, malformed rows fail loudly under ANSI)."""
     if format is None:
-        try:
-            if path.count(".") >= 2 and "/" not in path:
-                return spark.read.format("iceberg").load(path)
-        except Exception:
-            pass
+        if path.count(".") >= 2 and "/" not in path:
+            # dotted catalog identifier: this IS an Iceberg table reference;
+            # failing over to parquet would produce a baffling path error,
+            # so surface the real problem instead
+            from .sinks import iceberg_available
+
+            if not iceberg_available(spark):
+                raise RuntimeError(
+                    f"{path!r} looks like a catalog table identifier but the "
+                    "Iceberg Spark runtime is not on the classpath"
+                )
+            return spark.read.format("iceberg").load(path)
         format = "parquet"
     if format == "parquet":
         return spark.read.parquet(path)

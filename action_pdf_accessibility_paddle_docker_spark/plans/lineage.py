@@ -179,6 +179,8 @@ def run_resumable(
     thresholds: dict[int, float] | None = None,
     fail_after_batches: int | None = None,
     iceberg_table: str | None = None,
+    detector_kind: str = "stub",
+    detector_kw: dict | None = None,
 ) -> dict:
     """Checkpoint-resumable extraction run. Returns a summary dict.
 
@@ -218,7 +220,7 @@ def run_resumable(
             part = part.filter(F.col("bucket").isin([int(b) for b in batch]))
         out = build_extraction(
             part.drop("bucket"), thresholds=thresholds, order_output=False,
-            observation=obs,
+            observation=obs, detector_kind=detector_kind, detector_kw=detector_kw,
         ).withColumn("bucket", bucket_expr(n_buckets))
         # per-conv stable ordering inside each bucket file set
         out = out.repartition(len(batch), "bucket").sortWithinPartitions(

@@ -349,6 +349,35 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_rollup",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(extract(hour FROM ts) AS VARCHAR), 'ALL') AS hr,
+           count(*) AS n, round(sum(value), 2) AS total
+    FROM events
+    GROUP BY ROLLUP (event_type, extract(hour FROM ts))
+    ORDER BY event_type, hr
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregation (rollup/grouping sets) -- beyond the
+    reference (it has no grouping sets, SURVEY section 2.4); the partial-agg
+    shape every reporting layer over the extraction output needs. Fixture
+    columns are non-null, so coalesce markers are unambiguous."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.rollup("event_type", F.hour("ts").alias("hr"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("hr").cast("string"), F.lit("ALL")).alias("hr"),
+            "n", "total",
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@register(
     "q_date_buckets",
     """
     SELECT extract(year FROM o_orderdate)::INT AS yr,

@@ -99,6 +99,7 @@ def main() -> None:
             spark, args.input, args.output,
             n_buckets=args.buckets, bucket_batch=args.bucket_batch or None,
             thresholds=thresholds, iceberg_table=args.iceberg_table,
+            detector_kind=args.detector, detector_kw=detector_kw,
         )
         print(json.dumps({"mode": "resumable", **summary}))
         return
