@@ -238,32 +238,21 @@ def decontaminate(
     )
 
 
-def dedup_clusters(
-    df: DataFrame,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    max_iter: int = 20,
+def connected_component_labels(
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
-    """Near-duplicate CLUSTER assignment: connected components over the
-    MinHash-LSH candidate graph, canonical id = min doc_id per component.
-    Returns (doc_id, cluster_id) for every document (singletons keep their
-    own id). This is the keep-one-per-cluster primitive a training-data
-    pipeline runs after candidate generation.
-
-    Scale shape: iterative min-label propagation entirely in DataFrame ops
-    -- each round is one equi-join (labels onto the symmetric edge list) +
-    one groupBy(min), converging in O(component diameter) rounds; LSH
-    near-dup components are shallow (dupes of a common original), so rounds
-    stay in single digits. localCheckpoint() truncates the growing lineage
-    so round N's plan does not replay rounds 1..N-1 (no GraphFrames
-    dependency; same loop GraphX's CC runs under the hood)."""
-    pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col)
+    """Distributed connected components: (doc_id) nodes + (id_a, id_b) edges
+    -> (doc_id, cluster_id = min id in component). Iterative min-label
+    propagation entirely in DataFrame ops -- each round is one equi-join
+    (labels onto the symmetric edge list) + one groupBy(min), converging in
+    O(component diameter) rounds. localCheckpoint() truncates the growing
+    lineage so round N's plan does not replay rounds 1..N-1 (no GraphFrames
+    dependency; same loop GraphX's CC runs under the hood). Property-tested
+    against a scalar union-find on random graphs."""
     edges = pairs.unionByName(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
     )
-    labels = df.select(F.col(id_col).alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
-    )
+    labels = nodes.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     labels = labels.localCheckpoint()
     for _ in range(max_iter):
         neigh = edges.join(
@@ -285,6 +274,24 @@ def dedup_clusters(
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Near-duplicate CLUSTER assignment: connected components over the
+    MinHash-LSH candidate graph, canonical id = min doc_id per component.
+    Returns (doc_id, cluster_id) for every document (singletons keep their
+    own id). This is the keep-one-per-cluster primitive a training-data
+    pipeline runs after candidate generation. LSH near-dup components are
+    shallow (dupes of a common original), so the propagation rounds stay in
+    single digits."""
+    pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col)
+    nodes = df.select(F.col(id_col).alias("doc_id"))
+    return connected_component_labels(nodes, pairs, max_iter=max_iter)
 
 
 def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

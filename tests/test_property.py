@@ -101,3 +101,52 @@ def test_fnv_impls_agree(s):
     for ch in s:
         h = ((h ^ ord(ch)) * 0x1000193) & 0xFFFFFFFF
     assert VK.fnv1a32(s) == h
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 24)).filter(lambda p: p[0] != p[1]),
+        max_size=30,
+    )
+)
+def test_connected_component_labels_match_union_find(spark, edges):
+    """Distributed min-label propagation == scalar union-find on random
+    graphs (nodes 0..24, arbitrary edge sets incl. empty). Session-scoped
+    spark fixture is safe with hypothesis (only function-scoped fixtures
+    are rejected)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        connected_component_labels,
+    )
+
+    n = 25
+
+    # scalar union-find oracle
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp_min = {}
+    for x in range(n):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    expected = {x: comp_min[find(x)] for x in range(n)}
+
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id bigint")
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in edges] or [],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in connected_component_labels(nodes, pairs).collect()
+    }
+    assert got == expected
