@@ -23,7 +23,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
+
+# allow running from a checkout without --py-files (spark-submit with
+# --py-files pkg.zip remains the production path)
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
 
 
 def main() -> None:
@@ -58,6 +65,14 @@ def main() -> None:
                     help="paddlex layout model name (or RT-DETR-H_layout_17cls)")
     ap.add_argument("--model-dir", default="/models",
                     help="paddlex model weights root")
+    ap.add_argument("--dump-config", action="store_true",
+                    help="print the effective engine config (thresholds, label "
+                         "map, class set) as JSON and exit -- the reference's "
+                         "`config` subcommand analog (src/main.py:282-296)")
+    ap.add_argument("--mathml-images", action="store_true",
+                    help="mathml entry-point analog (src/generate_mathml.py:54-78): "
+                         "--input is a parquet of (media_id bigint, payload binary) "
+                         "formula images; writes (media_id, latex, mathml) to --output")
     args = ap.parse_args()
 
     from pyspark.sql import Observation, SparkSession
@@ -82,7 +97,38 @@ def main() -> None:
         if args.detector == "paddlex" else {}
     )
 
+    if args.dump_config:
+        from action_pdf_accessibility_paddle_docker_spark import __version__
+        from action_pdf_accessibility_paddle_docker_spark.config import (
+            CLASS_LABELS,
+            LABEL_ELEMENT_MAP,
+        )
+
+        print(json.dumps({
+            "version": __version__,
+            "model": args.model,
+            "detector": args.detector,
+            "thresholds": {CLASS_LABELS[k]: v for k, v in sorted(thresholds.items())},
+            "label_element_map": LABEL_ELEMENT_MAP,
+        }, indent=2))
+        return
+
     spark = SparkSession.builder.appName("transcript-extraction").getOrCreate()
+
+    if args.mathml_images:
+        from action_pdf_accessibility_paddle_docker_spark.operators.multimodal import (
+            mathml_from_images,
+        )
+
+        out = mathml_from_images(spark.read.parquet(args.input))
+        out.write.mode("overwrite").parquet(args.output)
+        back = spark.read.parquet(args.output)
+        print(json.dumps({
+            "mode": "mathml-images",
+            "rows": back.count(),
+            "ok": back.where("ok").count(),
+        }))
+        return
 
     if args.streaming:
         from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
