@@ -120,6 +120,12 @@ class _BlockParser(HTMLParser):
             )
 
     def handle_endtag(self, tag: str) -> None:
+        # fast path: well-nested close (almost always) avoids the O(depth)
+        # membership scan per end tag
+        if self._stack and self._stack[-1] == tag:
+            self._pop_one(tag)
+            self._stack.pop()
+            return
         # pop stack down to the matching open tag (tolerant of bad nesting)
         if tag in self._stack:
             while self._stack and self._stack[-1] != tag:

@@ -222,8 +222,16 @@ def run_resumable(
             part.drop("bucket"), thresholds=thresholds, order_output=False,
             observation=obs, detector_kind=detector_kind, detector_kw=detector_kw,
         ).withColumn("bucket", bucket_expr(n_buckets))
-        # per-conv stable ordering inside each bucket file set
-        out = out.repartition(len(batch), "bucket").sortWithinPartitions(
+        # Per-conv stable ordering inside each bucket file set. Hash
+        # partition on (bucket, conv_id) -- NOT on bucket alone (one
+        # partition per bucket would serialize a 1.5 TB bucket's sort at
+        # 100 TB / 64 buckets) and NOT repartitionByRange (its boundary
+        # sampling would re-execute the kernel). Every conversation still
+        # lands whole in exactly one task, sorted by turn; the Hive-style
+        # partitionBy("bucket") below splits files per bucket regardless of
+        # task layout.
+        n_write = max(len(batch), spark.sparkContext.defaultParallelism)
+        out = out.repartition(n_write, "bucket", "conv_id").sortWithinPartitions(
             "bucket", "conv_id", "turn_idx"
         )
         if iceberg_table is not None:

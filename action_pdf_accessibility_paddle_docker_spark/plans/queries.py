@@ -895,13 +895,28 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize fake image/audio binaries, batch-decode
     via mapInPandas (real decoders stubbed; see operators/multimodal.py)."""
-    from ..operators.multimodal import decode_media, make_fake_audio, make_fake_image
+    from ..operators.multimodal import decode_media
 
-    rows = [
-        (i, make_fake_image(i, 32 + i % 8, 24) if i % 2 == 0 else make_fake_audio(i, 16000, 200 + i))
-        for i in range(64)
-    ]
-    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    def gen(batches):
+        import pandas as pd
+
+        from ..operators.multimodal import make_fake_audio, make_fake_image
+
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [
+                        make_fake_image(i, 32 + i % 8, 24) if i % 2 == 0
+                        else make_fake_audio(i, 16000, 200 + i)
+                        for i in ids
+                    ],
+                }
+            )
+
+    # payloads synthesized ON the executors (no driver materialization)
+    df = spark.range(64).repartition(8).mapInPandas(gen, "media_id bigint, payload binary")
     return decode_media(df).orderBy("media_id")
 
 
@@ -911,11 +926,25 @@ def q_mathml_from_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula-image payloads -> recognition seam -> LaTeX -> annotated MathML.
     MathML correctness is pinned in tests/test_mathml.py; recognition runs
     through the same stub-container honesty contract as q_multimodal_decode."""
-    from ..operators.multimodal import make_fake_formula_image, mathml_from_images
+    from ..operators.multimodal import mathml_from_images
 
-    latexes = [r"x^{2}+y_{1}", r"\frac{a}{b}+c", r"\sqrt{z}=\alpha", r"E=mc^2"]
-    rows = [(i, make_fake_formula_image(latexes[i % len(latexes)])) for i in range(32)]
-    df = spark.createDataFrame(rows, "media_id bigint, payload binary")
+    def gen(batches):
+        import pandas as pd
+
+        from ..operators.multimodal import make_fake_formula_image
+
+        latexes = [r"x^{2}+y_{1}", r"\frac{a}{b}+c", r"\sqrt{z}=\alpha", r"E=mc^2"]
+        for pdf in batches:
+            ids = [int(i) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload": [make_fake_formula_image(latexes[i % 4]) for i in ids],
+                }
+            )
+
+    # payloads synthesized ON the executors (no driver materialization)
+    df = spark.range(32).repartition(8).mapInPandas(gen, "media_id bigint, payload binary")
     return mathml_from_images(df).orderBy("media_id")
 
 
