@@ -65,6 +65,28 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def stable_split(
+    df, id_col: str = "doc_id", test_pct: int = 5, val_pct: int = 5,
+):
+    """Deterministic train/val/test assignment by content-independent id
+    hash: split = f(md5(doc_id) % 100). Stable across runs, engines, and
+    orderings -- the property a training pipeline needs so a re-shard or
+    backfill never migrates a document between splits. md5-derived so the
+    DuckDB oracle reproduces it exactly (same recipe as the dedup hashes)."""
+    from pyspark.sql import functions as F
+
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 100
+    )
+    label = (
+        F.when(h < test_pct, F.lit("test"))
+        .when(h < test_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", label)
+
+
 def winnowing_fingerprints(
     df: DataFrame, k: int = 8, w: int = 5,
     id_col: str = "doc_id", text_col: str = "text",

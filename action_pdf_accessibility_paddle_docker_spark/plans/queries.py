@@ -636,6 +636,30 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_stable_split",
+    """
+    WITH h AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 100 AS b
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val' ELSE 'train' END AS split
+    FROM h ORDER BY doc_id
+    """,
+)
+def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/val/test split (content-independent,
+    engine-independent, ordering-independent): a re-shard or backfill never
+    migrates a document between splits."""
+    return (
+        T.stable_split(_read(spark, sf_dir, "documents"))
+        .select("doc_id", "split")
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "q_extract_plaintext",
     "SELECT doc_id, trim(text) AS extracted_text FROM documents ORDER BY doc_id",
 )
