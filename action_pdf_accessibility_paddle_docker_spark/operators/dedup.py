@@ -60,11 +60,11 @@ def _widen(df: DataFrame) -> DataFrame:
     shingle/token projections across the cluster before exploding. Guarded:
     under Spark Connect there is no RDD API, so fall back to an unconditional
     repartition (the explode below dominates the extra exchange anyway)."""
-    want = df.sparkSession.sparkContext.defaultParallelism
     try:
+        want = df.sparkSession.sparkContext.defaultParallelism
         n_parts = df.rdd.getNumPartitions()
-    except Exception:  # Spark Connect: DataFrame.rdd is unavailable
-        return df.repartition(want)
+    except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
+        return df.repartition(16)
     return df.repartition(want) if n_parts < want else df
 
 
@@ -239,7 +239,7 @@ def decontaminate(
 
 
 def connected_component_labels(
-    nodes: DataFrame, pairs: DataFrame, max_iter: int = 20
+    nodes: DataFrame, pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:
     """Distributed connected components: (doc_id) nodes + (id_a, id_b) edges
     -> (doc_id, cluster_id = min id in component). Iterative min-label
@@ -254,6 +254,7 @@ def connected_component_labels(
     )
     labels = nodes.select("doc_id").distinct().withColumn("label", F.col("doc_id"))
     labels = labels.localCheckpoint()
+    changed = 0
     for _ in range(max_iter):
         neigh = edges.join(
             labels.withColumnRenamed("doc_id", "id_a"), "id_a"
@@ -273,6 +274,16 @@ def connected_component_labels(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # propagation advances one hop per round; exiting via max_iter with
+        # labels still moving would silently split one component into
+        # several cluster_ids -- fail loudly instead
+        if changed != 0:
+            raise RuntimeError(
+                f"connected_component_labels did not converge in {max_iter} "
+                f"rounds ({changed} labels still changing); raise max_iter "
+                "(component diameter exceeds it)"
+            )
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
 

@@ -53,6 +53,12 @@ class Detector(Protocol):
         """LaTeX string for one formula region, or None (M4)."""
         ...
 
+    # Optional hook (dispatched by hasattr in extract_series): a detector
+    # that can rasterize RAW %PDF- bytes implements
+    #   detect_pdf_bytes(text: str) -> extraction-result dict
+    # Detectors without it (the stub) leave raw-PDF turns to the explicit
+    # 'pdf-bytes-unsupported-without-paddlex' error row.
+
 
 class StubDetector:
     """Deterministic detector: reads boxes/cells/latex straight from the
@@ -185,6 +191,18 @@ class PaddleXDetector:  # pragma: no cover - paddlex not installed here
         if res is None:
             return None
         return res.get("rec_formula") or None
+
+    def detect_pdf_bytes(self, text: str) -> dict[str, Any]:
+        """Raw %PDF- bytes need a rasterizer (the reference renders via the
+        PDFix SDK, src/page_renderer.py:27-89 -- a licensed component we do
+        not ship). Raising here keeps the error row accurate ('decode
+        failed: rasterizer not wired') instead of the misleading
+        'unsupported-without-paddlex' a hook-less detector would produce."""
+        raise NotImplementedError(
+            "raw-PDF rasterization is not wired into PaddleXDetector "
+            "(needs a PDF renderer such as pdfium/PDFix); feed structured "
+            "%LAYOUT1% payloads or page rasters"
+        )
 
 
 def get_detector(thresholds: dict[int, float], kind: str = "stub", **kw) -> Detector:

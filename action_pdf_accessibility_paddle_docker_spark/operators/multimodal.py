@@ -136,33 +136,48 @@ def mathml_from_images(df: DataFrame, id_col: str = "media_id", bin_col: str = "
     code (functions/mathml.py) the extraction kernel uses."""
     from ..functions.mathml import add_mathml_metadata, latex_to_mathml
 
+    def one(mid: int, p) -> dict:
+        p = bytes(p) if p is not None else b""
+        if p[:4] == FML_MAGIC:
+            if len(p) < 6:
+                return dict(media_id=mid, latex=None, mathml=None,
+                            ok=False, error="truncated FML1 header")
+            (n,) = struct.unpack(">H", p[4:6])
+            body = p[6:6 + n]
+            if len(body) < n:
+                return dict(media_id=mid, latex=None, mathml=None,
+                            ok=False, error="truncated FML1 body")
+            latex = body.decode("utf-8")
+        elif p[:4] == IMG_MAGIC and _HAS_CV2:  # pragma: no cover
+            raise NotImplementedError(
+                "real formula recognition (PP-FormulaNet on a raster) "
+                "is wired here in production; this sandbox ships the "
+                "FML1 stub container"
+            )
+        else:
+            return dict(media_id=mid, latex=None, mathml=None,
+                        ok=False, error=f"unknown magic {p[:4]!r}")
+        mathml = latex_to_mathml(latex)
+        if mathml == "":
+            return dict(media_id=mid, latex=latex, mathml=None,
+                        ok=False, error="latex-to-mathml failed")
+        return dict(media_id=mid, latex=latex, mathml=add_mathml_metadata(mathml),
+                    ok=True, error=None)
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for i, p in zip(pdf[id_col], pdf[bin_col]):
                 mid = int(i)
-                p = bytes(p) if p is not None else b""
-                if p[:4] == FML_MAGIC:
-                    (n,) = struct.unpack(">H", p[4:6])
-                    latex = p[6:6 + n].decode("utf-8")
-                elif p[:4] == IMG_MAGIC and _HAS_CV2:  # pragma: no cover
-                    raise NotImplementedError(
-                        "real formula recognition (PP-FormulaNet on a raster) "
-                        "is wired here in production; this sandbox ships the "
-                        "FML1 stub container"
-                    )
-                else:
+                # per-row error contract: a corrupt payload degrades to an
+                # error row (same guarantee as decode_media/extract_series),
+                # never a task failure
+                try:
+                    rows.append(one(mid, p))
+                except Exception as e:  # noqa: BLE001
                     rows.append(dict(media_id=mid, latex=None, mathml=None,
-                                     ok=False, error=f"unknown magic {p[:4]!r}"))
-                    continue
-                mathml = latex_to_mathml(latex)
-                if mathml == "":
-                    rows.append(dict(media_id=mid, latex=latex, mathml=None,
-                                     ok=False, error="latex-to-mathml failed"))
-                else:
-                    rows.append(dict(media_id=mid, latex=latex,
-                                     mathml=add_mathml_metadata(mathml),
-                                     ok=True, error=None))
+                                     ok=False,
+                                     error=f"{type(e).__name__}: {e}"))
             yield pd.DataFrame(rows, columns=["media_id", "latex", "mathml", "ok", "error"])
 
     return df.mapInPandas(kernel, schema=MATHML_FROM_IMAGE_DDL)

@@ -56,6 +56,11 @@ def brute_force_topk(
     # build side is pinned by tests/test_plan_quality.py.
     sims = (
         F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
+        # zip_with null-pads mismatched lengths -> null sim (silently
+        # dropped by the ranking); fail loudly instead
+        .where(F.assert_true(
+            F.size("qv") == F.size("cv"), F.lit("embedding dimension mismatch")
+        ).isNull())
         .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -98,6 +103,34 @@ def signature_col(vec_col, planes: np.ndarray):
     return sig.cast("bigint")
 
 
+def _assert_dim(df: DataFrame, vec_alias: str, dim: int) -> DataFrame:
+    """Fail loudly on a dimension mismatch: zip_with null-pads the shorter
+    side, which would silently zero every signature bit (all rows collapse
+    into bucket 0 -> the bucket equi-join degenerates to a cross join).
+    assert_true raises at execution time, per row, executor-side."""
+    return df.where(
+        F.assert_true(
+            F.size(vec_alias) == dim,
+            F.concat(F.lit(f"embedding dimension != {dim}: got "),
+                     F.size(vec_alias).cast("string")),
+        ).isNull()
+    )
+
+
+def banded_signatures(vec_col, n_bands: int, planes_per_band: int, dim: int):
+    """array<struct<band,bucket>> of independent LSH band signatures, built
+    in ONE projection (explode it once per relation; building each band as
+    its own select/union would scan the source n_bands times)."""
+    bands = []
+    for band in range(n_bands):
+        planes = hyperplanes(dim, planes_per_band, salt=f"band:{band}")
+        bands.append(
+            F.struct(F.lit(band).alias("band"),
+                     signature_col(vec_col, planes).alias("bucket"))
+        )
+    return F.array(*bands)
+
+
 def lsh_bucketed_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -110,15 +143,21 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates share the LSH bucket; exact cosine
     re-rank inside buckets. Fewer planes -> bigger buckets -> higher recall."""
     planes = hyperplanes(dim, n_planes)
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        _as_double(F.col(vec_col)).alias("qv"),
-        signature_col(F.col(vec_col), planes).alias("bucket"),
+    q = _assert_dim(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            _as_double(F.col(vec_col)).alias("qv"),
+            signature_col(F.col(vec_col), planes).alias("bucket"),
+        ),
+        "qv", dim,
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        _as_double(F.col(vec_col)).alias("cv"),
-        signature_col(F.col(vec_col), planes).alias("bucket"),
+    c = _assert_dim(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            _as_double(F.col(vec_col)).alias("cv"),
+            signature_col(F.col(vec_col), planes).alias("bucket"),
+        ),
+        "cv", dim,
     )
     sims = (
         q.join(c, ["bucket"])
@@ -179,19 +218,14 @@ def embedding_near_dup_pairs(
             .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
         )
 
-    base = df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v"))
-    sigs = []
-    for band in range(n_bands):
-        planes = hyperplanes(dim, planes_per_band, salt=f"band:{band}")
-        sigs.append(
-            base.select(
-                "vid", "v", F.lit(band).alias("band"),
-                signature_col(F.col("v"), planes).alias("bucket"),
-            )
-        )
-    tagged = sigs[0]
-    for s in sigs[1:]:
-        tagged = tagged.unionAll(s)
+    base = _assert_dim(
+        df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")),
+        "v", dim,
+    )
+    tagged = base.select(
+        "vid", "v",
+        F.explode(banded_signatures(F.col("v"), n_bands, planes_per_band, dim)).alias("bb"),
+    ).select("vid", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
     a = tagged.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
     b = tagged.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
     cand = (

@@ -247,12 +247,14 @@ def read_transcripts(spark, path: str, format: str | None = None) -> DataFrame:
     "json" / "csv" readers enforce the transcript schema (landing-zone
     ingestion formats; ts parsed, malformed rows fail loudly under ANSI)."""
     if format is None:
-        if path.count(".") >= 2 and "/" not in path:
-            # dotted catalog identifier: this IS an Iceberg table reference;
-            # failing over to parquet would produce a baffling path error,
-            # so surface the real problem instead
-            from .sinks import iceberg_available
+        from .sinks import iceberg_available, is_table_identifier
 
+        if is_table_identifier(path):
+            # dotted catalog identifier (same heuristic as the sink side):
+            # this IS an Iceberg table reference; failing over to parquet
+            # would produce a baffling path error, so surface the real
+            # problem instead. Bare data-file names ('out.snappy.parquet')
+            # stay paths.
             if not iceberg_available(spark):
                 raise RuntimeError(
                     f"{path!r} looks like a catalog table identifier but the "

@@ -136,7 +136,11 @@ def _commit_lineage(
         stream.close()
     if fs.exists(final):
         fs.delete(final, False)
-    fs.rename(tmp, final)  # atomic commit on HDFS/local; S3A: fast small copy
+    # Hadoop FileSystem.rename reports failure by RETURNING false, not by
+    # raising; ignoring it would leave the bucket uncommitted while the run
+    # proceeds -- unbounded re-extraction on every future resume
+    if not fs.rename(tmp, final):
+        raise IOError(f"lineage commit rename failed: {tmp} -> {final}")
 
 
 _COUNTER_COLS = ("turns", "regions", "artifacts", "pages", "errors")

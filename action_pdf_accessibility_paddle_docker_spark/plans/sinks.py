@@ -30,9 +30,18 @@ def iceberg_available(spark: SparkSession) -> bool:
         return False
 
 
+_DATA_FILE_SUFFIXES = (".parquet", ".json", ".csv", ".orc", ".avro", ".txt")
+
+
 def is_table_identifier(target: str) -> bool:
-    """catalog.db.table (dotted, no slashes) -> table; otherwise a path."""
-    return "/" not in target and target.count(".") >= 1
+    """db.table / catalog.db.table (dotted, no slashes, not a data-file
+    name) -> table identifier; otherwise a path. The file-suffix exclusion
+    keeps a bare relative filename like 'out.snappy.parquet' a path."""
+    return (
+        "/" not in target
+        and target.count(".") >= 1
+        and not target.lower().endswith(_DATA_FILE_SUFFIXES)
+    )
 
 
 def write_extracted(
@@ -45,6 +54,11 @@ def write_extracted(
     """One-shot sink. format='iceberg' requires a dotted table identifier
     resolvable in a configured catalog; parquet takes a path."""
     if format == "iceberg":
+        if not is_table_identifier(target):
+            raise ValueError(
+                f"iceberg sink needs a dotted catalog table identifier "
+                f"(e.g. local.db.extracted), got a path-like target {target!r}"
+            )
         if not iceberg_available(df.sparkSession):
             raise RuntimeError(
                 "iceberg sink requested but the Iceberg Spark runtime is not "

@@ -99,20 +99,31 @@ def conversation_sessions(
             )
             return
         n, c, f, l = (state.get if state.exists else (0, 0, None, None))
+        last_epoch_ms = None
         for pdf in pdfs:
             if not len(pdf):
                 continue
             n += len(pdf)
             c += int(pdf["text"].str.len().fillna(0).sum())
+            hi_ts = pdf["ts"].max()
             lo = pdf["ts"].min().to_pydatetime()
-            hi = pdf["ts"].max().to_pydatetime()
+            hi = hi_ts.to_pydatetime()
             f = lo if f is None else min(f, lo)
             l = hi if l is None else max(l, hi)
+            # epoch directly from the pandas Timestamp (naive values are
+            # session-tz wall time; .timestamp() on the datetime would
+            # re-interpret them in the executor's SYSTEM timezone -- requires
+            # spark.sql.session.timeZone=UTC, which this engine sets
+            # everywhere; .value is tz-independent of the host)
+            ms = int(hi_ts.value // 1_000_000)
+            last_epoch_ms = ms if last_epoch_ms is None else max(last_epoch_ms, ms)
         state.update((n, c, f, l))
         # fire when event time passes last activity + gap (must stay above
         # the current watermark or Spark rejects the timestamp)
+        if last_epoch_ms is None:  # no new data this batch; re-arm from state
+            last_epoch_ms = int(pd.Timestamp(l).value // 1_000_000)
         fire_at = max(
-            int(l.timestamp() * 1000) + gap_ms,
+            last_epoch_ms + gap_ms,
             state.getCurrentWatermarkMs() + 1,
         )
         state.setTimeoutTimestamp(fire_at)
