@@ -130,6 +130,55 @@ def run_extraction(master: str, transcripts_path: str, reps: int = 3) -> float:
         spark.stop()
 
 
+def _control_worker(texts):
+    import pandas as pd
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.payload import extract_series
+
+    return sum(1 for _ in extract_series(pd.Series(texts)))
+
+
+def run_control(big: int, small: int, per_core: int = 8000) -> dict:
+    """Pure-python multiprocessing of the extraction kernel at `big` and
+    `small` process counts (constant work per core). Returns per-core rates
+    + efficiency -- the hardware ceiling for ANY sustained python workload
+    in this window."""
+    import multiprocessing as mp
+    import time as _t
+
+    from action_pdf_accessibility_paddle_docker_spark.sources.transcripts import (
+        make_row, turns_for_conv,
+    )
+
+    texts: list[str] = []
+    conv = 0
+    while len(texts) < per_core * big:
+        for t in range(turns_for_conv(conv, 1 << 30, 8)):
+            texts.append(make_row(42, conv, t)["text"])
+            if len(texts) >= per_core * big:
+                break
+        conv += 1
+
+    def measure(nproc: int) -> float:
+        work = texts[: per_core * nproc]
+        chunk = len(work) // nproc
+        chunks = [work[i * chunk:(i + 1) * chunk] for i in range(nproc)]
+        with mp.Pool(nproc) as pool:
+            pool.map(_control_worker, [c[:100] for c in chunks])  # warm
+            t0 = _t.perf_counter()
+            pool.map(_control_worker, chunks)
+            return _t.perf_counter() - t0
+
+    sec_big = measure(big)
+    sec_small = measure(small)
+    r_big = per_core / sec_big  # per-core rate (constant work per core)
+    r_small = per_core / sec_small
+    return {
+        "control_per_core_tps": {str(small): round(r_small, 1), str(big): round(r_big, 1)},
+        "control_eff": round(r_big / r_small, 3),
+    }
+
+
 def run_queries(spark) -> dict[str, float]:
     from action_pdf_accessibility_paddle_docker_spark.plans.queries import REGISTRY
 
@@ -181,6 +230,18 @@ def main() -> None:
         extraction[f"local[{small}]_sec_rounds"] = [round(t, 2) for t in small_times]
         extraction[f"scaling_efficiency_{small}_{CPUS}"] = round(
             (thr_big / thr_small) / (CPUS / small), 3)
+        # same-window hardware control: pure-python multiprocessing of the
+        # SAME kernel (no Spark/JVM/Arrow) at both widths -- the box's own
+        # scaling ceiling this window; engine_vs_control ~= 1.0 means the
+        # engine adds no scaling penalty beyond the machine itself
+        try:
+            ctl = run_control(CPUS, small)
+            extraction.update(ctl)
+            if ctl.get("control_eff"):
+                extraction["engine_vs_control"] = round(
+                    extraction[f"scaling_efficiency_{small}_{CPUS}"] / ctl["control_eff"], 3)
+        except Exception as e:  # control is evidence, not a gate
+            extraction["control_error"] = f"{type(e).__name__}: {e}"
         # supplementary uncontended-core pair (2 -> 8 on the default config):
         # the box loses ~25% per-core under 32 sustained workers even for
         # pure-python multiprocessing of the same kernel (hardware ceiling,
