@@ -65,6 +65,59 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+    distinct_word_frac (distinct words / words) and top_bigram_frac (count
+    of the most frequent word bigram / total bigrams -- NON-distinct, unlike
+    the dedup shingles). Documents dominated by one repeated phrase score
+    high top_bigram_frac and get filtered by the quality gate.
+
+    Scale shape: one explode per signal, count aggregations with map-side
+    combine; no self-joins, no collects."""
+    from .dedup import normalized
+
+    norm = normalized(F.col(text_col))
+    toks = F.split(norm, " ")
+    n = F.size(toks)
+    # non-distinct bigrams (zip_with of shifted slices; O(n) per doc)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    words = (
+        df.select("doc_id", F.explode(toks).alias("w"))
+        .where(F.length("w") > 0)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.countDistinct("w").alias("n_distinct"),
+        )
+    )
+    bg = (
+        df.select("doc_id", F.explode(bigrams).alias("bg"))
+        .where(F.length("bg") > 0)
+        .groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_c"))
+    )
+    return (
+        words.join(bg, "doc_id", "left")
+        .select(
+            "doc_id", "n_words",
+            F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("distinct_word_frac"),
+            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            F.round(
+                F.coalesce(F.col("top_c") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def stable_split(
     df, id_col: str = "doc_id", test_pct: int = 5, val_pct: int = 5,
 ):

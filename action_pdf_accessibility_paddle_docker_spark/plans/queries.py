@@ -660,6 +660,39 @@ def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_repetition_signals",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), words AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words, count(DISTINCT w)::BIGINT AS n_distinct
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+      WHERE length(w) > 0 GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_c FROM (
+        SELECT doc_id, bgm, count(*)::BIGINT AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgm
+          FROM toks WHERE len(t) >= 2
+        ) e
+        WHERE length(bgm) > 0
+        GROUP BY doc_id, bgm
+      ) g GROUP BY doc_id
+    )
+    SELECT w.doc_id, w.n_words,
+           round(w.n_distinct / w.n_words, 6) AS distinct_word_frac,
+           coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
+           round(coalesce(b.top_c / b.n_bigrams, 0.0), 6) AS top_bigram_frac
+    FROM words w LEFT JOIN bg b USING (doc_id)
+    ORDER BY doc_id
+    """,
+)
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate signals (distinct-word fraction,
+    top-bigram fraction) -- training-data quality filtering over documents."""
+    return T.repetition_signals(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
     "q_extract_plaintext",
     "SELECT doc_id, trim(text) AS extracted_text FROM documents ORDER BY doc_id",
 )
