@@ -118,6 +118,59 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+GATE_DEFAULTS = {
+    "min_tokens": 20,
+    "max_punct_ratio": 0.2,
+    "min_stopword_ratio": 0.02,
+    "min_distinct_word_frac": 0.35,
+    "max_top_bigram_frac": 0.10,
+}
+
+# fixed reason order -- deterministic reject_reasons string
+_GATE_REASONS = (
+    ("too_short", lambda c, p: c["n_tokens"] < p["min_tokens"]),
+    ("high_punct", lambda c, p: c["punct_ratio"] > p["max_punct_ratio"]),
+    ("low_stopword", lambda c, p: c["stopword_ratio"] < p["min_stopword_ratio"]),
+    ("low_distinct", lambda c, p: c["distinct_word_frac"] < p["min_distinct_word_frac"]),
+    ("repetitive_bigram", lambda c, p: c["top_bigram_frac"] > p["max_top_bigram_frac"]),
+)
+
+
+def quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """Composed Gopher-style document quality gate: length / punctuation /
+    stopword signals (``document_stats``) + repetition signals
+    (``repetition_signals``) -> keep boolean + comma-joined reject reasons
+    in a fixed order. The filter a training-data pipeline runs before dedup.
+
+    Scale shape: two aggregation subplans joined on doc_id (shuffle on the
+    id only), thresholds applied JVM-side; no UDFs, no collects."""
+    p = {**GATE_DEFAULTS, **overrides}
+    stats = document_stats(df, text_col).select(
+        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio"
+    )
+    rep = repetition_signals(df, text_col).select(
+        "doc_id", "distinct_word_frac", "top_bigram_frac"
+    )
+    j = stats.join(rep, "doc_id", "left")
+    cols = {
+        "n_tokens": F.col("n_tokens"),
+        "punct_ratio": F.col("punct_ratio"),
+        "stopword_ratio": F.col("stopword_ratio"),
+        # docs with no countable words (empty text) fail the distinct gate
+        "distinct_word_frac": F.coalesce(F.col("distinct_word_frac"), F.lit(0.0)),
+        "top_bigram_frac": F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)),
+    }
+    reasons = F.concat_ws(
+        ",", *[F.when(cond(cols, p), F.lit(name)) for name, cond in _GATE_REASONS]
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        reasons.alias("reject_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
 def stable_split(
     df, id_col: str = "doc_id", test_pct: int = 5, val_pct: int = 5,
 ):

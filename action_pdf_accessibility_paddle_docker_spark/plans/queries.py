@@ -693,6 +693,85 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_quality_gate",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens,
+             round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   / length(text), 6) AS punct_ratio,
+             round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> list_contains({_EN_LIST}, x)))
+                   / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio
+      FROM documents
+    ), words AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words, count(DISTINCT w)::BIGINT AS n_distinct
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+      WHERE length(w) > 0 GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_c FROM (
+        SELECT doc_id, bgm, count(*)::BIGINT AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgm
+          FROM toks WHERE len(t) >= 2
+        ) e WHERE length(bgm) > 0 GROUP BY doc_id, bgm
+      ) g GROUP BY doc_id
+    ), sig AS (
+      SELECT k.doc_id, k.n_tokens, k.punct_ratio, k.stopword_ratio,
+             coalesce(round(w.n_distinct / w.n_words, 6), 0.0) AS dwf,
+             coalesce(round(b.top_c / b.n_bigrams, 6), 0.0) AS tbf
+      FROM toks k LEFT JOIN words w USING (doc_id) LEFT JOIN bg b USING (doc_id)
+    ), gated AS (
+      SELECT doc_id, n_tokens,
+             concat_ws(',',
+               CASE WHEN n_tokens < 20 THEN 'too_short' END,
+               CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
+               CASE WHEN stopword_ratio < 0.02 THEN 'low_stopword' END,
+               CASE WHEN dwf < 0.35 THEN 'low_distinct' END,
+               CASE WHEN tbf > 0.10 THEN 'repetitive_bigram' END) AS reject_reasons
+      FROM sig
+    )
+    SELECT doc_id, n_tokens, reject_reasons, reject_reasons = '' AS keep
+    FROM gated ORDER BY doc_id
+    """,
+)
+def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed Gopher-style quality filter (length/punct/stopword +
+    repetition signals -> keep/reject_reasons)."""
+    return T.quality_gate(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "q_pack_sequences",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 4 AS shard,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, shard, n_tokens,
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
+      FROM base
+    )
+    SELECT doc_id, shard, n_tokens,
+           cum_before // 2048 AS start_pack,
+           (cum_before + n_tokens - 1) // 2048 AS end_pack,
+           cum_before % 2048 AS pack_offset
+    FROM c ORDER BY doc_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (training-batch construction):
+    running token sum per md5 shard -> fixed 2048-token pack assignment."""
+    from ..operators.packing import concat_chunk_packs
+
+    return concat_chunk_packs(
+        _read(spark, sf_dir, "documents"), capacity=2048, n_shards=4
+    ).orderBy("doc_id")
+
+
+@register(
     "q_extract_plaintext",
     "SELECT doc_id, trim(text) AS extracted_text FROM documents ORDER BY doc_id",
 )

@@ -36,3 +36,39 @@ def test_single_word_doc_has_zero_bigrams(rows):
     assert rows[3].n_words == 1
     assert rows[3].n_bigrams == 0
     assert rows[3].top_bigram_frac == 0.0
+
+
+def test_quality_gate_reasons_and_keep(spark):
+    docs = [
+        (1, "the cat sat on a mat and the dog ran to the park in the rain "
+            "with a big red ball of yarn and string"),      # clean: long, stopwords, diverse
+        (2, "short text here"),                             # too_short (+low_stopword)
+        (3, "buy now " * 15),                               # repetitive + low distinct
+    ]
+    df = spark.createDataFrame([(i, t.strip()) for i, t in docs], "doc_id long, text string")
+    out = {r.doc_id: r for r in T.quality_gate(df).collect()}
+    assert out[1].keep and out[1].reject_reasons == ""
+    assert not out[2].keep and "too_short" in out[2].reject_reasons
+    r3 = out[3].reject_reasons.split(",")
+    assert "low_distinct" in r3 and "repetitive_bigram" in r3
+    # reasons appear in fixed declaration order
+    assert r3 == [x for x in
+                  ["too_short", "high_punct", "low_stopword", "low_distinct", "repetitive_bigram"]
+                  if x in r3]
+
+
+def test_concat_chunk_packing_spans_boundary(spark):
+    from action_pdf_accessibility_paddle_docker_spark.operators.packing import (
+        concat_chunk_packs,
+    )
+
+    # single shard (n_shards=1) so the layout is the doc_id order itself
+    docs = [(i, " ".join(["w"] * n)) for i, n in [(1, 6), (2, 3), (3, 4), (4, 10)]]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r.doc_id: r for r in concat_chunk_packs(df, capacity=8, n_shards=1).collect()}
+    # stream: doc1 tokens 0-5 (pack 0), doc2 6-8 (spans 0->1), doc3 9-12 (pack 1),
+    # doc4 13-22 (spans 1->2)
+    assert (out[1].start_pack, out[1].end_pack, out[1].pack_offset) == (0, 0, 0)
+    assert (out[2].start_pack, out[2].end_pack, out[2].pack_offset) == (0, 1, 6)
+    assert (out[3].start_pack, out[3].end_pack, out[3].pack_offset) == (1, 1, 1)
+    assert (out[4].start_pack, out[4].end_pack, out[4].pack_offset) == (1, 2, 5)
