@@ -118,6 +118,41 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (idf = ln((N+1)/(df+1)) + 1), ties broken by term ascending.
+
+    Scale shape: term frequencies are one explode + groupBy with map-side
+    combine; the document-frequency table is vocabulary-sized and joined
+    back with an explicit broadcast (never a shuffle of the corpus side);
+    the corpus row count rides along as a broadcast 1-row cross join, so no
+    driver-side collect. Top-k is a per-doc window."""
+    from pyspark.sql import Window
+
+    from .dedup import normalized
+
+    toks = F.split(normalized(F.col(text_col)), " ")
+    terms = df.select("doc_id", F.explode(toks).alias("term")).where(F.length("term") > 0)
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1) / (F.col("df_t") + 1)) + F.lit(1.0)),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "term", "rank", F.round("tfidf", 6).alias("tfidf"))
+    )
+
+
 GATE_DEFAULTS = {
     "min_tokens": 20,
     "max_punct_ratio": 0.2,

@@ -693,6 +693,38 @@ def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tfidf_top_terms",
+    f"""
+    WITH terms AS (
+      SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+    ), tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf
+      FROM terms WHERE length(term) > 0 GROUP BY doc_id, term
+    ), docfreq AS (
+      SELECT term, count(*)::BIGINT AS df_t FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*)::BIGINT AS n_docs FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             tf.tf * (ln((n.n_docs + 1) / (docfreq.df_t + 1)) + 1.0) AS tfidf
+      FROM tf JOIN docfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, rank, round(tfidf, 6) AS tfidf FROM (
+      SELECT *, row_number() OVER (PARTITION BY doc_id
+               ORDER BY tfidf DESC, term ASC) AS rank
+      FROM scored
+    ) r WHERE rank <= 3 ORDER BY doc_id, rank
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc top-3 TF-IDF keywords (vocab-sized DF table broadcast back;
+    no corpus-side shuffle beyond the term-frequency groupBy)."""
+    return T.tfidf_top_terms(_read(spark, sf_dir, "documents"), k=3).orderBy(
+        "doc_id", "rank"
+    )
+
+
+@register(
     "q_quality_gate",
     f"""
     WITH toks AS (

@@ -101,3 +101,14 @@ def test_column_pruned_scan_for_doc_stats(spark):
     assert "ReadSchema" in plan
     # only doc_id + text needed
     assert "n_chars" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_tfidf_broadcasts_vocab_side_not_corpus(spark):
+    plan = _plan(spark, "q_tfidf_top_terms")
+    # both the docfreq (vocab-sized) join and the 1-row corpus-count cross
+    # join must be broadcasts; the corpus term table is never shuffled for
+    # a join (its only shuffles are the tf groupBy and the per-doc window)
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row cross join rides broadcast
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
