@@ -141,6 +141,26 @@ def conversation_sessions(
     )
 
 
+def streaming_exact_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming exact dedup: drop turns whose normalized-text fingerprint
+    was already seen within the watermark horizon
+    (``dropDuplicatesWithinWatermark``). The streaming twin of the batch
+    ``dedup.exact_dedup``: same md5-of-normalized-text fingerprint recipe.
+
+    State is one fingerprint per distinct text, evicted once the event-time
+    watermark passes -- bounded by the dedup horizon, not the stream length,
+    which is what makes this runnable forever at ingest scale. The first
+    arrival wins (within a micro-batch, ties are broken arbitrarily but one
+    row always survives)."""
+    from ..operators.dedup import normalized
+
+    return (
+        stream.withColumn("fingerprint", F.md5(normalized(F.col("text"))))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
 def _duration_ms(s: str) -> int:
     n, unit = s.split()
     mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000,

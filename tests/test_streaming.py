@@ -136,3 +136,73 @@ def test_conversation_sessions_stateful(spark, tmp_path):
     assert got["a"]["n_turns"] == 3 and got["a"]["n_chars"] == 1 + 2 + 3
     assert got["b"]["n_turns"] == 2 and got["b"]["n_chars"] == 4
     assert got["a"]["first_ts"] < got["a"]["last_ts"]
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate normalized texts collapse to
+    one survivor across micro-batches; distinct texts all pass."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        streaming_exact_dedup,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), str(src / name))
+
+    # batch 1: two distinct texts, one internal duplicate (whitespace/case
+    # variant -- the normalizer must collapse it)
+    write("f0.parquet", [
+        dict(conv_id="a", turn_idx=0, role="user", text="Hello   World", tool="",
+             ts=t0),
+        dict(conv_id="a", turn_idx=1, role="user", text="hello world", tool="",
+             ts=t0 + timedelta(seconds=1)),
+        dict(conv_id="b", turn_idx=0, role="user", text="unique one", tool="",
+             ts=t0 + timedelta(seconds=2)),
+    ])
+    # batch 2 (separate micro-batch via maxFilesPerTrigger=1): a cross-batch
+    # duplicate within the watermark horizon + a fresh text
+    write("f1.parquet", [
+        dict(conv_id="c", turn_idx=0, role="user", text="HELLO WORLD", tool="",
+             ts=t0 + timedelta(seconds=3)),
+        dict(conv_id="c", turn_idx=1, role="user", text="unique two", tool="",
+             ts=t0 + timedelta(seconds=4)),
+    ])
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = streaming_exact_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    fps = [r["fingerprint"] for r in rows]
+    assert len(fps) == len(set(fps)), "duplicate fingerprints survived"
+    # exactly one hello-world variant + the two uniques
+    assert len(rows) == 3
+    assert sorted(set(" ".join(r["text"].lower().split()) for r in rows)) == [
+        "hello world", "unique one", "unique two",
+    ]
