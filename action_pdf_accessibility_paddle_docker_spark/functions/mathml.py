@@ -16,6 +16,7 @@ already present.
 
 from __future__ import annotations
 
+import functools as _functools
 import re
 from xml.etree import ElementTree as ET
 
@@ -128,9 +129,11 @@ def _fallback_convert(latex: str) -> str:
     return ET.tostring(root, encoding="unicode")
 
 
+@_functools.lru_cache(maxsize=4096)
 def latex_to_mathml(latex: str) -> str:
     """Convert LaTeX to MathML; empty string on any failure
-    (matches src/ai.py:189-205 error contract)."""
+    (matches src/ai.py:189-205 error contract). Pure string->string, so a
+    bounded per-worker cache makes repeated formulas free."""
     try:
         if _l2m is not None:
             return _l2m.convert(latex)

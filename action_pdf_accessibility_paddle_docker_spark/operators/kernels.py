@@ -16,6 +16,8 @@ Reference citations (/root/reference):
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from ..config import (
@@ -297,7 +299,11 @@ def reading_order_np(page_bboxes: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+@functools.lru_cache(maxsize=131072)
 def fnv1a32(s: str) -> int:
+    """Pure byte-loop hash; id strings repeat heavily (HTML ordinals, shared
+    layout coordinates), so a bounded per-worker cache skips ~half the
+    loops at zero semantic risk."""
     h = 0x811C9DC5
     for ch in s.encode("ascii"):
         h = ((h ^ ch) * 0x1000193) & 0xFFFFFFFF
