@@ -195,6 +195,9 @@ def parse_blocks(html: str) -> list[HtmlBlock]:
     import html as html_mod
 
     p = _BlockParser()
+    raw_until: str | None = None  # CDATA mode: inside <script>/<style>,
+    # everything is raw text until the exact close tag (stdlib semantics --
+    # an unclosed <script> swallows the rest of the document)
     for m in _TOKEN.finditer(html):
         tok = m.group(0)
         c0 = tok[0]
@@ -204,6 +207,13 @@ def parse_blocks(html: str) -> list[HtmlBlock]:
             text = html_mod.unescape(tok) if ("&" in tok) else tok
             p.handle_data(text)
             continue
+        if raw_until is not None:
+            if tok[1:2] == "/":
+                tm = _TAGNAME.match(tok)
+                if tm is not None and tm.group(1).lower() == raw_until:
+                    p.handle_endtag(raw_until)
+                    raw_until = None
+            continue  # tag-shaped content inside script/style is raw text
         if tok.startswith("<!"):
             continue  # comment / doctype / cdata
         if tok.startswith("<?"):
@@ -219,6 +229,8 @@ def parse_blocks(html: str) -> list[HtmlBlock]:
             if tok.endswith("/>") and tag not in _BLOCK_TAGS:
                 # self-closing void inline tag: close immediately
                 p.handle_endtag(tag)
+            elif tag in ("script", "style") and not tok.endswith("/>"):
+                raw_until = tag
     # close any dangling blocks
     while p._open:
         block = p._open.pop()

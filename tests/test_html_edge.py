@@ -118,3 +118,53 @@ def test_tag_depth_scoring_drops_deep_fragments():
     long_deep = "<div>" * 14 + "<p>" + ("word " * 30).strip() + "</p>" + "</div>" * 14
     text2, _ = extract_html("<html><body>" + long_deep + "</body></html>")
     assert text2.startswith("word word")
+
+
+# --------------------------------------------------------------------------
+# property fuzz: the fast regex tokenizer must equal the stdlib twin on the
+# supported doc family (well-formed-ish HTML: no '>' inside attribute
+# values, no bare '<' in text -- everything else goes: misnesting, comments,
+# entities, self-closing voids, skip-subtrees, artifact containers)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_TAGS = ["p", "div", "article", "section", "h1", "h2", "title", "span",
+         "a", "b", "li", "nav", "header", "footer", "aside", "script", "style"]
+_text = st.text(alphabet="ab c.&;x ", max_size=24)
+
+
+def _node(children):
+    leaf = _text.map(lambda t: t)
+    comment = _text.map(lambda t: f"<!-- {t.replace('-', ' ')} -->")
+    void = st.sampled_from(["<br/>", "<img src='x'/>", "<hr>"])
+    elem = st.tuples(
+        st.sampled_from(_TAGS),
+        st.lists(children, max_size=3),
+        st.booleans(),  # drop the close tag (misnesting)
+    ).map(
+        lambda t: f"<{t[0]} id=\"q\">" + "".join(t[1]) + (f"</{t[0]}>" if t[2] else "")
+    )
+    stray_close = st.sampled_from(_TAGS).map(lambda t: f"</{t}>")
+    return st.one_of(leaf, comment, void, elem, stray_close)
+
+
+_doc = st.recursive(_text, _node, max_leaves=20).map(
+    lambda body: f"<html><body>{body}</body></html>"
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_doc)
+def test_fast_parser_equals_stdlib_fuzz(doc):
+    from action_pdf_accessibility_paddle_docker_spark.operators.html_extract import (
+        parse_blocks,
+        parse_blocks_stdlib,
+    )
+
+    key = lambda bs: [
+        (b.label, b.text, b.artifact, b.link_chars, b.n_tags, b.depth, b.heading)
+        for b in bs
+    ]
+    assert key(parse_blocks(doc)) == key(parse_blocks_stdlib(doc))
