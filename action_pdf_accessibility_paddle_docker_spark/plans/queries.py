@@ -804,6 +804,78 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_training_mix",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS t,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens,
+             round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                   / length(text), 6) AS punct_ratio,
+             round(len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                   x -> list_contains({_EN_LIST}, x)))
+                   / len(regexp_split_to_array(trim(text), '\\s+')), 6) AS stopword_ratio
+      FROM documents
+    ), words AS (
+      SELECT doc_id, count(*)::BIGINT AS n_words, count(DISTINCT w)::BIGINT AS n_distinct
+      FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
+      WHERE length(w) > 0 GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_c FROM (
+        SELECT doc_id, bgm, count(*)::BIGINT AS c FROM (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgm
+          FROM toks WHERE len(t) >= 2
+        ) e WHERE length(bgm) > 0 GROUP BY doc_id, bgm
+      ) g GROUP BY doc_id
+    ), kept AS (
+      SELECT k.doc_id, k.text, k.n_tokens FROM toks k
+      LEFT JOIN words w USING (doc_id) LEFT JOIN bg b USING (doc_id)
+      WHERE k.n_tokens >= 20 AND k.punct_ratio <= 0.2 AND k.stopword_ratio >= 0.02
+        AND coalesce(round(w.n_distinct / w.n_words, 6), 0.0) >= 0.35
+        AND coalesce(round(b.top_c / b.n_bigrams, 6), 0.0) <= 0.10
+    ), canon AS (
+      SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens
+      FROM (SELECT doc_id, n_tokens,
+                   md5({_NORM_SQL}) AS fingerprint FROM kept) f
+      GROUP BY fingerprint
+    )
+    SELECT CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val' ELSE 'train' END AS split,
+           count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+    FROM (
+      SELECT n_tokens,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 100 AS b
+      FROM canon
+    ) s GROUP BY split ORDER BY split
+    """,
+)
+def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full training-data funnel composed end-to-end: quality gate ->
+    exact dedup (canonical = min doc_id per fingerprint) -> deterministic
+    split -> per-split doc/token totals. Every stage is an already-verified
+    operator; this entry pins their composition across engines."""
+    from ..operators.dedup import normalized
+
+    docs = _read(spark, sf_dir, "documents")
+    gate = T.quality_gate(docs).where("keep").select("doc_id", "n_tokens")
+    kept = docs.join(gate, "doc_id").select("doc_id", "text", "n_tokens")
+    canon = (
+        kept.select(
+            "doc_id", "n_tokens", F.md5(normalized(F.col("text"))).alias("fingerprint")
+        )
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("n_tokens").alias("n_tokens"))
+    )
+    return (
+        T.stable_split(canon)
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+        .orderBy("split")
+    )
+
+
+@register(
     "q_extract_plaintext",
     "SELECT doc_id, trim(text) AS extracted_text FROM documents ORDER BY doc_id",
 )
