@@ -70,3 +70,51 @@ def test_random_pdf_payload_oracle_equals_kernel(payload):
     assert list(got["mathml"]) == list(exp["mathml"])
     assert flatten_region_rows(got["regions"]) == flatten_oracle_regions(exp)
     assert got["n_artifacts"] == exp["n_artifacts"]
+
+
+# --------------------------------------------------------------------------
+# robustness fuzz: ANY payload after the sentinel -- garbage text, valid
+# JSON of the wrong shape, boxes with short coordinates -- must yield an
+# error row (or a clean parse), never a raised exception (the per-turn
+# error contract; a task death at 100 TB is a job death)
+# --------------------------------------------------------------------------
+
+junk_json_st = st.recursive(
+    st.one_of(st.none(), st.integers(), st.text(alphabet="ab{}[],:", max_size=8)),
+    lambda c: st.one_of(st.lists(c, max_size=3), st.dictionaries(st.text(alphabet="abc", max_size=4), c, max_size=3)),
+    max_leaves=8,
+)
+
+wrongish_payload_st = st.one_of(
+    st.text(max_size=40),                                   # not JSON at all
+    junk_json_st.map(json.dumps),                           # JSON, wrong shape
+    st.builds(                                              # right shape, bad boxes
+        lambda n, pages: json.dumps({"zoom": 2.0, "page_h": n, "pages": pages}),
+        st.one_of(st.integers(-5, 5), st.text(alphabet="x", max_size=2)),
+        st.lists(
+            st.fixed_dictionaries(
+                {"page": st.integers(-1, 2),
+                 "boxes": st.lists(
+                     st.fixed_dictionaries(
+                         {"label": st.sampled_from(["text", "table", "zzz"]),
+                          "score": st.one_of(st.floats(0, 1), st.none()),
+                          "coordinate": st.lists(st.floats(0, 10), max_size=3)}
+                     ),
+                     max_size=3,
+                 )}
+            ),
+            max_size=2,
+        ),
+    ),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(wrongish_payload_st)
+def test_malformed_payload_yields_error_row_never_raises(junk):
+    payload = PDF_PAYLOAD_SENTINEL + junk
+    row = next(iter(extract_series(pd.Series([payload]))))
+    # either parsed cleanly or degraded to the error row -- never an exception
+    assert "extracted_text" in row and "regions" in row
+    if row.get("error"):
+        assert row["error"].startswith("pdf-payload-parse:")
