@@ -174,6 +174,84 @@ def lsh_bucketed_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 10,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k -- the coarse-quantizer scale
+    path, complementary to LSH:
+
+      1. fit MLlib KMeans (kmeans||, fixed seed) on the corpus embeddings;
+      2. assign every corpus vector to its nearest centroid with ONE
+         Arrow-batched pandas UDF (centroid matrix rides the closure; a
+         numpy matmul per batch -- no per-row Python);
+      3. each query probes its ``n_probe`` nearest centroids (same UDF
+         family, returns an array) and explodes;
+      4. candidates meet in a centroid-id equi-join -- at production layout
+         the corpus is written ``partitionBy(cid)`` so a probe is a
+         partition-pruned scan of n_probe/n_centroids of the data;
+      5. exact cosine re-rank, window top-k.
+
+    Recall rises with n_probe (n_probe == n_centroids is exhaustive).
+    Assignment uses argmin ||v-c||^2 == argmax(v.c - ||c||^2/2), exactly
+    KMeans's own metric, so step 2 reproduces the model's clustering."""
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    train = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    half_sq = 0.5 * (centers * centers).sum(axis=1)  # (C,)
+
+    def _nearest(vecs):
+        m = np.stack(vecs.to_numpy())  # (B, dim)
+        scores = m @ centers.T - half_sq  # (B, C)
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    def _probe(vecs):
+        m = np.stack(vecs.to_numpy())
+        scores = m @ centers.T - half_sq
+        order = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    nearest_cid = pandas_udf(_nearest, "int")
+    probe_cids = pandas_udf(_probe, "array<int>")
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("cid", nearest_cid("cv"))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
+        )
+        .withColumn("cid", F.explode(probe_cids("qv")))
+    )
+    sims = (
+        q.join(c, ["cid"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim_exact").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("sim_exact", 6).alias("sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1285,6 +1285,18 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q_ivf_ann_topk", None)
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate ANN (IVF coarse quantizer: MLlib KMeans centroids,
+    Arrow-batched assignment, centroid-id equi-join probe); recall and the
+    exhaustive-probe==brute-force identity are asserted in
+    tests/test_similarity.py."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=3
+    ).orderBy("query_id", "rank")
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -122,3 +122,25 @@ def test_multimodal_resize_and_frames(spark):
     back = decode_media(spark.createDataFrame(
         [(9, bytes(rs[0]["payload"]))], "media_id bigint, payload binary")).collect()[0]
     assert back["kind"] == "image" and (back["width"], back["height"]) == (16, 12)
+
+
+def test_ivf_recall_and_exhaustive_probe(spark, emb):
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=5).collect()
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3).collect()
+    exact_sets, approx_sets = {}, {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in approx:
+        approx_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(len(s & approx_sets.get(q, set())) for q, s in exact_sets.items())
+    total = sum(len(s) for s in exact_sets.values())
+    assert hits / total > 0.3, hits / total
+
+    # probing ALL centroids must reproduce brute force exactly
+    full = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
