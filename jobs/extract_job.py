@@ -65,6 +65,10 @@ def main() -> None:
                     help="paddlex layout model name (or RT-DETR-H_layout_17cls)")
     ap.add_argument("--model-dir", default="/models",
                     help="paddlex model weights root")
+    ap.add_argument("--debug-images", action="store_true",
+                    help="also write per-page region-overlay PNGs to "
+                         "<output>_debug_images (K3 sink; reference "
+                         "src/ai.py:82-84 save_to_img analog)")
     ap.add_argument("--dump-config", action="store_true",
                     help="print the effective engine config (thresholds, label "
                          "map, class set) as JSON and exit -- the reference's "
@@ -168,6 +172,14 @@ def main() -> None:
         spark.read.table(args.output) if args.format == "iceberg"
         else spark.read.parquet(args.output)
     )
+    if args.debug_images:
+        from action_pdf_accessibility_paddle_docker_spark.operators.debug_image import (
+            debug_images,
+        )
+
+        debug_images(back).write.mode("overwrite").parquet(
+            args.output.rstrip("/") + "_debug_images"
+        )
     metrics = lineage_metrics(back)
     if args.format == "iceberg":
         metrics.writeTo(args.output + "_lineage").using("iceberg").createOrReplace()
