@@ -1285,6 +1285,26 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCALAR_SUBQ_SQL = """
+    SELECT p_brand, count(*) AS n_above,
+           round(max(p_retailprice), 2) AS max_price
+    FROM part p
+    WHERE p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+@register("q_scalar_subquery", _SCALAR_SUBQ_SQL)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts above their brand's average price):
+    Catalyst decorrelates it into an aggregate + join -- the one relational
+    shape the registry did not yet exercise. The identical SQL text runs on
+    both engines."""
+    _read(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(_SCALAR_SUBQ_SQL)
+
+
 @register("q_ivf_ann_topk", None)
 def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate ANN (IVF coarse quantizer: MLlib KMeans centroids,
