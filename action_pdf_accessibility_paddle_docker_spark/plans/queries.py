@@ -1285,6 +1285,82 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per event type (Spark ``percentile``
+    == DuckDB ``quantile_cont``, linear interpolation -- verified
+    value-equal). At 100 TB swap to ``approx_percentile`` and drop the
+    oracle; the exact form is the correctness pin."""
+    return (
+        _read(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@register(
+    "q_event_funnel",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS signup_ts FROM events
+      WHERE event_type = 'signup' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS purchase_ts
+      FROM events e JOIN s ON e.user_id = s.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= s.signup_ts
+      GROUP BY e.user_id
+    )
+    SELECT s.user_id, s.signup_ts, p.purchase_ts,
+           (p.purchase_ts IS NOT NULL
+            AND p.purchase_ts <= s.signup_ts + INTERVAL 7 DAY) AS converted_7d
+    FROM s LEFT JOIN p ON s.user_id = p.user_id
+    ORDER BY s.user_id
+    """,
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-step conversion funnel (first signup -> first subsequent purchase
+    within 7 days): two keyed aggregations + one left join; no window over
+    the raw event stream, so the plan scales as groupBy shuffles."""
+    e = _read(spark, sf_dir, "events")
+    s = (
+        e.where(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("ts") >= F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        s.join(p, "user_id", "left")
+        .select(
+            "user_id", "signup_ts", "purchase_ts",
+            (
+                F.col("purchase_ts").isNotNull()
+                & (F.col("purchase_ts") <= F.col("signup_ts") + F.expr("INTERVAL 7 DAYS"))
+            ).alias("converted_7d"),
+        )
+        .orderBy("user_id")
+    )
+
+
 _SCALAR_SUBQ_SQL = """
     SELECT p_brand, count(*) AS n_above,
            round(max(p_retailprice), 2) AS max_price
