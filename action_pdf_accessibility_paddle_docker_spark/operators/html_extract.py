@@ -42,7 +42,7 @@ MAX_FRAGMENT_DEPTH = 12  # tag-depth scoring: deeper than this, short text
 MIN_DEEP_CHARS = 60      # fragments are widget/boilerplate debris
 
 
-@dataclass
+@dataclass(slots=True)
 class HtmlBlock:
     label: str            # text | paragraph_title | doc_title | header | footer | aside_text
     text: str
