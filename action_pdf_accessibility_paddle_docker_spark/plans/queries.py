@@ -1285,6 +1285,40 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_pivot",
+    "SELECT user_id, "
+    + ", ".join(
+        f"count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}"
+        for t in _EVENT_TYPES
+    )
+    + ", round(sum(value) FILTER (WHERE event_type = 'purchase'), 6) AS purchase_value"
+    " FROM events GROUP BY user_id ORDER BY user_id",
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide per-user event-type counts) via Spark's native
+    ``groupBy().pivot()`` with a pinned value list (no extra distinct scan);
+    the oracle is the equivalent conditional aggregation."""
+    e = _read(spark, sf_dir, "events")
+    wide = (
+        e.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    cols = [F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    return wide.select(
+        "user_id",
+        *cols,
+        F.round(F.col("purchase_v"), 6).alias("purchase_value"),
+    ).orderBy("user_id")
+
+
 @register(
     "q_percentiles",
     """
