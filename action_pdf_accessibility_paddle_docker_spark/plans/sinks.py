@@ -90,6 +90,62 @@ def write_extracted(
     raise ValueError(f"unknown sink format {format!r}")
 
 
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_mb: int = 256,
+    min_files: int = 2,
+) -> dict:
+    """Compact a parquet directory to ~``target_file_mb`` files (the
+    small-files problem: a resumable/streaming run leaves one file per
+    bucket/micro-batch task; at 100 TB that is millions of files and the
+    NameNode/manifest becomes the bottleneck).
+
+    Atomic swap via the Hadoop FileSystem API (same transport as the lineage
+    records, so it works on file:// and hdfs:// alike): write to
+    ``<path>.__compact_tmp``, then rename away the old dir and promote the
+    new one. A crash before the final rename leaves the original readable.
+
+    Returns {files_before, files_after, bytes}. No-op (files_before <
+    min_files) returns with files_after == files_before."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(conf)
+
+    def _data_files(p):
+        out = []
+        for st in fs.listStatus(p):
+            name = st.getPath().getName()
+            if st.isFile() and not name.startswith(("_", ".")):
+                out.append(st)
+        return out
+
+    before = _data_files(hpath)
+    total_bytes = sum(st.getLen() for st in before)
+    if len(before) < min_files:
+        return {"files_before": len(before), "files_after": len(before),
+                "bytes": total_bytes}
+
+    n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_old")
+    fs.delete(tmp, True)
+    fs.delete(old, True)
+    # coalesce, not repartition: pure file merge, no shuffle
+    spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(
+        str(tmp)
+    )
+    after = len(_data_files(tmp))
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact: cannot move {path} aside")
+    if not fs.rename(tmp, hpath):
+        fs.rename(old, hpath)  # roll back
+        raise IOError(f"compact: cannot promote compacted dir for {path}")
+    fs.delete(old, True)
+    return {"files_before": len(before), "files_after": after, "bytes": total_bytes}
+
+
 def overwrite_buckets_iceberg(df: DataFrame, target: str, buckets: list[int]) -> None:
     """Idempotent per-bucket commit for the resumable runner: replace exactly
     the rows of the given buckets in ONE atomic Iceberg snapshot

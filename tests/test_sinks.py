@@ -84,3 +84,24 @@ def test_iceberg_roundtrip_and_bucket_overwrite(spark):
     got = s.read.table(tbl)
     assert got.where("bucket = 0").count() == 3
     assert got.where("bucket != 0").count() > 0
+
+
+def test_compact_parquet(spark, tmp_path):
+    """Compaction merges many small files into few, preserves every row
+    exactly, and leaves the directory readable (atomic swap)."""
+    from action_pdf_accessibility_paddle_docker_spark.plans.sinks import compact_parquet
+
+    out = str(tmp_path / "many")
+    df = spark.range(0, 10000).withColumnRenamed("id", "v")
+    df.repartition(40).write.parquet(out)
+    before = sorted(r.v for r in spark.read.parquet(out).collect())
+
+    res = compact_parquet(spark, out, target_file_mb=256)
+    assert res["files_before"] >= 40
+    assert res["files_after"] < res["files_before"]
+    after = sorted(r.v for r in spark.read.parquet(out).collect())
+    assert after == before
+    # idempotent: second run is a no-op once already compact
+    res2 = compact_parquet(spark, out, target_file_mb=256,
+                           min_files=res["files_after"] + 1)
+    assert res2["files_after"] == res2["files_before"]
