@@ -65,6 +65,41 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
 
 
+def word_bigrams(toks: Column) -> Column:
+    """Non-distinct word bigrams of a token array (zip_with of shifted
+    slices; O(n) per doc, JVM-side)."""
+    n = F.size(toks)
+    return F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def top_phrases(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame:
+    """Corpus-wide boilerplate-phrase mining: the k most frequent word
+    bigrams with total occurrences and document frequency, ties broken by
+    phrase ascending. One explode + one groupBy (map-side combine) + a
+    global top-k -- the aggregate is vocabulary-sized, so the final sort is
+    tiny regardless of corpus size."""
+    from .dedup import normalized
+
+    toks = F.split(normalized(F.col(text_col)), " ")
+    return (
+        df.select("doc_id", F.explode(word_bigrams(toks)).alias("phrase"))
+        .where(F.length("phrase") > 0)
+        .groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("phrase"))
+        .limit(k)
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals per document:
     distinct_word_frac (distinct words / words) and top_bigram_frac (count
@@ -78,15 +113,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     norm = normalized(F.col(text_col))
     toks = F.split(norm, " ")
-    n = F.size(toks)
-    # non-distinct bigrams (zip_with of shifted slices; O(n) per doc)
-    bigrams = F.when(
-        n >= 2,
-        F.zip_with(
-            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
-            lambda a, b: F.concat_ws(" ", a, b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = word_bigrams(toks)
 
     words = (
         df.select("doc_id", F.explode(toks).alias("w"))

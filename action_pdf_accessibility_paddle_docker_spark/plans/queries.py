@@ -725,6 +725,28 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_top_phrases",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), phrases AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS phrase
+      FROM toks WHERE len(t) >= 2
+    )
+    SELECT phrase, count(*)::BIGINT AS n_occurrences,
+           count(DISTINCT doc_id)::BIGINT AS n_docs
+    FROM phrases WHERE length(phrase) > 0
+    GROUP BY phrase
+    ORDER BY n_occurrences DESC, phrase ASC LIMIT 20
+    """,
+)
+def q_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 boilerplate phrases (bigram frequency + doc
+    frequency; deterministic tie-break)."""
+    return T.top_phrases(_read(spark, sf_dir, "documents"), k=20)
+
+
+@register(
     "q_quality_gate",
     f"""
     WITH toks AS (
