@@ -96,3 +96,22 @@ def test_lineage_counters_are_per_bucket(spark, input_path, tmp_path):
     got = spark.read.parquet(out_root + "/data")
     for b in range(8):
         assert recs[b]["counters"]["turns"] == got.where(f"bucket = {b}").count()
+
+
+def test_double_crash_then_resume(spark, input_path, tmp_path):
+    """Crash during the RECOVERY run as well: progress still accumulates
+    bucket by bucket and the final output equals a single-shot run."""
+    path, n = input_path
+    out_root = str(tmp_path / "out2")
+
+    for expected_done in (2, 4):
+        with pytest.raises(RuntimeError, match="injected failure"):
+            run_resumable(spark, path, out_root, n_buckets=8, bucket_batch=2,
+                          fail_after_batches=1)
+        assert len(completed_buckets(out_root)) == expected_done
+
+    summary = run_resumable(spark, path, out_root, n_buckets=8, bucket_batch=2)
+    assert summary["resumed_buckets"] == 4 and summary["ran_buckets"] == 4
+    got = spark.read.parquet(out_root + "/data")
+    assert got.count() == n
+    assert got.select("conv_id", "turn_idx").distinct().count() == n
