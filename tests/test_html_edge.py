@@ -94,6 +94,12 @@ def test_fast_parser_equals_stdlib():
         "<header><div>h</div></header><nav><a href='/x'>x</a></nav>"
         "<article><h1>H</h1><p>body words enough to keep here today</p></article>"
         "<footer><p>f</p></footer></body></html>",
+        # regression (found by the fuzz below): an UNCLOSED <script> swallows
+        # the document tail as raw text (stdlib CDATA mode); the fast
+        # tokenizer must not keep firing tag events past it
+        '<html><body><p id="q">;<script id="q"><br/></body></html>',
+        "<html><body><p>kept words here</p><style>.x{}</style>"
+        "<script>if (a<b) { document.write('<p>ghost</p>'); }</script></body></html>",
     ]
     for d in docs:
         a = [(b.label, b.text, b.artifact, b.link_chars, b.n_tags, b.depth) for b in parse_blocks(d)]
