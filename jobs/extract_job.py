@@ -65,6 +65,11 @@ def main() -> None:
                     help="paddlex layout model name (or RT-DETR-H_layout_17cls)")
     ap.add_argument("--model-dir", default="/models",
                     help="paddlex model weights root")
+    ap.add_argument("--tag-tree", action="store_true",
+                    help="also write the flattened tag-tree row table to "
+                         "<output>_tag_tree (the reference `tag` subcommand's "
+                         "struct-tree, src/autotag.py:224-260, as rows; "
+                         "implies --template)")
     ap.add_argument("--debug-images", action="store_true",
                     help="also write per-page region-overlay PNGs to "
                          "<output>_debug_images (K3 sink; reference "
@@ -163,7 +168,7 @@ def main() -> None:
         observation=obs,
         detector_kind=args.detector,
         detector_kw=detector_kw,
-        include_template=args.template,
+        include_template=args.template or args.tag_tree,
     )
     from action_pdf_accessibility_paddle_docker_spark.plans.sinks import write_extracted
 
@@ -172,6 +177,12 @@ def main() -> None:
         spark.read.table(args.output) if args.format == "iceberg"
         else spark.read.parquet(args.output)
     )
+    if args.tag_tree:
+        from action_pdf_accessibility_paddle_docker_spark.functions.tagtree import tag_tree
+
+        tag_tree(back).write.mode("overwrite").parquet(
+            args.output.rstrip("/") + "_tag_tree"
+        )
     if args.debug_images:
         from action_pdf_accessibility_paddle_docker_spark.operators.debug_image import (
             debug_images,
