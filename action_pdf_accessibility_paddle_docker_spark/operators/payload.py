@@ -126,6 +126,7 @@ def extract_pdf_turn(
     process_formula: bool = True,
     detector=None,
     reading_order: str = "reference",
+    payload: dict | None = None,
 ) -> dict[str, Any]:
     """Extract one PDF-shaped turn with vectorized kernels.
 
@@ -134,22 +135,44 @@ def extract_pdf_turn(
     singleton via make_extraction_kernel.
     reading_order: "reference" (the reference's (top, 1000-left) sort,
     bit-exact parity -- the default) or "xycut" (recursive XY-cut,
-    operators/xycut.py; better on multi-column layouts)."""
+    operators/xycut.py; better on multi-column layouts).
+    payload: pre-parsed payload dict (the batched planner in extract_series
+    parses once and passes it through; standalone callers omit it)."""
     from .detector import StubDetector
 
     det = detector if detector is not None else StubDetector(thresholds)
-    payload = json.loads(text[len(PDF_PAYLOAD_SENTINEL):])
+    if payload is None:
+        payload = json.loads(text[len(PDF_PAYLOAD_SENTINEL):])
     zoom = float(payload.get("zoom", 2.0))
     page_h_px = float(payload.get("page_h", 1584))
+    return extract_pages(
+        payload.get("pages", []), zoom, page_h_px, det,
+        process_table, process_formula, reading_order,
+    )
 
+
+def extract_pages(
+    pages,
+    zoom: float,
+    page_h_px: float,
+    det,
+    process_table: bool = True,
+    process_formula: bool = True,
+    reading_order: str = "reference",
+) -> dict[str, Any]:
+    """The page pipeline over a list of page dicts -- the shared core behind
+    BOTH entry points: structured %LAYOUT1% payloads (extract_pdf_turn) and
+    rasterized raw-PDF pages (PaddleXDetector.detect_pdf_bytes, where each
+    page dict carries an ``image`` ndarray and a per-page ``page_h``)."""
     all_regions: list[tuple] = []
     formulas: list[tuple[int, str]] = []
     page_texts: list[str] = []
     n_artifacts = 0
     ordinal = 0
 
-    for page in payload.get("pages", []):
+    for page in pages:
         page_number = int(page["page"])
+        ph = float(page.get("page_h", page_h_px))
         # detect stage (threshold pushdown happens detector-side, P1)
         boxes = det.detect_page(page)
         if not boxes:
@@ -192,7 +215,7 @@ def extract_pdf_turn(
             customs = [customs[i] for i in sel]
 
         n = len(labels)
-        page_bboxes = VK.element_bboxes_to_page(coords, page_h_px, zoom)
+        page_bboxes = VK.element_bboxes_to_page(coords, ph, zoom)
 
         # nesting overlap pass on survivors (src/template_json.py:165-191);
         # the reference skips "self" by full-content dict equality, so
@@ -220,14 +243,14 @@ def extract_pdf_turn(
                     continue  # re-emitted nested under the text element
                 el = _convert_box(
                     i, page_number, labels, scores, coords, page_bboxes,
-                    texts, customs, page_h_px, zoom, formulas,
+                    texts, customs, ph, zoom, formulas,
                 )
                 if is_text[i]:
                     f_over = [j for j in neigh if is_formula[j]]
                     el["nested"] = [
                         _convert_box(
                             j, page_number, labels, scores, coords, page_bboxes,
-                            texts, customs, page_h_px, zoom, formulas,
+                            texts, customs, ph, zoom, formulas,
                         )
                         for j in f_over
                     ]
@@ -292,7 +315,7 @@ def extract_pdf_turn(
             if el["rtype"] == PDE_TABLE and el["cells"]:
                 for c in el["cells"]:
                     cell_bbox = (
-                        VK.cell_bbox_to_page_np(c["bbox"], page_h_px, zoom)
+                        VK.cell_bbox_to_page_np(c["bbox"], ph, zoom)
                         if "bbox" in c
                         else [0.0, 0.0, 0.0, 0.0]
                     )
@@ -318,7 +341,7 @@ def extract_pdf_turn(
         "regions": all_regions,
         "mathml": formulas,  # (region_id, mathml) tuples, struct-encoded positionally
         "n_artifacts": n_artifacts,
-        "n_pages": len(payload.get("pages", [])),
+        "n_pages": len(pages),
     }
 
 
@@ -358,6 +381,70 @@ def extract_text_value(text: str | None) -> dict[str, Any]:
     }
 
 
+_MISSING = object()
+
+
+class _ReplayDetector:
+    """Serves the batched planner's precomputed model results back through
+    the singular Detector hooks, so extract_pages stays ONE code path whether
+    inference ran page-at-a-time or batch-at-a-time. Keyed by object identity
+    (the planner and extract_pages see the same parsed page/box objects; the
+    keepalive list pins them so ids cannot be recycled). Unknown objects fall
+    through to the base detector."""
+
+    __slots__ = ("_base", "_boxes", "_cells", "_latex", "_keepalive")
+
+    def __init__(self, base, boxes, cells, latex, keepalive):
+        self._base = base
+        self._boxes = boxes
+        self._cells = cells
+        self._latex = latex
+        self._keepalive = keepalive
+
+    def detect_page(self, page):
+        got = self._boxes.get(id(page), _MISSING)
+        return got if got is not _MISSING else self._base.detect_page(page)
+
+    def table_cells(self, page, box):
+        got = self._cells.get(id(box), _MISSING)
+        return got if got is not _MISSING else self._base.table_cells(page, box)
+
+    def formula_latex(self, page, box):
+        got = self._latex.get(id(box), _MISSING)
+        return got if got is not _MISSING else self._base.formula_latex(page, box)
+
+
+def _plan_batch(det, pages: list, process_table: bool, process_formula: bool):
+    """Batch-level inference planning: run M1 over EVERY page of the Arrow
+    batch in one detector call, then M2-M4 over every table/formula region in
+    one call each, and wrap the results in a replay detector. On any planner
+    failure fall back to the direct per-page detector (which reproduces the
+    exact per-turn error rows). For the stub this reorganizes the same cheap
+    dict reads; for PaddleXDetector it is the difference between
+    ``batch_size=1`` page-at-a-time and one model invocation per batch --
+    inference is ~80% of the reference's wall time (src/constants.py:7-9)."""
+    try:
+        boxes_per_page = det.detect_pages(pages)
+        boxes_map: dict[int, list] = {}
+        treqs: list[tuple] = []
+        freqs: list[tuple] = []
+        for page, boxes in zip(pages, boxes_per_page):
+            boxes_map[id(page)] = boxes
+            for b in boxes:
+                lbl = str(b["label"]).lower()
+                if lbl == "table" and process_table:
+                    treqs.append((page, b))
+                elif lbl == "formula" and process_formula:
+                    freqs.append((page, b))
+        cells = det.table_cells_many(treqs) if treqs else []
+        latex = det.formula_latex_many(freqs) if freqs else []
+        cmap = {id(b): c for (_, b), c in zip(treqs, cells)}
+        lmap = {id(b): v for (_, b), v in zip(freqs, latex)}
+        return _ReplayDetector(det, boxes_map, cmap, lmap, (pages, boxes_per_page))
+    except Exception:  # noqa: BLE001 -- per-turn error contract via fallback
+        return det
+
+
 def extract_series(
     texts: pd.Series,
     thresholds: dict[int, float] | None = None,
@@ -366,11 +453,20 @@ def extract_series(
     detector=None,
     reading_order: str = "reference",
 ) -> Iterator[dict[str, Any]]:
-    """Extract a pandas Series of turn payloads (one Arrow batch column)."""
+    """Extract a pandas Series of turn payloads (one Arrow batch column).
+
+    Two-phase: (1) parse every structured-PDF payload and run BATCHED
+    inference over all pages/regions of the batch (_plan_batch); (2) run the
+    per-turn geometry pipeline against the precomputed results. Stub and
+    production detectors share this path; only the batch hooks differ."""
     from .detector import StubDetector
 
     th = thresholds if thresholds is not None else effective_thresholds()
     det = detector if detector is not None else StubDetector(th)
+
+    PDF, PDF_ERR, OTHER = 0, 1, 2
+    items: list[tuple] = []
+    batch_pages: list = []
     for text in texts:
         if text is not None and text.startswith(PDF_PAYLOAD_SENTINEL):
             # Malformed payload -> error column, never a task failure: a
@@ -378,12 +474,38 @@ def extract_series(
             # non-list pages -> AttributeError, ...) must degrade to an
             # error row, so catch Exception, not a narrow tuple.
             try:
-                yield extract_pdf_turn(text, th, process_table, process_formula, det,
-                                       reading_order)
+                payload = json.loads(text[len(PDF_PAYLOAD_SENTINEL):])
+                items.append((PDF, text, payload))
+                if isinstance(payload, dict):
+                    pl = payload.get("pages", [])
+                    if isinstance(pl, list):
+                        batch_pages.extend(p for p in pl if isinstance(p, dict))
+            except Exception as e:  # noqa: BLE001
+                items.append((PDF_ERR, text, e))
+        else:
+            items.append((OTHER, text, None))
+
+    replay = (
+        _plan_batch(det, batch_pages, process_table, process_formula)
+        if batch_pages else det
+    )
+
+    for tag, text, data in items:
+        if tag == PDF:
+            try:
+                yield extract_pdf_turn(
+                    text, th, process_table, process_formula, replay,
+                    reading_order, payload=data,
+                )
             except Exception as e:  # noqa: BLE001 -- per-turn error contract
                 bad = extract_text_value(text)
                 bad["error"] = f"pdf-payload-parse: {type(e).__name__}: {e}"
                 yield bad
+            continue
+        if tag == PDF_ERR:
+            bad = extract_text_value(text)
+            bad["error"] = f"pdf-payload-parse: {type(data).__name__}: {data}"
+            yield bad
             continue
         kind = classify_payload(text)
         if kind == PAYLOAD_KIND_HTML:
@@ -394,7 +516,10 @@ def extract_series(
             # passing raw bytes through as "extracted text".
             if hasattr(det, "detect_pdf_bytes"):
                 try:
-                    yield det.detect_pdf_bytes(text)  # production seam
+                    yield det.detect_pdf_bytes(  # production seam
+                        text, process_table=process_table,
+                        process_formula=process_formula,
+                    )
                 except Exception as e:  # noqa: BLE001
                     bad = extract_text_value("")
                     bad["payload_kind"] = PAYLOAD_KIND_PDF_BYTES

@@ -1,0 +1,261 @@
+"""Production PaddleXDetector contract, exercised against a FAKE in-memory
+paddlex runtime (and a fake pypdfium2), so the batched-inference and
+singleton-keying logic actually EXECUTES in this sandbox instead of hiding
+behind skipif. The fakes implement only the public call shapes the real
+runtimes expose (paddlex.create_model(...).predict(input=..., batch_size=N)
+yielding per-item result dicts, src/ai.py:72-79; pypdfium2.PdfDocument ->
+page.render(scale).to_numpy()).
+
+What these tests pin:
+* ONE layout predict call per detect_pages batch (not one per page) and one
+  cell-det predict per distinct wired/wireless model -- the round-2 verdict's
+  top production item (reference cost split says inference = 80% of wall
+  time, /root/reference/src/constants.py:7-9).
+* PaddleXDetector.get() keyed on (model, thresholds, model_dir, ...): two
+  jobs in one long-lived worker with different thresholds must NOT alias.
+* detect_pdf_bytes: raw %PDF- bytes -> pypdfium2 rasterize -> the same
+  extract_pages pipeline -> region rows (not an error row).
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from action_pdf_accessibility_paddle_docker_spark.config import effective_thresholds
+from action_pdf_accessibility_paddle_docker_spark.operators.detector import (
+    PaddleXDetector,
+    get_detector,
+)
+
+
+class FakeModel:
+    """Records every predict() call; yields one result dict per input item,
+    mimicking paddlex's generator contract."""
+
+    def __init__(self, model_name, **kw):
+        self.model_name = model_name
+        self.kw = kw
+        self.calls: list[tuple[int, int]] = []  # (n_items, batch_size)
+
+    def predict(self, input, batch_size=1, **kw):
+        items = input if isinstance(input, list) else [input]
+        self.calls.append((len(items), batch_size))
+        for it in items:
+            yield self._result_for(it)
+
+    def _result_for(self, img):
+        h, w = img.shape[:2]
+        name = self.model_name
+        if "table_cls" in name:
+            # odd-width crops classify wired, even wireless
+            if w % 2 == 1:
+                return {"scores": [0.8, 0.2], "label_names": ["wired_table", "wireless_table"]}
+            return {"scores": [0.7, 0.3], "label_names": ["wireless_table", "wired_table"]}
+        if "cell_det" in name:
+            kind = "wired" if "wired_table" in name else "wireless"
+            # 2x1 cell grid in crop-local coordinates
+            return {"boxes": [
+                {"coordinate": [0.0, 0.0, w / 2, float(h)], "text": f"{kind}-c0"},
+                {"coordinate": [w / 2, 0.0, float(w), float(h)], "text": f"{kind}-c1"},
+            ]}
+        if "Formula" in name:
+            return {"rec_formula": "x^{2}+1"}
+        # layout model: a text box, a table box, and a formula box per page
+        return {"boxes": [
+            {"label": "text", "score": 0.95,
+             "coordinate": [4.0, 4.0, w - 4.0, h / 3], "text": ""},
+            {"label": "table", "score": 0.9,
+             "coordinate": [5.0, h / 3 + 2, 5.0 + (w // 2) * 2 + 1, 2 * h / 3]},
+            {"label": "formula", "score": 0.88,
+             "coordinate": [6.0, 2 * h / 3 + 2, w - 6.0, h - 4.0]},
+        ]}
+
+
+class FakePaddlex(types.ModuleType):
+    def __init__(self):
+        super().__init__("paddlex")
+        self.models: dict[str, FakeModel] = {}
+
+    def create_model(self, model_name, **kw):
+        m = FakeModel(model_name, **kw)
+        self.models[model_name] = m
+        return m
+
+
+@pytest.fixture()
+def fake_paddlex(monkeypatch):
+    fake = FakePaddlex()
+    monkeypatch.setitem(sys.modules, "paddlex", fake)
+    monkeypatch.setattr(PaddleXDetector, "_instances", {})
+    return fake
+
+
+def _fake_pdfium(n_pages=3, h=120, w=90):
+    mod = types.ModuleType("pypdfium2")
+
+    class _Bitmap:
+        def __init__(self, scale):
+            self.scale = scale
+
+        def to_numpy(self):
+            s = self.scale
+            return np.zeros((int(h * s), int(w * s), 4), dtype=np.uint8)
+
+    class _Page:
+        def render(self, scale=1.0):
+            return _Bitmap(scale)
+
+    class PdfDocument:
+        def __init__(self, data):
+            assert bytes(data).startswith(b"%PDF-"), "expected raw PDF bytes"
+            self._pages = [_Page() for _ in range(n_pages)]
+
+        def __len__(self):
+            return len(self._pages)
+
+        def __getitem__(self, i):
+            return self._pages[i]
+
+        def close(self):
+            pass
+
+    mod.PdfDocument = PdfDocument
+    return mod
+
+
+def _pages(n, h=100, w=81):
+    return [
+        {"page": i + 1, "image": np.zeros((h, w + i % 2, 3), dtype=np.uint8),
+         "page_h": float(h)}
+        for i in range(n)
+    ]
+
+
+def test_singleton_keyed_on_constructor_args(fake_paddlex):
+    th_a = effective_thresholds()
+    th_b = dict(th_a)
+    some_cls = next(iter(th_b))
+    th_b[some_cls] = 0.99
+    a = PaddleXDetector.get("PP-DocLayout-L", th_a, "/models")
+    b = PaddleXDetector.get("PP-DocLayout-L", th_b, "/models")
+    a2 = PaddleXDetector.get("PP-DocLayout-L", dict(th_a), "/models")
+    c = PaddleXDetector.get("PP-DocLayout-L", th_a, "/other-models")
+    assert a is a2, "identical config must reuse the worker singleton"
+    assert a is not b, "changed thresholds must NOT alias the first job's models"
+    assert a is not c, "changed model_dir must NOT alias"
+    assert b._layout.kw["threshold"][some_cls] == 0.99
+
+
+def test_get_detector_paddlex_passes_batch_size(fake_paddlex):
+    det = get_detector(effective_thresholds(), "paddlex",
+                       model="PP-DocLayout-L", model_dir="/m", infer_batch_size=16)
+    assert det.infer_batch_size == 16
+
+
+def test_detect_pages_is_one_predict_call(fake_paddlex):
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m",
+                              infer_batch_size=8)
+    layout = fake_paddlex.models["PP-DocLayout-L"]
+    boxes = det.detect_pages(_pages(5))
+    assert len(boxes) == 5 and all(len(b) == 3 for b in boxes)
+    assert layout.calls == [(5, 8)], "whole batch must go through ONE predict"
+
+
+def test_table_cells_many_batches_per_model(fake_paddlex):
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m")
+    pages = _pages(4)  # alternating odd/even widths -> wired/wireless mix
+    reqs = [(p, {"coordinate": [0.0, 0.0, 20.0 + i, 30.0]})
+            for i, p in enumerate(pages)]
+    out = det.table_cells_many(reqs)
+    assert len(out) == 4 and all(len(c) == 2 for c in out)
+    cls_model = fake_paddlex.models[PaddleXDetector.TABLE_CLS_MODEL]
+    assert len(cls_model.calls) == 1 and cls_model.calls[0][0] == 4
+    wired = fake_paddlex.models["RT-DETR-L_wired_table_cell_det"]
+    wireless = fake_paddlex.models["RT-DETR-L_wireless_table_cell_det"]
+    # one predict per distinct chosen model, covering all 4 crops between them
+    assert len(wired.calls) == 1 and len(wireless.calls) == 1
+    assert wired.calls[0][0] + wireless.calls[0][0] == 4
+    # results re-assembled in request order with the right model's cells:
+    # crop width = int(x1)+1 - max(0, int(x0)-1) = (20+i)+1 - 0 = 21+i
+    for i, cells in enumerate(out):
+        kind = "wired" if (21 + i) % 2 == 1 else "wireless"
+        assert cells[0]["text"].startswith(kind)
+
+
+def test_formula_latex_many_single_call(fake_paddlex):
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m")
+    pages = _pages(3)
+    reqs = [(p, {"coordinate": [1.0, 1.0, 40.0, 20.0]}) for p in pages]
+    assert det.formula_latex_many(reqs) == ["x^{2}+1"] * 3
+    assert len(fake_paddlex.models[PaddleXDetector.FORMULA_MODEL].calls) == 1
+
+
+def test_singular_hooks_delegate_to_batched(fake_paddlex):
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m")
+    page = _pages(1)[0]
+    assert len(det.detect_page(page)) == 3
+    assert det.formula_latex(page, {"coordinate": [0.0, 0.0, 10.0, 10.0]}) == "x^{2}+1"
+
+
+def test_detect_pdf_bytes_rasterizes_and_extracts(fake_paddlex, monkeypatch):
+    monkeypatch.setitem(sys.modules, "pypdfium2", _fake_pdfium(n_pages=2))
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m",
+                              zoom=2.0)
+    res = det.detect_pdf_bytes("%PDF-1.7 fake-but-shaped")
+    assert res.get("error") is None
+    assert res["payload_kind"] == "pdf_bytes"
+    assert res["n_pages"] == 2
+    # 2 pages x (text + table + formula + 2 cells), formula nested under none
+    labels = [r[2] for r in res["regions"]]
+    assert labels.count("text") == 2 and labels.count("table") == 2
+    assert labels.count("cell") == 4
+    # formula -> latex -> MathML recorded
+    assert len(res["mathml"]) == 2
+    assert "<math" in res["mathml"][0][1]
+
+
+def test_extract_series_routes_raw_pdf_through_production_seam(fake_paddlex, monkeypatch):
+    monkeypatch.setitem(sys.modules, "pypdfium2", _fake_pdfium(n_pages=1))
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m")
+    from action_pdf_accessibility_paddle_docker_spark.operators.payload import (
+        extract_series,
+    )
+
+    rows = list(extract_series(pd.Series(["%PDF-1.4 raw", "plain text"]),
+                               detector=det))
+    assert rows[0]["payload_kind"] == "pdf_bytes" and rows[0].get("error") is None
+    assert len(rows[0]["regions"]) > 0
+    assert rows[1]["extracted_text"] == "plain text"
+
+
+def test_detect_pdf_bytes_without_pdfium_is_error_row(fake_paddlex, monkeypatch):
+    monkeypatch.delitem(sys.modules, "pypdfium2", raising=False)
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m")
+    from action_pdf_accessibility_paddle_docker_spark.operators.payload import (
+        extract_series,
+    )
+
+    rows = list(extract_series(pd.Series(["%PDF-1.4 raw"]), detector=det))
+    assert rows[0]["payload_kind"] == "pdf_bytes"
+    assert "pdf-bytes-decode" in rows[0]["error"]
+    assert "pypdfium2" in rows[0]["error"]
+
+
+def _real_import(name: str) -> bool:
+    try:
+        __import__(name)
+        return True
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _real_import("paddlex"), reason="real paddlex not installed")
+def test_real_paddlex_smoke():  # pragma: no cover - env-gated
+    det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/models")
+    boxes = det.detect_pages(_pages(2, h=640, w=480))
+    assert len(boxes) == 2
