@@ -87,20 +87,43 @@ def hyperplanes(dim: int, n_planes: int, salt: str = "") -> np.ndarray:
     return out
 
 
-def signature_col(vec_col, planes: np.ndarray):
-    """Sign-bit LSH signature as a bigint column (JVM-side: one aggregate per
-    plane over the embedding array)."""
-    sig = None
-    for p in range(planes.shape[0]):
-        arr = F.array(*[F.lit(float(x)) for x in planes[p]])
-        dot = F.aggregate(
-            F.zip_with(_as_double(vec_col), arr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        bit = F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** p)
-        sig = bit if sig is None else (sig + bit)
-    return sig.cast("bigint")
+def signature_udf(plane_sets: list[np.ndarray]):
+    """ONE Arrow-batched pandas UDF computing every band's sign-bit bucket
+    for a batch of vectors (``array<bigint>``, one bucket per plane set).
+
+    The plane matrices ride the UDF closure as a single numpy matmul per
+    Arrow batch. The previous formulation embedded every plane coefficient
+    as a plan literal (``F.array(F.lit(...)*dim)`` per plane per band) --
+    at real embedding dims (768-3072) x 8 planes x 12-16 bands that
+    generated tens of thousands of literal nodes and blew up codegen
+    (round-2 verdict item). Plan size is now independent of dim x bands;
+    bucket values are bit-identical to the old JVM expression (same planes,
+    same ``bit_p * 2^p`` packing)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    flat = np.concatenate(plane_sets, axis=0).astype(np.float64)  # (P_total, dim)
+    dim = flat.shape[1]
+    sizes = [int(p.shape[0]) for p in plane_sets]
+    offsets = np.concatenate([[0], np.cumsum(sizes)])
+    pows = [1 << np.arange(s, dtype=np.int64) for s in sizes]
+
+    def _sig(vecs):
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        if m.ndim != 2 or m.shape[1] != dim:
+            raise ValueError(
+                f"embedding dimension != {dim}: got shape {m.shape}"
+            )
+        bits = (m @ flat.T) >= 0  # (N, P_total)
+        out = np.empty((len(m), len(sizes)), dtype=np.int64)
+        for b in range(len(sizes)):
+            o = offsets[b]
+            out[:, b] = (bits[:, o:o + sizes[b]] * pows[b]).sum(axis=1)
+        return pd.Series(list(out))
+
+    return pandas_udf(_sig, "array<bigint>")
 
 
 def _assert_dim(df: DataFrame, vec_alias: str, dim: int) -> DataFrame:
@@ -117,18 +140,13 @@ def _assert_dim(df: DataFrame, vec_alias: str, dim: int) -> DataFrame:
     )
 
 
-def banded_signatures(vec_col, n_bands: int, planes_per_band: int, dim: int):
-    """array<struct<band,bucket>> of independent LSH band signatures, built
-    in ONE projection (explode it once per relation; building each band as
-    its own select/union would scan the source n_bands times)."""
-    bands = []
-    for band in range(n_bands):
-        planes = hyperplanes(dim, planes_per_band, salt=f"band:{band}")
-        bands.append(
-            F.struct(F.lit(band).alias("band"),
-                     signature_col(vec_col, planes).alias("bucket"))
-        )
-    return F.array(*bands)
+def band_planes(n_bands: int, planes_per_band: int, dim: int) -> list[np.ndarray]:
+    """Independent plane sets, one per LSH band (salted derivations of the
+    same deterministic md5 scheme)."""
+    return [
+        hyperplanes(dim, planes_per_band, salt=f"band:{band}")
+        for band in range(n_bands)
+    ]
 
 
 def lsh_bucketed_topk(
@@ -142,12 +160,12 @@ def lsh_bucketed_topk(
 ) -> DataFrame:
     """Approximate top-k: candidates share the LSH bucket; exact cosine
     re-rank inside buckets. Fewer planes -> bigger buckets -> higher recall."""
-    planes = hyperplanes(dim, n_planes)
+    sig = signature_udf([hyperplanes(dim, n_planes)])
     q = _assert_dim(
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qv"),
-            signature_col(F.col(vec_col), planes).alias("bucket"),
+            F.element_at(sig(_as_double(F.col(vec_col))), 1).alias("bucket"),
         ),
         "qv", dim,
     )
@@ -155,7 +173,7 @@ def lsh_bucketed_topk(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
             _as_double(F.col(vec_col)).alias("cv"),
-            signature_col(F.col(vec_col), planes).alias("bucket"),
+            F.element_at(sig(_as_double(F.col(vec_col))), 1).alias("bucket"),
         ),
         "cv", dim,
     )
@@ -300,10 +318,13 @@ def embedding_near_dup_pairs(
         df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")),
         "v", dim,
     )
+    # all band buckets in ONE Arrow-batched UDF call, then posexplode:
+    # (band, bucket) pairs for the equi-join, plan size independent of
+    # dim x bands
+    sig = signature_udf(band_planes(n_bands, planes_per_band, dim))
     tagged = base.select(
-        "vid", "v",
-        F.explode(banded_signatures(F.col("v"), n_bands, planes_per_band, dim)).alias("bb"),
-    ).select("vid", "v", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        "vid", "v", F.posexplode(sig(F.col("v"))).alias("band", "bucket")
+    )
     a = tagged.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
     b = tagged.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
     cand = (

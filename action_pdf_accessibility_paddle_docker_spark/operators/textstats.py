@@ -283,15 +283,42 @@ def winnowing_fingerprints(
 
 
 def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document length / punctuation / stopword / language / fingerprint
+    stats in ONE regex-split pass: the token array is materialized once in a
+    sub-projection and every signal derives from it with array expressions
+    (the naive composition of quality_columns + lang_guess + fingerprint ran
+    the \\s+ regex over the full text five times per row -- measurable at
+    sf0.1, dominant at 100 TB where this scan is pure CPU).
+
+    Value-identical to the unfused expressions (same splits, same casts,
+    same rounding); the DuckDB oracle in plans/queries.py is unchanged."""
     t = F.col(text_col)
-    cols = quality_columns(t)
-    return df.select(
+    base = df.select("doc_id", t.alias("_t"), tokens(t).alias("_toks"))
+    toks = F.col("_toks")
+    tl = F.col("_t")
+    low = F.transform(toks, lambda x: F.lower(x))
+    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    es_arr = F.array(*[F.lit(w) for w in ES_STOPWORDS])
+    en = F.size(F.filter(low, lambda x: F.array_contains(en_arr, x)))
+    es = F.size(F.filter(low, lambda x: F.array_contains(es_arr, x)))
+    n_tokens = F.size(toks)
+    n_chars = F.length(tl)
+    n_punct = n_chars - F.length(F.regexp_replace(tl, PUNCT_CLASS, ""))
+    # sum of token lengths == length of the text with all whitespace removed
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+    # tokens joined by single spaces == whitespace-normalized trimmed text
+    # (concat_ws maps a NULL array to "", so keep NULL text -> NULL md5)
+    norm = F.when(tl.isNotNull(), F.lower(F.concat_ws(" ", toks)))
+    return base.select(
         "doc_id",
-        cols["n_chars"].alias("n_chars_calc"),
-        cols["n_tokens"].alias("n_tokens"),
-        cols["punct_ratio"].alias("punct_ratio"),
-        cols["stopword_ratio"].alias("stopword_ratio"),
-        cols["mean_token_len"].alias("mean_token_len"),
-        lang_guess(t).alias("lang_guess"),
-        fingerprint(t).alias("fingerprint"),
+        n_chars.alias("n_chars_calc"),
+        n_tokens.alias("n_tokens"),
+        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        F.round(en.cast("double") / n_tokens, 6).alias("stopword_ratio"),
+        F.round(tok_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
+        F.when(es > en, F.lit("es"))
+        .when(en > 0, F.lit("en"))
+        .otherwise(F.lit("und"))
+        .alias("lang_guess"),
+        F.md5(norm).alias("fingerprint"),
     )

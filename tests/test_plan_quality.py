@@ -112,3 +112,31 @@ def test_tfidf_broadcasts_vocab_side_not_corpus(spark):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row cross join rides broadcast
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_signatures_are_one_arrow_udf_plan_size_dim_independent(spark):
+    """The banded-LSH signature must be ONE Arrow-batched Python node per
+    relation with the plane matrices in the UDF closure: the previous
+    literal-array formulation grew the plan by O(dim x bands) literal nodes
+    and blew up codegen at real embedding dims (round-2 verdict item)."""
+    import numpy as np
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    def plan_for(dim):
+        rows = [(i, np.random.default_rng(i).standard_normal(dim).tolist())
+                for i in range(4)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        return (
+            embedding_near_dup_pairs(df, threshold=0.9, dim=dim,
+                                     n_bands=16, planes_per_band=8)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+
+    small, big = plan_for(8), plan_for(1024)
+    # the signature stage is Arrow-batched Python, exactly once per join side
+    assert big.count("ArrowEvalPython") == 2
+    # plan text must not scale with embedding dimension (literal planes did)
+    assert len(big) < 1.2 * len(small) + 2000, (len(small), len(big))
