@@ -26,6 +26,23 @@ from ..operators import textstats as T
 Builder = Callable[[SparkSession, str], DataFrame]
 REGISTRY: dict[str, tuple[Builder, Optional[str]]] = {}
 
+# Pre-computed scalar-oracle fixtures for harness entries whose semantics
+# are not SQL-expressible (scripts/make_fixture_oracles.py regenerates;
+# tests/test_fixture_oracles.py guards staleness).
+import os as _os
+
+_FIXTURE_DIR = _os.path.join(
+    _os.path.dirname(_os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))),
+    "tests", "fixtures",
+)
+
+
+def _fixture_sql(name: str, columns: str, order_by: str) -> str:
+    return (
+        f"SELECT {columns} FROM read_parquet("
+        f"'{_os.path.join(_FIXTURE_DIR, name)}.parquet') ORDER BY {order_by}"
+    )
+
 
 def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
@@ -1138,11 +1155,20 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Non-SQL-expressible (rows-only driver check; full gate is pytest vs oracle)
 # ===========================================================================
 
-@register("q_extract_transcripts", None)
+@register(
+    "q_extract_transcripts",
+    _fixture_sql(
+        "extract_transcripts_oracle",
+        "conv_id, turn_idx, payload_kind, extracted_text, n_regions, n_artifacts",
+        "conv_id, turn_idx",
+    ),
+)
 def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship extraction over deterministic synthetic transcripts (the
-    geometric kernels are not ANSI-SQL-expressible; per-turn equality is
-    enforced in tests/test_extraction_spark.py against the oracle)."""
+    """Flagship extraction over deterministic synthetic transcripts. The
+    geometric kernels are not ANSI-SQL-expressible, so the oracle is a
+    pre-computed fixture parquet written by the INDEPENDENT scalar oracle
+    (oracle/extract.py via scripts/make_fixture_oracles.py); full per-region
+    equality is additionally enforced in tests/test_extraction_spark.py."""
     from ..sources.transcripts import distributed_transcripts
     from .extraction import build_extraction
 
@@ -1153,7 +1179,20 @@ def q_extract_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("q_multimodal_decode", None)
+@register(
+    "q_multimodal_decode",
+    _fixture_sql(
+        "multimodal_decode_oracle",
+        # nullable ints coalesced to -1 on BOTH sides: mixed None/int columns
+        # are not canonicalizable by the value-hash comparator
+        "media_id, kind, coalesce(width, -1) AS width, "
+        "coalesce(height, -1) AS height, "
+        "coalesce(sample_rate, -1) AS sample_rate, "
+        "coalesce(n_samples, -1) AS n_samples, "
+        "round(mean_value, 6) AS mean_value, ok, error",
+        "media_id",
+    ),
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: synthesize fake image/audio binaries, batch-decode
     via mapInPandas (real decoders stubbed; see operators/multimodal.py)."""
@@ -1179,10 +1218,21 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # payloads synthesized ON the executors (no driver materialization)
     df = spark.range(64).repartition(8).mapInPandas(gen, "media_id bigint, payload binary")
-    return decode_media(df).orderBy("media_id")
+    # round / coalesce on BOTH sides (fixture SQL applies the same)
+    out = decode_media(df).withColumn("mean_value", F.round("mean_value", 6))
+    for c in ("width", "height", "sample_rate", "n_samples"):
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(-1)))
+    return out.orderBy("media_id")
 
 
-@register("q_mathml_from_image", None)
+@register(
+    "q_mathml_from_image",
+    _fixture_sql(
+        "mathml_from_image_oracle",
+        "media_id, latex, mathml, ok, error",
+        "media_id",
+    ),
+)
 def q_mathml_from_image(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image->XML composed path (reference src/generate_mathml.py:54-78):
     formula-image payloads -> recognition seam -> LaTeX -> annotated MathML.
@@ -1279,7 +1329,14 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("q_pipeline_extract_dedup", None)
+@register(
+    "q_pipeline_extract_dedup",
+    _fixture_sql(
+        "pipeline_extract_dedup_oracle",
+        "fingerprint, canonical_id, n_dups",
+        "fingerprint",
+    ),
+)
 def q_pipeline_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed pipeline: transcript extraction -> exact dedup of the
     extracted main-content text (the shape of a real training-data job:
@@ -1290,8 +1347,10 @@ def q_pipeline_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rows = distributed_transcripts(spark, n_convs=25, median_turns=5, seed=17)
     extracted = build_extraction(rows, order_output=False)
+    # string doc_id (conv#turn) rather than xxhash64 so the scalar fixture
+    # oracle (scripts/make_fixture_oracles.py) can reproduce it exactly
     nonempty = extracted.where(F.length("extracted_text") > 0).select(
-        F.xxhash64("conv_id", "turn_idx").alias("doc_id"),
+        F.concat_ws("#", "conv_id", F.col("turn_idx").cast("string")).alias("doc_id"),
         F.col("extracted_text").alias("text"),
     )
     return exact_dedup(nonempty).orderBy("fingerprint")
@@ -1446,6 +1505,34 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _read(spark, sf_dir, "embeddings")
     return S.ivf_topk(
         emb, emb.where(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=3
+    ).orderBy("query_id", "rank")
+
+
+@register(
+    "q_ivf_exhaustive_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS sim_exact
+      FROM q JOIN embeddings c ON c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_exact DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
+def q_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_centroids probes every inverted list, which is
+    exact by construction -- so its oracle is the same brute-force SQL as
+    q_ann_topk. Value-checks the WHOLE IVF plumbing (KMeans fit, Arrow
+    assignment UDF, probe explode, centroid equi-join, re-rank) end-to-end;
+    the recall-mode entry (q_ivf_ann_topk) stays rows-only by nature."""
+    emb = _read(spark, sf_dir, "embeddings")
+    return S.ivf_topk(
+        emb, emb.where(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=8
     ).orderBy("query_id", "rank")
 
 

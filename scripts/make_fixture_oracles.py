@@ -1,0 +1,182 @@
+"""Generate deterministic ORACLE fixture parquets for the harness entries
+whose semantics are not ANSI-SQL-expressible (geometric extraction kernels,
+binary decode plumbing), upgrading them from rows-only to value-checked:
+the driver's oracle_sql() for these queries is a plain
+``SELECT ... FROM read_parquet('<fixture>')``.
+
+Every fixture is computed SCALAR-SIDE (no Spark):
+
+* ``extract_transcripts_oracle``   -- the independent scalar oracle
+  (oracle/extract.py, a from-the-reference re-derivation, NOT the engine
+  kernel) over the same deterministic synthetic transcripts
+  q_extract_transcripts generates executor-side (same (seed, conv, turn)
+  substreams; sources/transcripts.iter_rows == distributed_transcripts).
+* ``pipeline_extract_dedup_oracle`` -- scalar oracle extraction -> python
+  md5-of-normalized-text exact-dedup groups.
+* ``multimodal_decode_oracle`` / ``mathml_from_image_oracle`` -- the same
+  pure decode functions the Spark kernels call, evaluated directly; these
+  pin the mapInPandas plumbing (schema, batching, ordering), the functions
+  themselves are pytest-covered.
+
+Deterministic by construction: re-running this script must be a no-op diff.
+Run from the repo root:  python scripts/make_fixture_oracles.py
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from action_pdf_accessibility_paddle_docker_spark.config import PDE_TABLE  # noqa: E402
+from action_pdf_accessibility_paddle_docker_spark.oracle.extract import (  # noqa: E402
+    extract_turn,
+)
+from action_pdf_accessibility_paddle_docker_spark.sources.transcripts import (  # noqa: E402
+    iter_rows,
+)
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests", "fixtures"
+)
+
+
+def _count_regions(res: dict) -> int:
+    """Engine-comparable flattened region count (top + nested + cells for
+    PDF; one row per block for HTML; 0 for plain text)."""
+    if res["payload_kind"] != "pdf":
+        return len(res["regions"])
+    n = 0
+    for el in res["regions"]:
+        n += 1 + len(el["nested"])
+        if el["type"] == PDE_TABLE and el["cells"]:
+            n += len(el["cells"])
+    return n
+
+
+def _normalized(s: str) -> str:
+    """Python twin of operators.dedup.normalized (Spark trim strips spaces;
+    Java \\s is the ASCII class)."""
+    return re.sub(r"\s+", " ", s.strip(" "), flags=re.ASCII).lower()
+
+
+def _write(name: str, table: pa.Table) -> str:
+    os.makedirs(FIXTURE_DIR, exist_ok=True)
+    path = os.path.join(FIXTURE_DIR, f"{name}.parquet")
+    pq.write_table(table, path, row_group_size=65536)
+    return path
+
+
+def extract_transcripts_fixture() -> str:
+    """Mirror of q_extract_transcripts (n_convs=30, median_turns=6, seed=42)."""
+    cols = {k: [] for k in (
+        "conv_id", "turn_idx", "payload_kind", "extracted_text",
+        "n_regions", "n_artifacts",
+    )}
+    for row in iter_rows(30, 6, seed=42):
+        res = extract_turn(row["text"])
+        cols["conv_id"].append(row["conv_id"])
+        cols["turn_idx"].append(row["turn_idx"])
+        cols["payload_kind"].append(res["payload_kind"])
+        cols["extracted_text"].append(res["extracted_text"])
+        cols["n_regions"].append(_count_regions(res))
+        cols["n_artifacts"].append(res["n_artifacts"])
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("payload_kind", pa.string()), ("extracted_text", pa.string()),
+        ("n_regions", pa.int32()), ("n_artifacts", pa.int32()),
+    ])
+    return _write("extract_transcripts_oracle", pa.table(cols, schema=schema))
+
+
+def pipeline_extract_dedup_fixture() -> str:
+    """Mirror of q_pipeline_extract_dedup (n_convs=25, median_turns=5,
+    seed=17): extraction -> nonempty -> md5(normalized) groups with
+    lexicographic-min canonical id."""
+    groups: dict[str, list[str]] = {}
+    for row in iter_rows(25, 5, seed=17):
+        res = extract_turn(row["text"])
+        text = res["extracted_text"]
+        if len(text) == 0:
+            continue
+        fp = hashlib.md5(_normalized(text).encode("utf-8")).hexdigest()
+        groups.setdefault(fp, []).append(f"{row['conv_id']}#{row['turn_idx']}")
+    fps = sorted(groups)
+    schema = pa.schema([
+        ("fingerprint", pa.string()), ("canonical_id", pa.string()),
+        ("n_dups", pa.int64()),
+    ])
+    return _write("pipeline_extract_dedup_oracle", pa.table({
+        "fingerprint": fps,
+        "canonical_id": [min(groups[f]) for f in fps],
+        "n_dups": [len(groups[f]) for f in fps],
+    }, schema=schema))
+
+
+def multimodal_decode_fixture() -> str:
+    """Mirror of q_multimodal_decode's executor-side synthesis (64 media
+    ids, alternating fake image / fake audio)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.multimodal import (
+        _decode_one,
+        make_fake_audio,
+        make_fake_image,
+    )
+
+    rows = []
+    for i in range(64):
+        payload = (make_fake_image(i, 32 + i % 8, 24) if i % 2 == 0
+                   else make_fake_audio(i, 16000, 200 + i))
+        rows.append(_decode_one(i, payload))
+    schema = pa.schema([
+        ("media_id", pa.int64()), ("kind", pa.string()),
+        ("width", pa.int32()), ("height", pa.int32()),
+        ("sample_rate", pa.int32()), ("n_samples", pa.int32()),
+        ("mean_value", pa.float64()), ("ok", pa.bool_()),
+        ("error", pa.string()),
+    ])
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    return _write("multimodal_decode_oracle", pa.table(cols, schema=schema))
+
+
+def mathml_from_image_fixture() -> str:
+    """Mirror of q_mathml_from_image (32 ids over 4 latex payloads)."""
+    from action_pdf_accessibility_paddle_docker_spark.functions.mathml import (
+        add_mathml_metadata,
+        latex_to_mathml,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.multimodal import (
+        make_fake_formula_image,
+    )
+
+    latexes = [r"x^{2}+y_{1}", r"\frac{a}{b}+c", r"\sqrt{z}=\alpha", r"E=mc^2"]
+    rows = []
+    for i in range(32):
+        latex = latexes[i % 4]
+        # same decode path the kernel takes for FML1 containers
+        payload = make_fake_formula_image(latex)
+        assert payload[:4] == b"FML1"
+        mathml = latex_to_mathml(latex)
+        ok = mathml != ""
+        rows.append({
+            "media_id": i, "latex": latex,
+            "mathml": add_mathml_metadata(mathml) if ok else None,
+            "ok": ok, "error": None if ok else "latex-to-mathml failed",
+        })
+    schema = pa.schema([
+        ("media_id", pa.int64()), ("latex", pa.string()),
+        ("mathml", pa.string()), ("ok", pa.bool_()), ("error", pa.string()),
+    ])
+    cols = {f.name: [r.get(f.name) for r in rows] for f in schema}
+    return _write("mathml_from_image_oracle", pa.table(cols, schema=schema))
+
+
+if __name__ == "__main__":
+    for fn in (extract_transcripts_fixture, pipeline_extract_dedup_fixture,
+               multimodal_decode_fixture, mathml_from_image_fixture):
+        print(fn())

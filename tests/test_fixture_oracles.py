@@ -1,0 +1,46 @@
+"""Fixture-oracle freshness guard: the committed fixture parquets under
+tests/fixtures/ must equal what scripts/make_fixture_oracles.py produces
+from the current scalar oracle. If an oracle/generator change lands without
+regenerating the fixtures, this fails before the driver's value-check does
+(the Spark-vs-fixture value equality itself runs in test_queries_vs_duckdb
+via the registered read_parquet oracle SQL)."""
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from scripts.make_fixture_oracles import (
+    FIXTURE_DIR,
+    extract_transcripts_fixture,
+    mathml_from_image_fixture,
+    multimodal_decode_fixture,
+    pipeline_extract_dedup_fixture,
+)
+
+
+@pytest.mark.parametrize(
+    "gen",
+    [
+        extract_transcripts_fixture,
+        pipeline_extract_dedup_fixture,
+        multimodal_decode_fixture,
+        mathml_from_image_fixture,
+    ],
+    ids=lambda f: f.__name__,
+)
+def test_fixture_is_fresh(gen, tmp_path, monkeypatch):
+    name = gen.__name__.replace("_fixture", "_oracle")
+    committed_path = os.path.join(FIXTURE_DIR, f"{name}.parquet")
+    assert os.path.exists(committed_path), (
+        f"missing fixture {committed_path}; run scripts/make_fixture_oracles.py"
+    )
+    committed = pq.read_table(committed_path)
+    import scripts.make_fixture_oracles as m
+
+    monkeypatch.setattr(m, "FIXTURE_DIR", str(tmp_path))
+    fresh = pq.read_table(gen())
+    assert fresh.schema.equals(committed.schema)
+    assert fresh.equals(committed), (
+        f"fixture {name} is stale; re-run scripts/make_fixture_oracles.py"
+    )
