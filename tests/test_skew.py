@@ -90,3 +90,50 @@ def test_hot_shingle_cap_bounds_pair_explosion(spark):
     exact = ngram_jaccard_pairs(small, threshold=0.1, max_doc_freq=None).count()
     capped_loose = ngram_jaccard_pairs(small, threshold=0.1, max_doc_freq=10_000).count()
     assert exact == capped_loose
+
+
+def test_aqe_splits_skewed_lsh_bucket_join(spark):
+    """SURVEY section 4.2 promises AQE skew-join as the runtime backstop for
+    hot LSH buckets (a universal shingle / degenerate hyperplane bucket makes
+    one join partition vastly larger than the rest). Evidence: a sort-merge
+    join with one hot key, AQE skew thresholds lowered to demo scale, must
+    show OptimizeSkewedJoin splitting the hot partition in the FINAL adaptive
+    plan (the ``skew=true`` marker)."""
+    s = spark
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # demo-scale thresholds so a few MB counts as "skewed"
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    old = {k: s.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            s.conf.set(k, v)
+        # hot bucket 0: 60k rows on the left, all matched on the right
+        left = s.range(0, 66000).select(
+            F.when(F.col("id") < 60000, F.lit(0))
+            .otherwise(F.col("id") % 97).alias("bucket"),
+            F.concat(F.lit("payload-"), F.col("id")).alias("va"),
+        )
+        right = s.range(0, 300).select(
+            (F.col("id") % 97).alias("bucket"),
+            F.concat(F.lit("r-"), F.col("id")).alias("vb"),
+        )
+        joined = left.join(right, "bucket")
+        # materialize THIS DataFrame's own query execution (count() would
+        # spawn a separate execution and leave this plan isFinalPlan=false)
+        assert len(joined.collect()) > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                s.conf.unset(k)
+            else:
+                s.conf.set(k, v)
