@@ -288,31 +288,73 @@ class PaddleXDetector(BatchHooks):
         """Raw %PDF- bytes: rasterize every page via pypdfium2 (public
         Apache/BSD pdfium binding; the reference renders via the licensed
         PDFix SDK, src/page_renderer.py:27-89) and feed the page ndarrays
-        through the SAME M1-M4 pipeline as structured payloads. Without
+        through the SAME M1-M4 pipeline as structured payloads -- batched
+        (all pages of the document go through one planner pass) and with
+        region/cell text filled from the PDF TEXT LAYER (pdfium textpage;
+        the reference reads element text through PDFix,
+        src/template_json.py:219-382 / src/process_table.py). Without
         pypdfium2 installed this raises, which extract_series converts into
-        the honest per-turn 'pdf-bytes-decode' error row.
-
-        Note the text layer: the layout model yields geometry + labels only;
-        extracted_text for text regions is whatever the model emits in
-        ``text`` (usually empty -- the reference reads the text layer through
-        PDFix, a licensed component we do not ship)."""
-        from .payload import extract_pages
-        from .rasterize import rasterize_pdf_bytes
+        the honest per-turn 'pdf-bytes-decode' error row."""
+        from ..config import PAYLOAD_KIND_PDF_BYTES
+        from .payload import _plan_batch, extract_pages
+        from .rasterize import open_pdf_pages
 
         data = text.encode("latin-1", "surrogateescape") if isinstance(text, str) else text
-        images = rasterize_pdf_bytes(data, scale=self.zoom)
-        pages = [
-            {"page": i + 1, "image": img, "page_h": float(img.shape[0])}
-            for i, img in enumerate(images)
-        ]
-        from ..config import PAYLOAD_KIND_PDF_BYTES
-
-        res = extract_pages(
-            pages, zoom=self.zoom, page_h_px=pages[0]["page_h"] if pages else 1584.0,
-            det=self, process_table=process_table, process_formula=process_formula,
-        )
+        pages, close = open_pdf_pages(data, scale=self.zoom)
+        try:
+            planned = _plan_batch(self, pages, process_table, process_formula)
+            res = extract_pages(
+                pages, zoom=self.zoom,
+                page_h_px=pages[0]["page_h"] if pages else 1584.0,
+                det=TextLayerDetector(planned),
+                process_table=process_table, process_formula=process_formula,
+            )
+        finally:
+            close()
         res["payload_kind"] = PAYLOAD_KIND_PDF_BYTES
         return res
+
+
+class TextLayerDetector:
+    """Decorates a detector with PDF text-layer reads: after the base
+    detector returns region boxes / table cells (geometry only -- layout and
+    cell-det models emit no text), fill each ``text`` from the page's
+    ``text_lookup`` accessor (raster-pixel bbox -> text-layer string). This
+    is the open-source analog of the reference pulling element text out of
+    PDFix (src/template_json.py:219-382); pages without a text layer (pure
+    scans) keep empty text, exactly like the reference without OCR."""
+
+    def __init__(self, base):
+        self._base = base
+
+    def detect_page(self, page: dict[str, Any]) -> list[dict[str, Any]]:
+        boxes = self._base.detect_page(page)
+        lookup = page.get("text_lookup")
+        if lookup is not None:
+            for b in boxes:
+                if not b.get("text"):
+                    c = b["coordinate"]
+                    b["text"] = lookup(c[0], c[1], c[2], c[3])
+        return boxes
+
+    def table_cells(self, page: dict[str, Any], box: dict[str, Any]):
+        cells = self._base.table_cells(page, box)
+        lookup = page.get("text_lookup")
+        if cells is not None and lookup is not None:
+            # cell-det coordinates are crop-local; the crop origin is the
+            # region bbox minus the 1px offset (clamped), so map back to
+            # page raster px before the text-layer read
+            ox = max(0, int(box["coordinate"][0]) - CROP_OFFSET_PX)
+            oy = max(0, int(box["coordinate"][1]) - CROP_OFFSET_PX)
+            for c in cells:
+                if not c.get("text"):
+                    cc = c["coordinate"]
+                    c["text"] = lookup(ox + cc[0], oy + cc[1],
+                                       ox + cc[2], oy + cc[3])
+        return cells
+
+    def formula_latex(self, page: dict[str, Any], box: dict[str, Any]):
+        return self._base.formula_latex(page, box)
 
 
 def get_detector(thresholds: dict[int, float], kind: str = "stub", **kw) -> Detector:

@@ -26,45 +26,6 @@ def token_count(col: Column) -> Column:
     return F.size(tokens(col))
 
 
-def _stop_hits(col: Column, words: tuple[str, ...]) -> Column:
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(F.lower(col)), lambda t: F.array_contains(arr, t)))
-
-
-def quality_columns(text: Column) -> dict[str, Column]:
-    """Length / punctuation-ratio / stopword-ratio quality signals."""
-    n_chars = F.length(text)
-    n_punct = n_chars - F.length(F.regexp_replace(text, PUNCT_CLASS, ""))
-    n_tokens = token_count(text)
-    en_hits = _stop_hits(text, EN_STOPWORDS)
-    return {
-        "n_chars": n_chars,
-        "n_tokens": n_tokens,
-        "punct_ratio": F.round(n_punct.cast("double") / n_chars, 6),
-        "stopword_ratio": F.round(en_hits.cast("double") / n_tokens, 6),
-        "mean_token_len": F.round(
-            (F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("double")) / n_tokens, 6
-        ),
-    }
-
-
-def lang_guess(text: Column) -> Column:
-    """Tiny deterministic language-ID heuristic (stopword voting)."""
-    en = _stop_hits(text, EN_STOPWORDS)
-    es = _stop_hits(text, ES_STOPWORDS)
-    return (
-        F.when(es > en, F.lit("es"))
-        .when(en > 0, F.lit("en"))
-        .otherwise(F.lit("und"))
-    )
-
-
-def fingerprint(text: Column) -> Column:
-    """Content fingerprint: md5 of the whitespace-normalized lowercase text.
-    (A rolling-hash variant lives in tests as a non-SQL kernel.)"""
-    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
-
-
 def word_bigrams(toks: Column) -> Column:
     """Non-distinct word bigrams of a token array (zip_with of shifted
     slices; O(n) per doc, JVM-side)."""

@@ -65,6 +65,10 @@ def main() -> None:
                     help="paddlex layout model name (or RT-DETR-H_layout_17cls)")
     ap.add_argument("--model-dir", default="/models",
                     help="paddlex model weights root")
+    ap.add_argument("--infer-batch-size", type=int, default=8,
+                    help="paddlex predict batch size (pages/crops per model "
+                         "call; the whole Arrow batch is planned up front "
+                         "either way)")
     ap.add_argument("--tag-tree", action="store_true",
                     help="also write the flattened tag-tree row table to "
                          "<output>_tag_tree (the reference `tag` subcommand's "
@@ -102,7 +106,8 @@ def main() -> None:
         overrides[int(k)] = float(v)
     thresholds = effective_thresholds(overrides, model=args.model)
     detector_kw = (
-        {"model": args.model, "model_dir": args.model_dir}
+        {"model": args.model, "model_dir": args.model_dir,
+         "infer_batch_size": args.infer_batch_size}
         if args.detector == "paddlex" else {}
     )
 

@@ -106,9 +106,23 @@ def _fake_pdfium(n_pages=3, h=120, w=90):
             s = self.scale
             return np.zeros((int(h * s), int(w * s), 4), dtype=np.uint8)
 
+    class _TextPage:
+        def get_text_bounded(self, left, bottom, right, top):
+            # deterministic per-bbox text so region attribution is checkable
+            return f"layer[{int(left)},{int(bottom)},{int(right)},{int(top)}]"
+
+        def close(self):
+            pass
+
     class _Page:
         def render(self, scale=1.0):
             return _Bitmap(scale)
+
+        def get_textpage(self):
+            return _TextPage()
+
+        def get_height(self):
+            return float(h)
 
     class PdfDocument:
         def __init__(self, data):
@@ -217,6 +231,54 @@ def test_detect_pdf_bytes_rasterizes_and_extracts(fake_paddlex, monkeypatch):
     # formula -> latex -> MathML recorded
     assert len(res["mathml"]) == 2
     assert "<math" in res["mathml"][0][1]
+    # region text came from the PDF TEXT LAYER (pdfium textpage lookup),
+    # and the page assembly collected it into extracted_text
+    text_rows = [r for r in res["regions"] if r[2] == "text"]
+    assert all(r[9].startswith("layer[") for r in text_rows)
+    assert "layer[" in res["extracted_text"]
+
+
+def test_text_layer_fills_cells_from_crop_local_coords(fake_paddlex, monkeypatch):
+    monkeypatch.setitem(sys.modules, "pypdfium2", _fake_pdfium(n_pages=1))
+    from action_pdf_accessibility_paddle_docker_spark.operators.detector import (
+        TextLayerDetector,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.rasterize import (
+        open_pdf_pages,
+    )
+
+    base = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/m",
+                               zoom=1.0)
+    pages, close = open_pdf_pages(b"%PDF-1.7 x", scale=1.0)
+    try:
+        det = TextLayerDetector(base)
+
+        class _GeomOnly:
+            """cell-det twin that emits empty text (like the real model)."""
+
+            def detect_page(self, page):
+                return base.detect_page(page)
+
+            def table_cells(self, page, box):
+                cells = base.table_cells(page, box)
+                for c in cells:
+                    c["text"] = ""
+                return cells
+
+            def formula_latex(self, page, box):
+                return base.formula_latex(page, box)
+
+        det = TextLayerDetector(_GeomOnly())
+        page = pages[0]
+        boxes = det.detect_page(page)
+        table_box = next(b for b in boxes if b["label"] == "table")
+        cells = det.table_cells(page, table_box)
+        assert cells and all(c["text"].startswith("layer[") for c in cells)
+        # crop-local (0,0) maps back to the table bbox origin (minus offset)
+        ox = int(table_box["coordinate"][0]) - 1
+        assert f"layer[{ox}," in cells[0]["text"]
+    finally:
+        close()
 
 
 def test_extract_series_routes_raw_pdf_through_production_seam(fake_paddlex, monkeypatch):
