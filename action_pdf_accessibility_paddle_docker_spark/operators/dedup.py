@@ -75,6 +75,97 @@ def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     ).where(F.length("shingle") > 0)
 
 
+def word_ngrams(text_col, n: int):
+    """Non-distinct word n-grams of the normalized text, in position order.
+    `transform` over the start-index sequence + a fixed-width `slice` is
+    O(n_tokens * n) JVM-side work per document (the slice copies n refs per
+    gram; no quadratic element_at walk)."""
+    toks = F.split(normalized(text_col), " ")
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(1), cnt - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_ngram_stats(
+    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document duplicated-n-gram fraction -- the substring-level
+    duplication signal from Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (word-level n-grams instead of suffix-array
+    byte spans; the signal is the same: how much of this document's content
+    also exists elsewhere in the corpus).
+
+    Scale shape: counts are pre-aggregated per (doc, gram) BEFORE the
+    global per-gram aggregate, so the join-back side is the distinct-gram
+    table, not the exploded instance stream; both aggregates get map-side
+    combine. Documents shorter than n tokens have no n-grams and are
+    absent from the output (same on the oracle side)."""
+    grams = _widen(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+    ).select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram"))
+    local = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c_local"))
+    glob = local.groupBy("gram").agg(F.sum("c_local").alias("c_glob"))
+    dup = F.when(F.col("c_glob") >= 2, F.col("c_local")).otherwise(F.lit(0))
+    return (
+        local.join(glob, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_local").alias("n_ngrams"),
+            F.sum(dup).alias("n_dup_ngrams"),
+        )
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_ngrams").cast("double") / F.col("n_ngrams"), 6),
+        )
+    )
+
+
+def chunk_dedup_stats(
+    df: DataFrame, chunk_tokens: int = 20, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Paragraph-level dedup stats (Dolma-style), with fixed-width token
+    chunks standing in for paragraphs (the synthetic corpus has no hard
+    paragraph breaks; swap the chunker for split('\\n\\n') on real data).
+
+    A chunk is a duplicate when the same chunk hash occurs earlier in
+    corpus order (doc_id, chunk_idx) -- the first occurrence is canonical,
+    every later copy counts as removable. One shuffle: row_number over the
+    chunk-hash partition; AQE splits a pathological hot hash."""
+    from pyspark.sql import Window
+
+    toks = F.split(normalized(F.col(text_col)), " ")
+    n_chunks = F.ceil(F.size(toks).cast("double") / chunk_tokens).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda j: F.array_join(F.slice(toks, j * chunk_tokens + 1, chunk_tokens), " "),
+    )
+    ch = _widen(
+        df.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
+    ).select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
+    ranked = ch.select(
+        "doc_id", "chunk_idx", F.md5("chunk").alias("h")
+    ).withColumn(
+        "rn",
+        F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "chunk_idx")),
+    )
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+        )
+        .withColumn(
+            "dup_chunk_ratio",
+            F.round(F.col("n_dup_chunks").cast("double") / F.col("n_chunks"), 6),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,

@@ -1536,6 +1536,165 @@ def q_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("query_id", "rank")
 
 
+# ===========================================================================
+# Round 3 additions: substring/paragraph-level dup signals, PII scrub,
+# GROUPING SETS relational coverage
+# ===========================================================================
+
+_DUP_NGRAM_N = 8
+
+@register(
+    "q_dup_ngrams",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    g AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t) - {_DUP_NGRAM_N - 2}),
+                    i -> array_to_string(t[i:i+{_DUP_NGRAM_N - 1}], ' '))) AS gram
+      FROM toks WHERE len(t) >= {_DUP_NGRAM_N}
+    ),
+    loc AS (SELECT doc_id, gram, count(*) AS c_local FROM g GROUP BY 1, 2),
+    gtot AS (SELECT gram, sum(c_local)::BIGINT AS c_glob FROM loc GROUP BY 1)
+    SELECT doc_id,
+           sum(c_local)::BIGINT AS n_ngrams,
+           sum(CASE WHEN c_glob >= 2 THEN c_local ELSE 0 END)::BIGINT AS n_dup_ngrams,
+           round(sum(CASE WHEN c_glob >= 2 THEN c_local ELSE 0 END)
+                 / sum(c_local), 6) AS dup_ratio
+    FROM loc JOIN gtot USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_dup_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-8-gram fraction per document (Lee-et-al substring-dup
+    signal, word-level)."""
+    return D.dup_ngram_stats(_read(spark, sf_dir, "documents"), n=_DUP_NGRAM_N).orderBy(
+        "doc_id"
+    )
+
+
+_CHUNK_TOKENS = 20
+
+@register(
+    "q_chunk_dedup",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    ch AS (
+      SELECT doc_id,
+             unnest(range(0, cast(ceil(len(t) / {_CHUNK_TOKENS}.0) AS INT))) AS chunk_idx,
+             unnest(list_transform(range(0, cast(ceil(len(t) / {_CHUNK_TOKENS}.0) AS INT)),
+                    j -> array_to_string(
+                           t[j*{_CHUNK_TOKENS}+1 : j*{_CHUNK_TOKENS}+{_CHUNK_TOKENS}],
+                           ' '))) AS chunk
+      FROM toks
+    ),
+    ranked AS (
+      SELECT doc_id, chunk_idx,
+             row_number() OVER (PARTITION BY md5(chunk)
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM ch
+    )
+    SELECT doc_id, count(*)::BIGINT AS n_chunks,
+           sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup_chunks,
+           round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) / count(*), 6)
+             AS dup_chunk_ratio
+    FROM ranked GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-analog dedup: fixed 20-token chunks, first corpus
+    occurrence canonical, later copies counted as duplicates."""
+    return D.chunk_dedup_stats(
+        _read(spark, sf_dir, "documents"), chunk_tokens=_CHUNK_TOKENS
+    ).orderBy("doc_id")
+
+
+# PII injection recipe shared by both engines: two-thirds of the documents
+# get a deterministic synthetic email + IPv4 + phone appended (the corpus
+# itself is PII-free word soup), so counts exercise 0 and >0 paths.
+from ..operators.pii import EMAIL_RE as _EMAIL_RE  # noqa: E402
+from ..operators.pii import IPV4_RE as _IPV4_RE  # noqa: E402
+from ..operators.pii import PHONE_RE as _PHONE_RE  # noqa: E402
+
+
+@register(
+    "q_pii_redact",
+    f"""
+    WITH p AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 <> 0 THEN
+               text || ' contact user' || doc_id
+                    || '@example.com or 10.' || (doc_id % 200)
+                    || '.' || ((doc_id * 7) % 200)
+                    || '.42 call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+             ELSE text END AS text
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(text, '{_IPV4_RE}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                   '{_IPV4_RE}', '<IP>', 'g'),
+                 '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+    FROM p ORDER BY doc_id
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (emails / IPv4 / dashed phones): counts on the original
+    text + md5 of the redacted text. RE2-compatible patterns so DuckDB
+    evaluates the identical regexes; whole pass is one JVM projection."""
+    from ..operators import pii as P
+
+    d = F.col("doc_id")
+    injected = F.when(
+        d % 3 != 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com or 10."), (d % 200).cast("string"),
+            F.lit("."), ((d * 7) % 200).cast("string"),
+            F.lit(".42 call +1-555-"),
+            F.lpad((d % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.col("text"))
+    doc = _read(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))
+    return P.pii_stats(doc).orderBy("doc_id")
+
+
+@register(
+    "q_grouping_sets",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*)::BIGINT AS n_orders,
+           round(sum(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity aggregate in one pass (GROUPING SETS; the rollup
+    entry covers the hierarchical special case, this pins the general
+    native DataFrame API)."""
+    o = _read(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            "o_orderstatus", "o_orderpriority",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
