@@ -1695,6 +1695,68 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_line_filter",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    p AS (
+      SELECT doc_id, concat_ws(chr(10),
+        coalesce(array_to_string(t[1:10], ' '), '') || '.',
+        coalesce(array_to_string(t[11:14], ' '), '')
+          || CASE WHEN doc_id % 13 = 0 THEN ' {{x}}' ELSE '' END,
+        CASE WHEN doc_id % 5 = 0
+             THEN 'please enable javascript to view this page.' END,
+        CASE WHEN doc_id % 11 = 0 THEN 'lorem ipsum dolor sit amet.' END,
+        coalesce(array_to_string(t[15:22], ' '), '') || '?',
+        CASE WHEN doc_id % 7 = 0 THEN 'short line.' END
+      ) AS text FROM toks
+    ),
+    k AS (
+      SELECT doc_id, text,
+        list_filter(str_split(text, chr(10)), l ->
+          right(l, 1) IN ('.', '!', '?', '"')
+          AND len(list_filter(str_split(l, ' '), w -> w <> '')) >= 3
+          AND NOT (contains(lower(l), 'javascript')
+                   OR contains(lower(l), 'cookie policy')
+                   OR contains(lower(l), 'terms of use'))) AS kept
+      FROM p
+    )
+    SELECT doc_id,
+           len(str_split(text, chr(10)))::BIGINT AS n_lines,
+           len(kept)::BIGINT AS n_kept,
+           (len(kept) >= 3 AND NOT (contains(lower(text), 'lorem ipsum')
+                                    OR contains(lower(text), '{{'))) AS keep_doc,
+           md5(array_to_string(kept, chr(10))) AS cleaned_fp
+    FROM k ORDER BY doc_id
+    """,
+)
+def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning (terminal punctuation, min words,
+    boilerplate markers, whole-doc bans). The corpus is single-line word
+    soup, so both engines first assemble the same deterministic multi-line
+    text (good lines from token slices; a dropped fragment line, a
+    javascript line on doc_id%5, a lorem-ipsum poison on doc_id%11, a
+    too-short line on doc_id%7, a '{x}' ban marker on doc_id%13)."""
+    from ..operators import linefilter as L
+
+    t = F.split(D.normalized(F.col("text")), " ")
+    d = F.col("doc_id")
+    injected = F.concat_ws(
+        "\n",
+        F.concat(F.array_join(F.slice(t, 1, 10), " "), F.lit(".")),
+        F.concat(
+            F.array_join(F.slice(t, 11, 4), " "),
+            F.when(d % 13 == 0, F.lit(" {x}")).otherwise(F.lit("")),
+        ),
+        F.when(d % 5 == 0, F.lit("please enable javascript to view this page.")),
+        F.when(d % 11 == 0, F.lit("lorem ipsum dolor sit amet.")),
+        F.concat(F.array_join(F.slice(t, 15, 8), " "), F.lit("?")),
+        F.when(d % 7 == 0, F.lit("short line.")),
+    )
+    doc = _read(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))
+    return L.line_filter_stats(doc).orderBy("doc_id")
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -37,7 +37,7 @@ def test_theta_range_join_is_equi_join_not_bnlj(spark):
 def test_jvm_only_operators_have_no_python(spark):
     for name in ("q_doc_stats", "q_dedup_exact", "q_minhash_lsh", "q_simhash",
                  "q_ann_topk", "q_asof_join", "q_pii_redact", "q_dup_ngrams",
-                 "q_chunk_dedup", "q_grouping_sets"):
+                 "q_chunk_dedup", "q_grouping_sets", "q_line_filter"):
         plan = _plan(spark, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
