@@ -51,3 +51,67 @@ def test_null_and_empty_text(spark):
     rows = {r["doc_id"]: r for r in pii_stats(df).collect()}
     assert rows[2]["n_emails"] == 0 and rows[2]["redacted_fp"] is not None
     assert rows[1]["redacted_fp"] is None
+
+
+def test_cross_engine_regex_fuzz(spark):
+    """Seeded fuzz of the PII regexes across Spark (Java regex) and DuckDB
+    (RE2): the patterns are deliberately restricted to the common subset, so
+    redaction and counts must agree byte-for-byte on adversarial inputs —
+    near-emails, >3-digit octets, unicode neighbors, stacked separators."""
+    import random
+
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.pii import (
+        EMAIL_RE,
+        IPV4_RE,
+        PHONE_RE,
+        pii_stats,
+    )
+
+    rng = random.Random(20260816)
+    frags = [
+        "a@b.io", "x.y+z@sub.domain.example", "not-an-email@", "@no.local",
+        "a@b", "a@b.c", "user@@double.io", "tld@dot.museum", ".@x.io",
+        "10.0.0.1", "255.255.255.255", "999.999.999.999", "1234.5.6.7",
+        "1.2.3.4.5", "1.2.3", "v1.2.3.4b", "0.0.0.0",
+        "+1-555-0100", "44-201-9999", "1-23-4567", "+123-456-7890",
+        "12345-678-9012", "+-555-0100", "555-01000", "--555-0100",
+        "word", "über", "naïve@café.fr", "日本語", "a.b", "...", "@",
+        "+", "-", "()", "a_b%c@d-e.fg", "5.5", "tel:+1-555-1234.",
+    ]
+    texts = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        + rng.choice(["", " trailing", ".", "@", " 1.2.3.4"])
+        for _ in range(400)
+    ]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    srows = {
+        r["doc_id"]: r
+        for r in pii_stats(df).collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    drows = con.execute(
+        f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+               len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+               len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
+               md5(regexp_replace(
+                     regexp_replace(
+                       regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{IPV4_RE}', '<IP>', 'g'),
+                     '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
+        FROM t ORDER BY doc_id
+        """
+    ).fetchall()
+    for doc_id, n_emails, n_ips, n_phones, fp in drows:
+        s = srows[doc_id]
+        got = (s["n_emails"], s["n_ips"], s["n_phones"], s["redacted_fp"])
+        assert got == (n_emails, n_ips, n_phones, fp), (doc_id, texts[doc_id], got)
