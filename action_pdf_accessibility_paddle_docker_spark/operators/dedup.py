@@ -396,22 +396,51 @@ def dedup_clusters(
     return connected_component_labels(nodes, pairs, max_iter=max_iter)
 
 
+def simhash_col(text_col, bits: int = SIMHASH_BITS):
+    """Row-wise simhash as ONE array expression: per-bit majority vote over
+    the (non-distinct) token hashes of the normalized text. `aggregate` over
+    the token array with a zip_with'd vote vector -- the expression tree is
+    O(1) in document length and tiny in `bits` (the per-bit masks are one
+    literal array), so the whole thing stays in codegen with ZERO shuffle.
+    Null text -> null; a tokenless document hashes to 0.
+
+    Value-identical to the former explode+groupBy formulation (every token
+    occurrence votes once per bit); the streaming near-dedup path relies on
+    this being a plain column so `dropDuplicatesWithinWatermark` can key on
+    it without an upstream stateful aggregation."""
+    masks = F.array(*[F.lit(1 << b).cast("long") for b in range(bits)])
+    toks = F.filter(F.split(normalized(text_col), " "), lambda x: x != F.lit(""))
+    votes = F.aggregate(
+        toks,
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, tok: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(_hash_hex_to_long(F.md5(tok)).bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            votes, masks,
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+
+
 def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(doc_id, simhash int): per-bit majority vote over token hashes."""
-    toks = _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))).select(
-        "doc_id",
-        F.explode(F.split(normalized(F.col("text")), " ")).alias("tok"),
-    ).where(F.length("tok") > 0)
-    h = _hash_hex_to_long(F.md5(F.col("tok")))
-    votes = [
-        F.sum(
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"v{b}")
-        for b in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
-    sim = None
-    for b in range(bits):
-        bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b)
-        sim = bit if sim is None else (sim + bit)
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+    """(doc_id, simhash int): per-bit majority vote over token hashes.
+    Shuffle-free: the vote is a per-row array fold (`simhash_col`), not an
+    explode+groupBy; documents with no tokens are dropped (the former
+    explode-based semantics)."""
+    return (
+        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+        .where(
+            F.size(
+                F.filter(F.split(normalized(F.col("text")), " "), lambda x: x != F.lit(""))
+            ) > 0
+        )
+        .select("doc_id", simhash_col(F.col("text"), bits).alias("simhash"))
+    )

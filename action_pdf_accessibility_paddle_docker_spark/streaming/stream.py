@@ -161,6 +161,27 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "30 minutes") -> D
     )
 
 
+def streaming_near_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+    """Streaming NEAR-duplicate drop: key the watermarked dedup on the
+    row-wise simhash (`dedup.simhash_col`) instead of the exact content
+    fingerprint. Reworded-but-same-bag-of-words turns (reordered tokens,
+    whitespace/case variants) collapse to one survivor; genuinely different
+    content passes.
+
+    This is only possible because simhash is computed as a stateless column
+    expression -- `dropDuplicatesWithinWatermark` cannot sit downstream of a
+    stateful explode+groupBy simhash. State is one 2^bits-keyed row per
+    distinct simhash inside the horizon, evicted by the event-time
+    watermark, so it is bounded by the dedup window at any corpus size."""
+    from ..operators.dedup import simhash_col
+
+    return (
+        stream.withColumn("simhash", simhash_col(F.col("text")))
+        .withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["simhash"])
+    )
+
+
 def _duration_ms(s: str) -> int:
     n, unit = s.split()
     mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000,

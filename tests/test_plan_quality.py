@@ -141,3 +141,11 @@ def test_lsh_signatures_are_one_arrow_udf_plan_size_dim_independent(spark):
     assert big.count("ArrowEvalPython") == 2
     # plan text must not scale with embedding dimension (literal planes did)
     assert len(big) < 1.2 * len(small) + 2000, (len(small), len(big))
+
+
+def test_simhash_is_shuffle_free_projection(spark):
+    """Row-wise simhash must not aggregate: no HashAggregate/explode in the
+    plan (the only exchanges are the _widen spread and the output sort)."""
+    plan = _plan(spark, "q_simhash")
+    assert "HashAggregate" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode

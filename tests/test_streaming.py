@@ -206,3 +206,77 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert sorted(set(" ".join(r["text"].lower().split()) for r in rows)) == [
         "hello world", "unique one", "unique two",
     ]
+
+
+def test_streaming_near_dedup(spark, tmp_path):
+    """Near-dup drop keyed on row-wise simhash: a token-REORDERED variant
+    (different exact fingerprint, same bag of words) collapses across
+    micro-batches; distinct content passes."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        normalized,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        streaming_near_dedup,
+    )
+    from pyspark.sql import functions as F
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), str(src / name))
+
+    original = "alpha beta gamma delta epsilon"
+    reordered = "Epsilon   delta GAMMA beta alpha"  # same tokens, new order/case
+    write("f0.parquet", [
+        dict(conv_id="a", turn_idx=0, role="user", text=original, tool="", ts=t0),
+        dict(conv_id="b", turn_idx=0, role="user", text="something else entirely",
+             tool="", ts=t0 + timedelta(seconds=1)),
+    ])
+    write("f1.parquet", [
+        dict(conv_id="c", turn_idx=0, role="user", text=reordered, tool="",
+             ts=t0 + timedelta(seconds=2)),
+        dict(conv_id="c", turn_idx=1, role="user", text="fresh new content here",
+             tool="", ts=t0 + timedelta(seconds=3)),
+    ])
+
+    # precondition: the reordered variant is NOT an exact duplicate
+    pre = spark.createDataFrame(
+        [(original,), (reordered,)], "text string"
+    ).select(F.md5(normalized(F.col("text"))).alias("fp")).collect()
+    assert pre[0]["fp"] != pre[1]["fp"]
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        streaming_near_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 3
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["alpha beta gamma delta epsilon",
+                     "fresh new content here", "something else entirely"]
+    assert len(set(r["simhash"] for r in rows)) == 3
