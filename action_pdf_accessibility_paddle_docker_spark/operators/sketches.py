@@ -1,0 +1,53 @@
+"""Approximate sketches next to their exact twins.
+
+At 100 TB, exact `count(DISTINCT)` and exact percentiles are shuffle-heavy
+(distinct forces a per-key dedup pass; exact percentile materializes the
+sorted group). The sketch forms — HyperLogLog++ (`approx_count_distinct`)
+and KLL-style quantiles (`percentile_approx`) — are single-pass,
+fixed-memory, and mergeable, so they keep map-side combine and scale
+linearly. This module computes BOTH in one aggregation and reports the
+sketch error against the exact value, which is how the harness pins them:
+the oracle asserts the exact values plus `within tolerance = true` flags
+(the sketch itself is engine-specific and can never hash-match across
+engines; its accuracy contract can).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def sketch_accuracy(
+    df: DataFrame,
+    group_col: str,
+    distinct_col: str,
+    value_col: str,
+    distinct_rel_tol: float = 0.05,
+    quantile_rel_tol: float = 0.05,
+) -> DataFrame:
+    """Per group: exact distinct count and exact median alongside their
+    sketch estimates, plus boolean tolerance verdicts. One aggregation pass
+    (exact + sketch aggregates share the shuffle); the exact aggregates are
+    the cross-engine-checkable part, the booleans pin the sketch quality."""
+    exact_p50 = F.expr(f"percentile({value_col}, 0.5)")
+    approx_p50 = F.percentile_approx(value_col, 0.5, 10_000)
+    out = df.groupBy(group_col).agg(
+        F.countDistinct(distinct_col).alias("n_distinct_exact"),
+        F.approx_count_distinct(distinct_col, 0.02).alias("n_distinct_approx"),
+        exact_p50.alias("_p50_exact"),
+        approx_p50.alias("_p50_approx"),
+    )
+    d_err = F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact")) / F.col(
+        "n_distinct_exact"
+    )
+    q_err = F.abs(F.col("_p50_approx") - F.col("_p50_exact")) / F.abs(
+        F.col("_p50_exact")
+    )
+    return out.select(
+        F.col(group_col),
+        F.col("n_distinct_exact").cast("bigint"),
+        (d_err <= distinct_rel_tol).alias("distinct_within_tol"),
+        F.round(F.col("_p50_exact"), 2).alias("p50_exact"),
+        (q_err <= quantile_rel_tol).alias("p50_within_tol"),
+    )

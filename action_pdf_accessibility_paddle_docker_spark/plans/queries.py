@@ -1757,6 +1757,32 @@ def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return L.line_filter_stats(doc).orderBy("doc_id")
 
 
+@register(
+    "q_sketch_accuracy",
+    """
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey)::BIGINT AS n_distinct_exact,
+           TRUE AS distinct_within_tol,
+           round(quantile_cont(o_totalprice, 0.5), 2) AS p50_exact,
+           TRUE AS p50_within_tol
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL++ distinct count and approx median next to their exact twins in
+    ONE aggregation. The oracle pins the exact values AND asserts the
+    tolerance booleans are literally true -- so the sketch's accuracy
+    contract (not its engine-specific bits) is what gets value-checked."""
+    from ..operators.sketches import sketch_accuracy
+
+    return sketch_accuracy(
+        _read(spark, sf_dir, "orders"),
+        group_col="o_orderstatus",
+        distinct_col="o_custkey",
+        value_col="o_totalprice",
+    ).orderBy("o_orderstatus")
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
