@@ -5,9 +5,11 @@ Design (Spark-first, sized for ~100 TB on a 1000-executor cluster):
 * The whole per-turn pipeline (payload classify -> stub detect -> threshold
   filter -> table/formula sub-pipelines -> NMS -> element conversion ->
   reading order -> artifact strip -> text assembly) is ONE fused
-  ``mapInPandas`` stage: zero shuffles for the map phase, Arrow-batched into
-  Python workers, numpy-vectorized geometry. This mirrors the reference's
-  page-at-a-time pipeline (bounded memory) while scoring whole batches.
+  ``mapInArrow`` stage: zero shuffles for the map phase, Arrow RecordBatches
+  into Python workers (passthrough columns re-emitted zero-copy; only
+  ``text`` is materialized as Python objects), numpy-vectorized geometry.
+  This mirrors the reference's page-at-a-time pipeline (bounded memory)
+  while scoring whole batches.
 * Skew: a conversation with 10^6 turns is harmless in the map phase (rows are
   independent; file splits bound partition size via
   ``spark.sql.files.maxPartitionBytes``). When the input is an Iceberg table
@@ -30,7 +32,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
-import pandas as pd
+import pyarrow as pa
 
 from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
@@ -58,6 +60,36 @@ OUTPUT_DDL = (
 # output, src/template_json.py) serialized per turn
 OUTPUT_DDL_TEMPLATE = OUTPUT_DDL + ", template_json string"
 
+# Arrow twins of the output DDL: the kernel emits RecordBatches directly
+# (mapInArrow), so the nested region/mathml types are declared once here.
+# Region rows are plain tuples -- pyarrow struct-encodes them positionally,
+# which is why the field order below must match operators/payload.py's
+# tuple layout (same contract the DDL string already pins).
+REGION_PA = pa.list_(
+    pa.struct(
+        [
+            ("page", pa.int32()),
+            ("ordinal", pa.int32()),
+            ("label", pa.string()),
+            ("score", pa.float64()),
+            ("bbox", pa.list_(pa.float64())),
+            ("tag", pa.string()),
+            ("flags", pa.string()),
+            ("rtype", pa.string()),
+            ("heading", pa.string()),
+            ("text", pa.string()),
+            ("reading_rank", pa.int32()),
+            ("region_id", pa.int64()),
+            ("parent_region_id", pa.int64()),
+            ("row_num", pa.int32()),
+            ("col_num", pa.int32()),
+            ("row_span", pa.int32()),
+            ("col_span", pa.int32()),
+        ]
+    )
+)
+MATHML_PA = pa.list_(pa.struct([("region_id", pa.int64()), ("mathml", pa.string())]))
+
 
 def make_extraction_kernel(
     thresholds: dict[int, float] | None = None,
@@ -67,16 +99,26 @@ def make_extraction_kernel(
     detector_kw: dict | None = None,
     include_template: bool = False,
 ):
-    """Build the mapInPandas kernel. Thresholds are resolved on the driver
+    """Build the mapInArrow kernel. Thresholds are resolved on the driver
     and closed over (the reference pushes them into the detector the same
     way, src/ai.py:72-77). detector_kind selects the per-worker detector
     ("stub" deterministic payload parser; "paddlex" production singleton --
     loaded once per Python worker, operators/detector.py). include_template
-    adds a template_json column in the reference's K2 document shape."""
+    adds a template_json column in the reference's K2 document shape.
+
+    Why Arrow batches instead of pandas frames: only ``text`` ever needs to
+    exist as Python objects -- the five passthrough columns (conv_id,
+    turn_idx, role, tool, ts) are re-emitted as the INPUT Arrow arrays,
+    zero-copy, skipping the arrow->pandas->numpy->pandas->arrow round trip
+    mapInPandas imposed on every byte of them. Measured 1.3x on the 489k-turn
+    bench (best-of-mode, paired run, scripts/arrow_kernel_probe.py); output
+    value-identical row-for-row (part_id may differ -- AQE coalesces the
+    range shuffle per plan shape, and partition lineage is physical by
+    definition)."""
     th = thresholds if thresholds is not None else effective_thresholds()
     det_kw = detector_kw or {}
 
-    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         # imports inside the worker process
         import gc
 
@@ -97,10 +139,11 @@ def make_extraction_kernel(
         ctx = TaskContext.get()
         part_id = ctx.partitionId() if ctx is not None else -1
 
-        for pdf in batches:
-            n = len(pdf)
+        for batch in batches:
+            n = batch.num_rows
             if n == 0:
                 continue
+            in_texts = batch.column("text").to_pylist()
             kinds: list[str] = [""] * n
             texts: list[str] = [""] * n
             regions: list[list] = [[]] * n
@@ -111,7 +154,7 @@ def make_extraction_kernel(
             errors: list[str | None] = [None] * n
             templates: list[str | None] = [None] * n
             for i, res in enumerate(
-                extract_series(pdf["text"], th, process_table, process_formula, detector)
+                extract_series(in_texts, th, process_table, process_formula, detector)
             ):
                 kinds[i] = res["payload_kind"]
                 texts[i] = res["extracted_text"]
@@ -134,27 +177,39 @@ def make_extraction_kernel(
                             zoom=res.get("zoom", 2.0),
                         )
                     )
-            out = pd.DataFrame(
-                {
-                    "conv_id": pdf["conv_id"].values,
-                    "turn_idx": pdf["turn_idx"].values,
-                    "role": pdf["role"].values,
-                    "tool": pdf["tool"].values,
-                    "ts": pdf["ts"].values,
-                    "payload_kind": kinds,
-                    "extracted_text": texts,
-                    "regions": regions,
-                    "mathml": mathml,
-                    "n_regions": n_regions,
-                    "n_artifacts": n_artifacts,
-                    "n_pages": n_pages,
-                    "error": errors,
-                    "part_id": part_id,
-                }
-            )
+            # Passthrough columns re-emit the input Arrow buffers. Unlike
+            # mapInPandas there is no implicit coercion, so align widths
+            # with the declared DDL (createDataFrame inputs carry int64
+            # turn_idx; parquet inputs are already int32 -> no-op cast).
+            def _as(name: str, typ: pa.DataType) -> pa.Array:
+                col = batch.column(name)
+                return col if col.type == typ else col.cast(typ)
+
+            arrays = [
+                _as("conv_id", pa.string()),
+                _as("turn_idx", pa.int32()),
+                _as("role", pa.string()),
+                _as("tool", pa.string()),
+                batch.column("ts"),
+                pa.array(kinds, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(regions, REGION_PA),
+                pa.array(mathml, MATHML_PA),
+                pa.array(n_regions, pa.int32()),
+                pa.array(n_artifacts, pa.int32()),
+                pa.array(n_pages, pa.int32()),
+                pa.array(errors, pa.string()),
+                pa.array([part_id] * n, pa.int32()),
+            ]
+            names = [
+                "conv_id", "turn_idx", "role", "tool", "ts", "payload_kind",
+                "extracted_text", "regions", "mathml", "n_regions",
+                "n_artifacts", "n_pages", "error", "part_id",
+            ]
             if include_template:
-                out["template_json"] = templates
-            yield out
+                arrays.append(pa.array(templates, pa.string()))
+                names.append("template_json")
+            yield pa.RecordBatch.from_arrays(arrays, names)
 
     return kernel
 
@@ -203,7 +258,7 @@ def build_extraction(
         #  * the within-partition sort handles raw rows (text only) instead
         #    of kernel output rows fattened with regions arrays -- measured
         #    ~35s cheaper at 489k turns on local[32];
-        #  * mapInPandas is a narrow, order-preserving per-partition map, so
+        #  * mapInArrow is a narrow, order-preserving per-partition map, so
         #    the output inherits the total (conv_id, turn_idx) order and the
         #    kernel stays the final (perfectly scaling) stage.
         # Bonus: a mega-conversation is split across range partitions by
@@ -220,7 +275,7 @@ def build_extraction(
         nparts = salt_partitions or src.sparkSession.sparkContext.defaultParallelism
         src = src.repartition(nparts, F.col("conv_id"), salt_expr(salt))
 
-    out = src.mapInPandas(kernel, schema=ddl)
+    out = src.mapInArrow(kernel, schema=ddl)
 
     if observation is not None:
         out = out.observe(

@@ -3,7 +3,7 @@ stream of transcript turns.
 
 The reference is strictly batch (SURVEY.md section 2.8); this is the engine
 extension for continuous ingestion at web scale. Because the kernel is
-per-row, the streaming plan is stateless: readStream -> mapInPandas ->
+per-row, the streaming plan is stateless: readStream -> mapInArrow ->
 writeStream with checkpointing gives exactly-once file sinks for free.
 Event-time accounting (late-turn counts per conversation window) is the one
 stateful add-on, built on watermarks + windowed aggregation.
@@ -36,7 +36,7 @@ def build_streaming_extraction(
 ) -> DataFrame:
     """Stateless streaming extraction (same kernel as batch)."""
     kernel = make_extraction_kernel(thresholds)
-    return stream.select("conv_id", "turn_idx", "role", "tool", "ts", "text").mapInPandas(
+    return stream.select("conv_id", "turn_idx", "role", "tool", "ts", "text").mapInArrow(
         kernel, schema=OUTPUT_DDL
     )
 

@@ -97,4 +97,4 @@ def test_plan_is_single_map_stage_plus_range_sort(spark, transcripts):
     df, _ = transcripts
     plan = build_extraction(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
-    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+    assert "MapInArrow" in plan or "PythonMapInArrow" in plan

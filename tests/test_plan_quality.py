@@ -42,6 +42,7 @@ def test_jvm_only_operators_have_no_python(spark):
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
         assert "MapInPandas" not in plan, name
+        assert "MapInArrow" not in plan, name
 
 
 def test_ann_brute_force_broadcasts_query_side_not_corpus(spark):

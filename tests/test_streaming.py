@@ -272,7 +272,7 @@ def test_streaming_near_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(240), "stream did not drain within timeout"
 
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert len(rows) == 3
