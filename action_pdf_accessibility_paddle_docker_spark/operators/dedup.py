@@ -134,30 +134,39 @@ def chunk_dedup_stats(
 
     A chunk is a duplicate when the same chunk hash occurs earlier in
     corpus order (doc_id, chunk_idx) -- the first occurrence is canonical,
-    every later copy counts as removable. One shuffle: row_number over the
-    chunk-hash partition; AQE splits a pathological hot hash."""
-    from pyspark.sql import Window
+    every later copy counts as removable.
 
+    Skew posture: deliberately NOT a row_number window over the chunk hash.
+    AQE can split a skewed JOIN partition but never a skewed WINDOW
+    partition, so a boilerplate chunk repeated across 10% of a web corpus
+    would serialize one task. Instead the canonical occurrence per hash is
+    min(struct(doc_id, chunk_idx)) -- a groupBy with map-side combine (the
+    hot hash partial-aggregates on every mapper) -- joined back on the hash,
+    where AQE's skew-join splitting applies."""
     toks = F.split(normalized(F.col(text_col)), " ")
     n_chunks = F.ceil(F.size(toks).cast("double") / chunk_tokens).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda j: F.array_join(F.slice(toks, j * chunk_tokens + 1, chunk_tokens), " "),
     )
-    ch = _widen(
-        df.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks"))
-    ).select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
-    ranked = ch.select(
-        "doc_id", "chunk_idx", F.md5("chunk").alias("h")
-    ).withColumn(
-        "rn",
-        F.row_number().over(Window.partitionBy("h").orderBy("doc_id", "chunk_idx")),
+    ch = (
+        _widen(df.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks")))
+        .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
+        .select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
+    )
+    first = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
+    )
+    flagged = ch.join(first, "h").withColumn(
+        "is_dup",
+        (F.col("doc_id") != F.col("first.doc_id"))
+        | (F.col("chunk_idx") != F.col("first.chunk_idx")),
     )
     return (
-        ranked.groupBy("doc_id")
+        flagged.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("n_dup_chunks"),
+            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_chunks"),
         )
         .withColumn(
             "dup_chunk_ratio",
