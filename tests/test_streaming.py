@@ -280,3 +280,65 @@ def test_streaming_near_dedup(spark, tmp_path):
     assert texts == ["alpha beta gamma delta epsilon",
                      "fresh new content here", "something else entirely"]
     assert len(set(r["simhash"] for r in rows)) == 3
+
+
+def test_stateless_text_ops_compose_on_streams(spark, tmp_path):
+    """The text-pipeline operators (line filter -> PII scrub -> quality
+    stats) are stateless projections, so the same composition must run
+    unchanged on a stream and equal the batch result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.linefilter import (
+        apply_line_filter,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.pii import scrub_pii
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        token_count,
+    )
+
+    rows = [
+        dict(doc_id=1, text=(
+            "good first line with an email a@b.io right here.\n"
+            "drop this fragment\n"
+            "second decent line mentions 10.0.0.1 host.\n"
+            "third line closes the document properly."
+        )),
+        dict(doc_id=2, text="too few lines survive here.\nnope"),
+    ]
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist(rows, pa.schema([("doc_id", pa.int64()), ("text", pa.string())])),
+        str(src / "f0.parquet"),
+    )
+
+    def compose(df):
+        cleaned = apply_line_filter(df, min_kept_lines=2)
+        return cleaned.select(
+            "doc_id",
+            scrub_pii(F.col("text")).alias("text"),
+            token_count(F.col("text")).alias("n_tokens"),
+        )
+
+    batch = compose(spark.read.parquet(str(src))).collect()
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+    q = (
+        compose(stream)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240)
+    streamed = spark.read.parquet(str(tmp_path / "out")).collect()
+
+    key = lambda r: (r["doc_id"], r["text"], r["n_tokens"])
+    assert sorted(map(key, batch)) == sorted(map(key, streamed))
+    assert len(batch) == 1 and batch[0]["doc_id"] == 1
+    assert "<EMAIL>" in batch[0]["text"] and "<IP>" in batch[0]["text"]
+    assert "drop this fragment" not in batch[0]["text"]
