@@ -453,3 +453,39 @@ def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", tex
         )
         .select("doc_id", simhash_col(F.col("text"), bits).alias("simhash"))
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_fps: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup for an arriving shard against the corpus's
+    persisted fingerprint table (the CDC shape of ``exact_dedup``: a 100 TB
+    corpus is never rescanned -- only its fingerprint column is kept).
+
+    Returns (survivors, new_fingerprints):
+      survivors        = rows of ``new_df`` whose normalized-content hash is
+                         absent from ``seen_fps`` AND first within the shard
+                         (min id canonical, matching exact_dedup's tie rule);
+      new_fingerprints = the distinct fingerprints those survivors add --
+                         append them to the fingerprint table for the next
+                         shard.
+
+    Scale shape: one LeftAnti hash join on the fingerprint (the 100 TB-side
+    relation streams; the fingerprint table is the small side only when the
+    corpus is young -- at parity both sides shuffle on the hash, which AQE
+    skew-handles) plus one map-side-combined min aggregate for the
+    within-shard tie-break."""
+    stamped = new_df.withColumn(
+        "fingerprint", F.md5(normalized(F.col(text_col)))
+    )
+    fresh = stamped.join(seen_fps.select("fingerprint"), "fingerprint", "left_anti")
+    firsts = fresh.groupBy("fingerprint").agg(F.min(id_col).alias("_first_id"))
+    survivors = (
+        fresh.join(firsts, "fingerprint")
+        .where(F.col(id_col) == F.col("_first_id"))
+        .drop("_first_id")
+    )
+    return survivors, survivors.select("fingerprint").distinct()

@@ -283,3 +283,41 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         .alias("lang_guess"),
         F.md5(norm).alias("fingerprint"),
     )
+
+
+def unigram_logprob_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """CCNet-style statistical LM score: mean per-token negative
+    log-likelihood under the corpus's own unigram distribution (the cheap
+    stand-in for the KenLM perplexity filter -- low score = head-like
+    common text, high score = rare/garbled tail). CCNet buckets the corpus
+    by exactly this kind of score (Wenzek et al. 2020).
+
+    Scale shape: token counts explode once; the unigram model is a
+    vocabulary-sized aggregate joined back BROADCAST (never a shuffle of
+    the corpus side); per-doc reduce has map-side combine. ln(count/total)
+    is exact integer-ratio math so DuckDB agrees bit-for-bit."""
+    from .dedup import normalized
+
+    toks = F.split(normalized(F.col(text_col)), " ")
+    terms = (
+        df.select("doc_id", F.explode(toks).alias("term")).where(F.length("term") > 0)
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    model = tf.groupBy("term").agg(F.sum("tf").alias("c_term"))
+    total = model.agg(F.sum("c_term").alias("c_total"))
+    return (
+        tf.join(F.broadcast(model), "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tokens"),
+            F.sum(
+                -F.col("tf") * F.log(F.col("c_term") / F.col("c_total"))
+            ).alias("_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(F.col("_nll") / F.col("n_tokens"), 6).alias("mean_nll"),
+        )
+    )

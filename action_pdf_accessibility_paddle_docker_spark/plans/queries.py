@@ -1783,6 +1783,60 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+@register(
+    "q_unigram_logprob",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+      WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    model AS (SELECT term, sum(tf)::BIGINT AS c_term FROM tf GROUP BY 1),
+    tot AS (SELECT sum(c_term)::BIGINT AS c_total FROM model)
+    SELECT doc_id,
+           sum(tf)::BIGINT AS n_tokens,
+           round(sum(-tf * ln(c_term / c_total)) / sum(tf), 6) AS mean_nll
+    FROM tf JOIN model USING (term) CROSS JOIN tot
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style statistical LM score: mean per-token negative
+    log-likelihood under the corpus unigram distribution."""
+    return T.unigram_logprob_score(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+@register(
+    "q_incremental_dedup",
+    f"""
+    WITH f AS (
+      SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
+    ),
+    seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),
+    fresh AS (
+      SELECT doc_id, fingerprint FROM f
+      WHERE doc_id % 2 = 1
+        AND fingerprint NOT IN (SELECT fingerprint FROM seen)
+    )
+    SELECT f.doc_id, f.fingerprint FROM fresh f
+    JOIN (SELECT fingerprint, min(doc_id) AS m FROM fresh GROUP BY 1) g
+      ON f.fingerprint = g.fingerprint AND f.doc_id = g.m
+    ORDER BY f.doc_id
+    """,
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup of an arriving shard (odd doc_ids) against
+    the persisted fingerprint table of the existing corpus (even doc_ids):
+    one anti-join + within-shard min-id tie-break, no corpus rescan."""
+    doc = _read(spark, sf_dir, "documents")
+    seen_fps = D.exact_dedup(doc.where(F.col("doc_id") % 2 == 0)).select("fingerprint")
+    survivors, _new_fps = D.incremental_dedup(
+        doc.where(F.col("doc_id") % 2 == 1), seen_fps
+    )
+    return survivors.select("doc_id", "fingerprint").orderBy("doc_id")
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

@@ -49,6 +49,12 @@ HEADLINE_QUERIES = [
     "q_simhash",
     "q_doc_stats",
     "q_ann_topk",
+    # round-3 additions
+    "q_pii_redact",
+    "q_line_filter",
+    "q_dup_ngrams",
+    "q_chunk_dedup",
+    "q_sketch_accuracy",
 ]
 
 GEN_VERSION = 2  # bump to invalidate the cached synthetic transcripts
