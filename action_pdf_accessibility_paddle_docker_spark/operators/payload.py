@@ -17,6 +17,21 @@ from __future__ import annotations
 import json
 from typing import Any, Iterator
 
+try:  # orjson parses the layout payloads ~2.4x faster than stdlib json
+    import orjson as _orjson
+
+    def _loads(s: str):
+        try:
+            return _orjson.loads(s)
+        except _orjson.JSONDecodeError:
+            # orjson rejects NaN/Infinity literals that stdlib accepts;
+            # retry so parse semantics stay EXACTLY stdlib's (the retry only
+            # costs on malformed/exotic payloads, which are rare by contract)
+            return json.loads(s)
+
+except ImportError:  # pragma: no cover - orjson is present in this image
+    _loads = json.loads
+
 import numpy as np
 import pandas as pd
 
@@ -142,7 +157,7 @@ def extract_pdf_turn(
 
     det = detector if detector is not None else StubDetector(thresholds)
     if payload is None:
-        payload = json.loads(text[len(PDF_PAYLOAD_SENTINEL):])
+        payload = _loads(text[len(PDF_PAYLOAD_SENTINEL):])
     zoom = float(payload.get("zoom", 2.0))
     page_h_px = float(payload.get("page_h", 1584))
     return extract_pages(
@@ -474,7 +489,7 @@ def extract_series(
             # non-list pages -> AttributeError, ...) must degrade to an
             # error row, so catch Exception, not a narrow tuple.
             try:
-                payload = json.loads(text[len(PDF_PAYLOAD_SENTINEL):])
+                payload = _loads(text[len(PDF_PAYLOAD_SENTINEL):])
                 items.append((PDF, text, payload))
                 if isinstance(payload, dict):
                     pl = payload.get("pages", [])
