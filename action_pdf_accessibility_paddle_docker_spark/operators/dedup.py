@@ -136,13 +136,20 @@ def chunk_dedup_stats(
     corpus order (doc_id, chunk_idx) -- the first occurrence is canonical,
     every later copy counts as removable.
 
-    Skew posture: deliberately NOT a row_number window over the chunk hash.
-    AQE can split a skewed JOIN partition but never a skewed WINDOW
-    partition, so a boilerplate chunk repeated across 10% of a web corpus
-    would serialize one task. Instead the canonical occurrence per hash is
-    min(struct(doc_id, chunk_idx)) -- a groupBy with map-side combine (the
-    hot hash partial-aggregates on every mapper) -- joined back on the hash,
-    where AQE's skew-join splitting applies."""
+    Skew posture: a boilerplate chunk repeated across 10% of a web corpus
+    is a hot key, so this deliberately avoids BOTH a row_number window over
+    the chunk hash (AQE can never split a skewed window partition) AND a
+    join-back on the hash (the exploded chunk table is needed twice, and
+    the reused shuffle stage blocks OptimizeSkewedJoin's split). Instead:
+    a chunk is a dup iff it is not its hash's corpus-canonical occurrence,
+    so n_dup = n_chunks - n_canonical per document --
+      * canonical per hash = min(struct(doc_id, chunk_idx)): groupBy(h)
+        with map-side combine; the hot hash partial-aggregates on every
+        mapper and reaches the reducer as ONE row per mapper;
+      * the canonical table has ONE ROW PER DISTINCT HASH, so regrouping it
+        by doc_id is skew-free by construction;
+      * the final equi-join is on doc_id between two per-doc aggregates
+        (each bounded by document count), never on the hash."""
     toks = F.split(normalized(F.col(text_col)), " ")
     n_chunks = F.ceil(F.size(toks).cast("double") / chunk_tokens).cast("int")
     chunks = F.transform(
@@ -154,19 +161,21 @@ def chunk_dedup_stats(
         .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
         .select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
     )
-    first = ch.groupBy("h").agg(
-        F.min(F.struct("doc_id", "chunk_idx")).alias("first")
-    )
-    flagged = ch.join(first, "h").withColumn(
-        "is_dup",
-        (F.col("doc_id") != F.col("first.doc_id"))
-        | (F.col("chunk_idx") != F.col("first.chunk_idx")),
+    per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    canon_per_doc = (
+        ch.groupBy("h")
+        .agg(F.min(F.struct("doc_id", "chunk_idx")).alias("first"))
+        .groupBy(F.col("first.doc_id").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_canonical"))
     )
     return (
-        flagged.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_chunks"),
-            F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup_chunks"),
+        per_doc.join(canon_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            (F.col("n_chunks") - F.coalesce(F.col("n_canonical"), F.lit(0))).alias(
+                "n_dup_chunks"
+            ),
         )
         .withColumn(
             "dup_chunk_ratio",

@@ -321,3 +321,21 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.round(F.col("_nll") / F.col("n_tokens"), 6).alias("mean_nll"),
         )
     )
+
+
+# GPT-2-style pretokenizer, restricted to the RE2/Java-regex common subset
+# (leftmost-first alternation, no lookarounds) so DuckDB evaluates the
+# identical pattern: contractions, letter runs, digit runs, punct runs,
+# whitespace runs -- each with an optional leading space, as in the
+# original. Counted over the normalized (lowercased) text.
+BPE_ISH_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s']+|\s+"
+
+
+def bpe_ish_token_count(text_col) -> "Column":
+    """Subword-ish token count: how many BPE-style pretokens the text
+    splits into (the reference point LLM batch budgeting actually needs;
+    whitespace `token_count` undercounts punctuation-heavy text). One
+    regexp_count over the scan, no shuffle."""
+    from .dedup import normalized
+
+    return F.regexp_count(normalized(text_col), F.lit(BPE_ISH_RE))

@@ -1837,6 +1837,30 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return survivors.select("doc_id", "fingerprint").orderBy("doc_id")
 
 
+@register(
+    "q_bpe_tokens",
+    f"""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim({_NORM_SQL}), '\\s+'))::BIGINT
+             AS n_ws_tokens,
+           len(regexp_extract_all({_NORM_SQL},
+               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+'))::BIGINT
+             AS n_bpe_tokens
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-style pretokenizer counts side by side (the regex
+    is restricted to the RE2/Java common subset so both engines run the
+    identical pattern)."""
+    doc = _read(spark, sf_dir, "documents")
+    return doc.select(
+        "doc_id",
+        T.token_count(D.normalized(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 

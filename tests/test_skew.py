@@ -137,3 +137,46 @@ def test_aqe_splits_skewed_lsh_bucket_join(spark):
                 s.conf.unset(k)
             else:
                 s.conf.set(k, v)
+
+
+def test_chunk_dedup_hot_hash_never_joins_on_the_hash(spark):
+    """chunk_dedup_stats' hot-chunk posture: the ONLY hash-keyed operation
+    is a map-side-combined min aggregate (a hot hash reaches the reducer as
+    one partial row per mapper); the canonical table is one row per
+    distinct hash; every join is on doc_id. Evidence on a corpus where ~90%
+    of documents are ONE boilerplate text: results exact AND no join
+    operator keyed on the chunk hash in the plan (a window or join-back
+    formulation would put the hot hash through a single unsplittable
+    task -- AQE cannot split window partitions, and the reused explode
+    stage blocks skew-join splitting)."""
+    import re
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        chunk_dedup_stats,
+    )
+
+    boiler = "subscribe to our newsletter for updates " * 3  # 18 tokens
+    docs = spark.range(0, 12000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 10 < 9, F.lit(boiler.strip())
+        ).otherwise(
+            F.concat(F.lit("unique content piece number "), F.col("id"))
+        ).alias("text"),
+    )
+    out = chunk_dedup_stats(docs, chunk_tokens=20)
+    rows = out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+
+    # no Window at all; every join keyed on doc_id, never the hash column
+    assert "Window" not in plan
+    for m in re.finditer(r"(SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)\s*\[([^\]]*)\]", plan):
+        assert "doc_id" in m.group(2), m.group(0)
+        assert not m.group(2).startswith("h#"), m.group(0)
+
+    # exactness: 10800 boilerplate docs share one text of 18 tokens -> 1
+    # chunk each, exactly one corpus canonical; 1200 unique docs all canonical
+    assert len(rows) == 12000
+    total_dups = sum(r["n_dup_chunks"] for r in rows)
+    assert total_dups == 10800 - 1
+    assert all(r["n_chunks"] == 1 for r in rows)
