@@ -101,22 +101,40 @@ def dup_ngram_stats(
     also exists elsewhere in the corpus).
 
     Scale shape: counts are pre-aggregated per (doc, gram) BEFORE the
-    global per-gram aggregate, so the join-back side is the distinct-gram
-    table, not the exploded instance stream; both aggregates get map-side
-    combine. Documents shorter than n tokens have no n-grams and are
+    global per-gram aggregate, and the global table is NEVER joined back on
+    the gram (the (doc,gram) table is needed twice, so its reused shuffle
+    stage would block AQE's skew-join split on a hot boilerplate gram).
+    Instead: a gram occurrence is duplicated unless its gram is a corpus
+    singleton, and a singleton gram (c_glob == 1) has exactly ONE
+    (doc, gram) row -- so n_dup = n_ngrams - n_singleton_grams_of_doc, with
+    the singleton attribution carried through min(doc_id) on the per-gram
+    aggregate (exact for singletons). Every aggregate gets map-side combine
+    (a hot gram reaches its reducer as one partial per mapper); every join
+    is on doc_id. Documents shorter than n tokens have no n-grams and are
     absent from the output (same on the oracle side)."""
     grams = _widen(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     ).select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram"))
     local = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c_local"))
-    glob = local.groupBy("gram").agg(F.sum("c_local").alias("c_glob"))
-    dup = F.when(F.col("c_glob") >= 2, F.col("c_local")).otherwise(F.lit(0))
-    return (
-        local.join(glob, "gram")
-        .groupBy("doc_id")
+    per_doc = local.groupBy("doc_id").agg(F.sum("c_local").alias("n_ngrams"))
+    singles_per_doc = (
+        local.groupBy("gram")
         .agg(
-            F.sum("c_local").alias("n_ngrams"),
-            F.sum(dup).alias("n_dup_ngrams"),
+            F.sum("c_local").alias("c_glob"),
+            F.min("doc_id").alias("only_doc"),
+        )
+        .where(F.col("c_glob") == 1)
+        .groupBy(F.col("only_doc").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_single"))
+    )
+    return (
+        per_doc.join(singles_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_ngrams",
+            (F.col("n_ngrams") - F.coalesce(F.col("n_single"), F.lit(0))).alias(
+                "n_dup_ngrams"
+            ),
         )
         .withColumn(
             "dup_ratio",
