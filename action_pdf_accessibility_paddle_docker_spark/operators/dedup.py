@@ -500,19 +500,23 @@ def incremental_dedup(
                          append them to the fingerprint table for the next
                          shard.
 
-    Scale shape: one LeftAnti hash join on the fingerprint (the 100 TB-side
-    relation streams; the fingerprint table is the small side only when the
-    corpus is young -- at parity both sides shuffle on the hash, which AQE
-    skew-handles) plus one map-side-combined min aggregate for the
-    within-shard tie-break."""
+    Scale shape: the shard first collapses to ONE row per fingerprint via
+    min(struct(id, row)) -- a single map-side-combined aggregate, so a text
+    duplicated across the whole shard reaches its reducer as one partial
+    per mapper (no join on a hot fingerprint anywhere). The anti-join then
+    runs on the already-distinct fingerprints against the seen table
+    (broadcast while the corpus is young; shuffled-with-no-hot-keys at
+    parity)."""
     stamped = new_df.withColumn(
         "fingerprint", F.md5(normalized(F.col(text_col)))
     )
-    fresh = stamped.join(seen_fps.select("fingerprint"), "fingerprint", "left_anti")
-    firsts = fresh.groupBy("fingerprint").agg(F.min(id_col).alias("_first_id"))
-    survivors = (
-        fresh.join(firsts, "fingerprint")
-        .where(F.col(id_col) == F.col("_first_id"))
-        .drop("_first_id")
+    other_cols = [c for c in stamped.columns if c not in (id_col, "fingerprint")]
+    collapsed = (
+        stamped.groupBy("fingerprint")
+        .agg(F.min(F.struct(id_col, *other_cols)).alias("_row"))
+        .select("fingerprint", "_row.*")
     )
-    return survivors, survivors.select("fingerprint").distinct()
+    survivors = collapsed.join(
+        seen_fps.select("fingerprint"), "fingerprint", "left_anti"
+    ).select(*new_df.columns, "fingerprint")
+    return survivors, survivors.select("fingerprint")
