@@ -1726,7 +1726,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(kept)::BIGINT AS n_kept,
            (len(kept) >= 3 AND NOT (contains(lower(text), 'lorem ipsum')
                                     OR contains(lower(text), '{{'))) AS keep_doc,
-           md5(array_to_string(kept, chr(10))) AS cleaned_fp
+           md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_fp
     FROM k ORDER BY doc_id
     """,
 )

@@ -69,3 +69,72 @@ def test_null_and_empty_text(spark):
     assert rows[2]["n_kept"] == 0 and rows[2]["keep_doc"] is False
     # null text: split(null) is null -> stats null, keep_doc null (filtered by apply)
     assert apply_line_filter(df).count() == 0
+
+
+def test_cross_engine_line_filter_fuzz(spark):
+    """Seeded fuzz across Spark and DuckDB for the full line-filter
+    expression stack (split, right(), word count via filtered split,
+    contains, array_join): adversarial lines -- empty, whitespace-only,
+    unicode, quotes, boilerplate substrings at word boundaries."""
+    import random
+
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.linefilter import (
+        line_filter_stats,
+    )
+
+    rng = random.Random(7)
+    line_frags = [
+        "a good long line that ends here.",
+        "no terminal punct", "tiny.", "", "   ",
+        'quoted line ending properly."',
+        "mentions javascript mid sentence.",
+        "JAVASCRIPT IN CAPS ends anyway.",
+        "cookie policy note appears here.",
+        "terms of use referenced in line.",
+        "lorem ipsum poisons the doc fully.",
+        "unicode café naïve line closes.",
+        "brace {x} inside a line stays.",
+        "question form line works does it?",
+        "exclamation form line works now!",
+        "one two.", "word .", ".", "?", "  leading spaces count fine.",
+    ]
+    texts = [
+        "\n".join(rng.choice(line_frags) for _ in range(rng.randint(0, 8)))
+        for _ in range(300)
+    ]
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    srows = {r["doc_id"]: r for r in line_filter_stats(df).collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(texts)))
+    drows = con.execute(
+        """
+        WITH k AS (
+          SELECT doc_id, text,
+            list_filter(str_split(text, chr(10)), l ->
+              right(l, 1) IN ('.', '!', '?', '"')
+              AND len(list_filter(str_split(l, ' '), w -> w <> '')) >= 3
+              AND NOT (contains(lower(l), 'javascript')
+                       OR contains(lower(l), 'cookie policy')
+                       OR contains(lower(l), 'terms of use'))) AS kept
+          FROM t
+        )
+        SELECT doc_id,
+               len(str_split(text, chr(10))) AS n_lines,
+               len(kept) AS n_kept,
+               (len(kept) >= 3 AND NOT (contains(lower(text), 'lorem ipsum')
+                                        OR contains(lower(text), '{'))) AS keep_doc,
+               md5(coalesce(array_to_string(kept, chr(10)), '')) AS cleaned_fp
+        FROM k ORDER BY doc_id
+        """
+    ).fetchall()
+    for doc_id, n_lines, n_kept, keep_doc, fp in drows:
+        s = srows[doc_id]
+        got = (s["n_lines"], s["n_kept"], s["keep_doc"], s["cleaned_fp"])
+        assert got == (n_lines, n_kept, keep_doc, fp), (doc_id, repr(texts[doc_id]), got, (n_lines, n_kept, keep_doc, fp))
