@@ -972,11 +972,39 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@register("q_embedding_near_dup_lsh", None)
+@register(
+    "q_embedding_near_dup_lsh",
+    f"""
+    WITH planes AS (
+      SELECT band, plane_idx, coeffs
+      FROM read_parquet('{_os.path.join(_FIXTURE_DIR, "lsh_band_planes.parquet")}')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT e.vec_id, p.band,
+             sum(CASE WHEN list_dot_product(e.v, p.coeffs) >= 0
+                      THEN 1 << p.plane_idx ELSE 0 END)::BIGINT AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id, p.band
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM sig a JOIN sig b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+    FROM cand c JOIN e ea ON ea.vec_id = c.id_a JOIN e eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+    ORDER BY c.id_a, c.id_b
+    """,
+)
 def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scale-path near-dup: banded random-hyperplane LSH candidates (bucket
-    equi-join, no cross product) + exact cosine re-check. Recall vs the exact
-    baseline is asserted in tests/test_similarity.py."""
+    equi-join, no cross product) + exact cosine re-check. VALUE-checked: the
+    16x4 banded plane sets are a committed fixture parquet, so DuckDB
+    replays the identical band signatures, candidate join, and cosine
+    filter. Recall vs the exact baseline is additionally asserted in
+    tests/test_similarity.py."""
     return S.embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"), threshold=0.35
     ).orderBy("id_a", "id_b")
@@ -1356,10 +1384,40 @@ def q_pipeline_extract_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(nonempty).orderBy("fingerprint")
 
 
-@register("q_lsh_ann_topk", None)
+@register(
+    "q_lsh_ann_topk",
+    f"""
+    WITH planes AS (
+      SELECT plane_idx, coeffs
+      FROM read_parquet('{_os.path.join(_FIXTURE_DIR, "lsh_planes.parquet")}')
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    sig AS (
+      SELECT e.vec_id, first(e.v) AS v,
+             sum(CASE WHEN list_dot_product(e.v, p.coeffs) >= 0
+                      THEN 1 << p.plane_idx ELSE 0 END)::BIGINT AS bucket
+      FROM e CROSS JOIN planes p GROUP BY e.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 20),
+    sims AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             list_cosine_similarity(q.qv, c.v) AS sim_exact
+      FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY sim_exact DESC, neighbor_id ASC) AS rank
+      FROM sims
+    ) WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+)
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (LSH-bucketed); recall vs brute force is asserted in
-    tests/test_similarity.py."""
+    """Approximate ANN (LSH-bucketed). VALUE-checked, not just rows-only:
+    the deterministic hyperplanes are a committed fixture parquet
+    (scripts/make_fixture_oracles.py), so DuckDB recomputes the identical
+    sign-bit buckets via list_dot_product and replays the same
+    bucket-join + exact-cosine re-rank. Recall vs brute force is
+    additionally asserted in tests/test_similarity.py."""
     emb = _read(spark, sf_dir, "embeddings")
     return S.lsh_bucketed_topk(emb, emb.where(F.col("vec_id") < 20), k=5).orderBy(
         "query_id", "rank"

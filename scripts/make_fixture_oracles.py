@@ -176,7 +176,44 @@ def mathml_from_image_fixture() -> str:
     return _write("mathml_from_image_oracle", pa.table(cols, schema=schema))
 
 
+def lsh_planes_fixture() -> str:
+    """The deterministic hyperplanes behind q_lsh_ann_topk (single set,
+    8 planes, dim 64, default salt). With the planes as data, DuckDB can
+    compute the identical sign-bit buckets via list_dot_product -- which is
+    what upgrades the LSH-ANN entry from rows-only to value-checked."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        hyperplanes,
+    )
+
+    planes = hyperplanes(64, 8)
+    schema = pa.schema([("plane_idx", pa.int32()),
+                        ("coeffs", pa.list_(pa.float64()))])
+    return _write("lsh_planes", pa.table({
+        "plane_idx": list(range(planes.shape[0])),
+        "coeffs": [p.tolist() for p in planes],
+    }, schema=schema))
+
+
+def lsh_band_planes_fixture() -> str:
+    """The banded plane sets behind q_embedding_near_dup_lsh (threshold
+    0.35 -> 16 bands x 4 planes, dim 64; salts band:0..band:15)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        band_planes,
+    )
+
+    rows = {"band": [], "plane_idx": [], "coeffs": []}
+    for band, planes in enumerate(band_planes(16, 4, 64)):
+        for p_idx, p in enumerate(planes):
+            rows["band"].append(band)
+            rows["plane_idx"].append(p_idx)
+            rows["coeffs"].append(p.tolist())
+    schema = pa.schema([("band", pa.int32()), ("plane_idx", pa.int32()),
+                        ("coeffs", pa.list_(pa.float64()))])
+    return _write("lsh_band_planes", pa.table(rows, schema=schema))
+
+
 if __name__ == "__main__":
     for fn in (extract_transcripts_fixture, pipeline_extract_dedup_fixture,
-               multimodal_decode_fixture, mathml_from_image_fixture):
+               multimodal_decode_fixture, mathml_from_image_fixture,
+               lsh_planes_fixture, lsh_band_planes_fixture):
         print(fn())

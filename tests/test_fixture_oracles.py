@@ -13,10 +13,24 @@ import pytest
 from scripts.make_fixture_oracles import (
     FIXTURE_DIR,
     extract_transcripts_fixture,
+    lsh_band_planes_fixture,
+    lsh_planes_fixture,
     mathml_from_image_fixture,
     multimodal_decode_fixture,
     pipeline_extract_dedup_fixture,
 )
+
+# fixture-file basename per generator: the oracle fixtures use an _oracle
+# suffix; the plane fixtures are data inputs to SQL oracles and keep their
+# plain names
+_BASENAME = {
+    "extract_transcripts_fixture": "extract_transcripts_oracle",
+    "pipeline_extract_dedup_fixture": "pipeline_extract_dedup_oracle",
+    "multimodal_decode_fixture": "multimodal_decode_oracle",
+    "mathml_from_image_fixture": "mathml_from_image_oracle",
+    "lsh_planes_fixture": "lsh_planes",
+    "lsh_band_planes_fixture": "lsh_band_planes",
+}
 
 
 @pytest.mark.parametrize(
@@ -26,11 +40,13 @@ from scripts.make_fixture_oracles import (
         pipeline_extract_dedup_fixture,
         multimodal_decode_fixture,
         mathml_from_image_fixture,
+        lsh_planes_fixture,
+        lsh_band_planes_fixture,
     ],
     ids=lambda f: f.__name__,
 )
 def test_fixture_is_fresh(gen, tmp_path, monkeypatch):
-    name = gen.__name__.replace("_fixture", "_oracle")
+    name = _BASENAME[gen.__name__]
     committed_path = os.path.join(FIXTURE_DIR, f"{name}.parquet")
     assert os.path.exists(committed_path), (
         f"missing fixture {committed_path}; run scripts/make_fixture_oracles.py"
