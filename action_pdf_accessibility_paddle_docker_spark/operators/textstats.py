@@ -339,3 +339,37 @@ def bpe_ish_token_count(text_col) -> "Column":
     from .dedup import normalized
 
     return F.regexp_count(normalized(text_col), F.lit(BPE_ISH_RE))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str,
+    id_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum downsampling -- the "mix weights" step of
+    a training-data pipeline (e.g. keep 100% of books, 10% of common-crawl).
+    Membership is f(md5(id), stratum): content-independent, re-shard-stable,
+    and exactly reproducible by the oracle (same md5 recipe as
+    ``stable_split``; the stratum is salted into the hash so the same
+    document id draws independently per stratum). No shuffle -- one
+    filter over the scan."""
+    from pyspark.sql import functions as F
+
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string"))),
+                1, 8,
+            ),
+            16, 10,
+        ).cast("bigint") % 10000
+    )
+    rate = None
+    for stratum, r in sorted(rates.items()):
+        c = F.when(F.col(stratum_col) == stratum, F.lit(int(r * 10000)))
+        rate = c if rate is None else rate.when(F.col(stratum_col) == stratum, F.lit(int(r * 10000)))
+    rate = (rate.otherwise(F.lit(int(default_rate * 10000)))
+            if rate is not None else F.lit(int(default_rate * 10000)))
+    return df.where(h < rate)

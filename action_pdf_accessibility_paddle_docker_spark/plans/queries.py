@@ -1919,6 +1919,41 @@ def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+
+@register(
+    "q_stratified_sample",
+    f"""
+    WITH h AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(source || ':' || doc_id::VARCHAR), 1, 8))::UBIGINT
+               % 10000 AS hv,
+             CASE source
+               WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+               WHEN 'src2' THEN 2000 ELSE 1000 END AS rate
+      FROM documents
+    )
+    SELECT source, count(*)::BIGINT AS n_kept, min(doc_id) AS min_id
+    FROM h WHERE hv < rate GROUP BY source ORDER BY source
+    """,
+)
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source mix sampling (keep 100% of src0, 50% of
+    src1, 20% of src2, 10% elsewhere): membership = f(md5(source:id)),
+    content-independent and re-shard-stable; one filter, no shuffle. The
+    aggregate output keeps the comparison narrow; membership itself is
+    pinned through min_id + counts."""
+    kept = T.stratified_sample(
+        _read(spark, sf_dir, "documents"),
+        rates=_SAMPLE_RATES, stratum_col="source", default_rate=0.1,
+    )
+    return (
+        kept.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .orderBy("source")
+    )
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
