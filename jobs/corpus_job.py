@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Training-corpus curation job: the LLM-data-pipeline operators as one
+spark-submit surface over a documents table (doc_id, text, ...).
+
+Stage order mirrors a production curation run (each stage optional):
+
+  clean    C4-style line filter (drop boilerplate lines + gated docs)
+  pii      redact emails / IPv4 / dashed phones in place
+  gate     composed quality gate (length / punct / stopword / repetition)
+  dedup    exact dedup (min-id canonical survives) or incremental vs a
+           persisted fingerprint table (--seen-fps; writes updated table)
+  split    stable train/val/test assignment column
+  sample   deterministic per-source keep rates (--rate src=0.5, repeatable)
+
+Examples:
+  spark-submit --py-files pkg.zip jobs/corpus_job.py \
+      --input /data/documents --output /data/curated \
+      --stages clean,pii,gate,dedup,split
+
+  # incremental shard against the running fingerprint table
+  spark-submit --py-files pkg.zip jobs/corpus_job.py \
+      --input /data/shard42 --output /data/curated_shard42 \
+      --stages dedup --seen-fps /data/fingerprints --new-fps /data/fp42
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+_repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _repo_root not in sys.path:
+    sys.path.insert(0, _repo_root)
+
+STAGES = ("clean", "pii", "gate", "dedup", "split", "sample")
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="Training-corpus curation job")
+    ap.add_argument("--input", required=True, help="documents parquet path")
+    ap.add_argument("--output", required=True, help="curated output path")
+    ap.add_argument("--stages", default="clean,pii,gate,dedup,split",
+                    help=f"comma list from {','.join(STAGES)}, applied in the "
+                         "canonical order regardless of listing order")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--min-kept-lines", type=int, default=3)
+    ap.add_argument("--seen-fps", default=None,
+                    help="dedup: persisted fingerprint table (parquet); when "
+                         "set, dedup is INCREMENTAL against it")
+    ap.add_argument("--new-fps", default=None,
+                    help="dedup: where to write the fingerprints this shard "
+                         "adds (required with --seen-fps)")
+    ap.add_argument("--rate", action="append", default=[], metavar="SOURCE=RATE",
+                    help="sample: per-source keep rate, e.g. --rate web=0.1")
+    ap.add_argument("--default-rate", type=float, default=1.0)
+    ap.add_argument("--stratum-col", default="source")
+    args = ap.parse_args()
+
+    stages = [s.strip() for s in args.stages.split(",") if s.strip()]
+    unknown = sorted(set(stages) - set(STAGES))
+    if unknown:
+        ap.error(f"unknown stages: {unknown}")
+    if ("dedup" in stages) and args.seen_fps and not args.new_fps:
+        ap.error("--seen-fps requires --new-fps")
+
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.builder.appName("corpus-curation").getOrCreate()
+    result = run_pipeline(spark, args, stages)
+    print(json.dumps(result))
+    spark.stop()
+
+
+def run_pipeline(spark, args, stages) -> dict:
+    """The curation pipeline body; separated from main() so tests can
+    drive it on a shared session without the job owning its lifecycle."""
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators import dedup as D
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        linefilter as L,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators import pii as P
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        textstats as T,
+    )
+
+    df = spark.read.parquet(args.input)
+    counters: dict[str, int] = {"input": df.count()}
+
+    if "clean" in stages:
+        df = L.apply_line_filter(
+            df, text_col=args.text_col, min_kept_lines=args.min_kept_lines
+        )
+    if "pii" in stages:
+        df = P.redact(df, text_col=args.text_col)
+    if "gate" in stages:
+        gated = T.quality_gate(df, text_col=args.text_col)
+        df = df.join(
+            gated.where(F.col("keep")).select(F.col("doc_id").alias(args.id_col)),
+            args.id_col,
+        )
+    if "dedup" in stages:
+        if args.seen_fps:
+            seen = spark.read.parquet(args.seen_fps)
+            survivors, new_fps = D.incremental_dedup(
+                df, seen, id_col=args.id_col, text_col=args.text_col
+            )
+            new_fps.write.mode("overwrite").parquet(args.new_fps)
+            df = survivors.drop("fingerprint")
+        else:
+            canon = D.exact_dedup(df, id_col=args.id_col, text_col=args.text_col)
+            df = df.join(
+                canon.select(F.col("canonical_id").alias(args.id_col)), args.id_col
+            )
+    if "split" in stages:
+        df = T.stable_split(df, id_col=args.id_col)
+    if "sample" in stages:
+        rates = {}
+        for spec in args.rate:
+            k, _, v = spec.partition("=")
+            rates[k] = float(v)
+        df = T.stratified_sample(
+            df, rates=rates, stratum_col=args.stratum_col,
+            id_col=args.id_col, default_rate=args.default_rate,
+        )
+
+    df.write.mode("overwrite").parquet(args.output)
+    counters["output"] = spark.read.parquet(args.output).count()
+    return {"mode": "corpus", "stages": stages, "counters": counters}
+
+
+if __name__ == "__main__":
+    main()

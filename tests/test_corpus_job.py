@@ -1,0 +1,89 @@
+"""corpus_job: the curation CLI's pipeline body (stage composition and the
+incremental-dedup shard loop) on the shared test session. The spark-submit
+surface itself is exercised by the verify drive."""
+
+import argparse
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from jobs.corpus_job import run_pipeline
+
+
+def _ns(**kw):
+    base = dict(
+        id_col="doc_id", text_col="text", min_kept_lines=2,
+        seen_fps=None, new_fps=None, rate=[], default_rate=1.0,
+        stratum_col="source",
+    )
+    base.update(kw)
+    return argparse.Namespace(**base)
+
+
+def _write_docs(path, rows):
+    pq.write_table(pa.Table.from_pylist(rows), str(path))
+
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and keeps going today.\n"
+    "a second line of perfectly ordinary content follows right behind it.\n"
+    "the third line wraps the document up with a clean terminal stop."
+)
+
+
+def test_full_stage_composition(spark, tmp_path):
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=GOOD + "\nmail me at a@b.io right away please.",
+             source="web"),
+        dict(doc_id=1, text=GOOD, source="web"),
+        dict(doc_id=2, text=GOOD, source="web"),          # exact dup of 1
+        dict(doc_id=3, text="tiny.\nnope", source="web"),  # fails line gate
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out")),
+        ["clean", "pii", "gate", "dedup", "split"],
+    )
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert res["counters"] == {"input": 4, "output": 2}
+    assert set(out) == {0, 1}  # 2 deduped against 1, 3 line-gated
+    assert "<EMAIL>" in out[0]["text"] and "a@b.io" not in out[0]["text"]
+    assert out[1]["split"] in ("train", "val", "test")
+
+
+def test_incremental_shard_loop(spark, tmp_path):
+    shard1, shard2 = tmp_path / "s1", tmp_path / "s2"
+    shard1.mkdir(), shard2.mkdir()
+    _write_docs(shard1 / "p.parquet", [
+        dict(doc_id=0, text="first unique document body.", source="web"),
+        dict(doc_id=1, text="second unique document body.", source="web"),
+    ])
+    _write_docs(shard2 / "p.parquet", [
+        dict(doc_id=10, text="FIRST   unique document body.", source="web"),  # seen
+        dict(doc_id=11, text="a genuinely new document body.", source="web"),
+    ])
+    empty = tmp_path / "fps0"
+    empty.mkdir()
+    pq.write_table(
+        pa.table({"fingerprint": pa.array([], pa.string())}), str(empty / "p.parquet")
+    )
+
+    r1 = run_pipeline(
+        spark,
+        _ns(input=str(shard1), output=str(tmp_path / "o1"),
+            seen_fps=str(empty), new_fps=str(tmp_path / "fps1")),
+        ["dedup"],
+    )
+    r2 = run_pipeline(
+        spark,
+        _ns(input=str(shard2), output=str(tmp_path / "o2"),
+            seen_fps=str(tmp_path / "fps1"), new_fps=str(tmp_path / "fps2")),
+        ["dedup"],
+    )
+    assert r1["counters"]["output"] == 2
+    assert r2["counters"]["output"] == 1  # normalizer catches the case variant
+    survivors2 = spark.read.parquet(str(tmp_path / "o2")).collect()
+    assert [r["doc_id"] for r in survivors2] == [11]
+    assert "fingerprint" not in spark.read.parquet(str(tmp_path / "o1")).columns
