@@ -1954,6 +1954,53 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_time_interpolate",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, epoch_ms(ts) AS t, value,
+             lead(epoch_ms(ts)) OVER w AS next_t,
+             lead(value) OVER w AS next_value
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           (t + next_t) / 2 AS mid_t,
+           round((value + next_value) / 2, 6) AS mid_value,
+           (next_t - t)::BIGINT AS gap_ms
+    FROM o
+    WHERE next_t IS NOT NULL AND next_t - t > 3600000
+    ORDER BY user_id, event_id
+    """,
+)
+def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap interpolation: for each per-user gap over one hour,
+    the linearly interpolated midpoint sample (time + value). One window
+    per user key -- the standard lead/lag resample shape, no self-join."""
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    e = _read(spark, sf_dir, "events").select(
+        "user_id", "event_id",
+        # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is the
+        # same epoch DuckDB's epoch_ms assigns the naive value
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("t"), "value"
+    )
+    o = e.select(
+        "user_id", "event_id", "t", "value",
+        F.lead("t").over(w).alias("next_t"),
+        F.lead("value").over(w).alias("next_value"),
+    )
+    return (
+        o.where(F.col("next_t").isNotNull() & (F.col("next_t") - F.col("t") > 3_600_000))
+        .select(
+            "user_id", "event_id",
+            ((F.col("t") + F.col("next_t")) / 2).alias("mid_t"),
+            F.round((F.col("value") + F.col("next_value")) / 2, 6).alias("mid_value"),
+            (F.col("next_t") - F.col("t")).cast("bigint").alias("gap_ms"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
