@@ -342,3 +342,63 @@ def test_stateless_text_ops_compose_on_streams(spark, tmp_path):
     assert len(batch) == 1 and batch[0]["doc_id"] == 1
     assert "<EMAIL>" in batch[0]["text"] and "<IP>" in batch[0]["text"]
     assert "drop this fragment" not in batch[0]["text"]
+
+
+def test_streaming_near_dedup_survives_restart(spark, tmp_path):
+    """The near-dup state store must survive a checkpoint restart: a
+    bag-of-words duplicate arriving in a SECOND availableNow run (same
+    checkpoint) is still dropped against phase-1 state."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        streaming_near_dedup,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+
+    def write(name, rows):
+        pq.write_table(pa.Table.from_pylist(rows, schema=schema), str(src / name))
+
+    def run_once():
+        stream = (
+            spark.readStream.schema(
+                "conv_id string, turn_idx int, role string, text string, "
+                "tool string, ts timestamp"
+            ).parquet(str(src))
+        )
+        q = (
+            streaming_near_dedup(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(240)
+
+    write("f0.parquet", [
+        dict(conv_id="a", turn_idx=0, role="user", text="omega psi chi phi",
+             tool="", ts=t0),
+    ])
+    run_once()
+    # phase 2: token-reordered duplicate + one fresh doc, NEW run, SAME ckpt
+    write("f1.parquet", [
+        dict(conv_id="b", turn_idx=0, role="user", text="phi chi psi OMEGA",
+             tool="", ts=t0 + timedelta(minutes=5)),
+        dict(conv_id="b", turn_idx=1, role="user", text="totally new words here",
+             tool="", ts=t0 + timedelta(minutes=6)),
+    ])
+    run_once()
+
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    texts = sorted(r["text"] for r in rows)
+    assert texts == ["omega psi chi phi", "totally new words here"]
