@@ -61,6 +61,26 @@ def top_phrases(df: DataFrame, k: int = 20, text_col: str = "text") -> DataFrame
     )
 
 
+def _top_run_count(arr: Column) -> Column:
+    """Count of the most frequent element of a string array: longest equal
+    run of the sorted array, one array_sort + one fold, O(n log n) per row."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Gopher-style repetition quality signals per document:
     distinct_word_frac (distinct words / words) and top_bigram_frac (count
@@ -68,39 +88,34 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     the dedup shingles). Documents dominated by one repeated phrase score
     high top_bigram_frac and get filtered by the quality gate.
 
-    Scale shape: one explode per signal, count aggregations with map-side
-    combine; no self-joins, no collects."""
+    Scale shape (round 3): pure ROW expressions -- no explode, no groupBy,
+    no join. Distinct count via array_distinct; the top-bigram count is the
+    longest equal run of the SORTED bigram array (one array_sort + one fold
+    per row, bounded by document length). Stateless, so the signals compose
+    onto streams and the batch plan is a shuffle-free projection.
+    Value-identical to the former explode+agg formulation (same oracle);
+    documents with zero countable words stay absent from the output, as
+    before."""
     from .dedup import normalized
 
     norm = normalized(F.col(text_col))
     toks = F.split(norm, " ")
-    bigrams = word_bigrams(toks)
-
-    words = (
-        df.select("doc_id", F.explode(toks).alias("w"))
-        .where(F.length("w") > 0)
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_words"),
-            F.countDistinct("w").alias("n_distinct"),
-        )
-    )
-    bg = (
-        df.select("doc_id", F.explode(bigrams).alias("bg"))
-        .where(F.length("bg") > 0)
-        .groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("doc_id")
-        .agg(F.sum("c").alias("n_bigrams"), F.max("c").alias("top_c"))
-    )
+    wt = F.filter(toks, lambda x: x != F.lit(""))
+    bg = F.filter(word_bigrams(wt), lambda x: F.length(x) > 0)
+    n_words = F.size(F.col("_wt"))
+    n_distinct = F.size(F.array_distinct(F.col("_wt")))
+    n_bigrams = F.size(F.col("_bg"))
+    top_c = _top_run_count(F.col("_bg"))
     return (
-        words.join(bg, "doc_id", "left")
+        df.select("doc_id", wt.alias("_wt"), bg.alias("_bg"))
+        .where(F.size(F.col("_wt")) > 0)
         .select(
-            "doc_id", "n_words",
-            F.round(F.col("n_distinct") / F.col("n_words"), 6).alias("distinct_word_frac"),
-            F.coalesce(F.col("n_bigrams"), F.lit(0)).alias("n_bigrams"),
+            "doc_id",
+            n_words.alias("n_words"),
+            F.round(n_distinct / n_words, 6).alias("distinct_word_frac"),
+            n_bigrams.alias("n_bigrams"),
             F.round(
-                F.coalesce(F.col("top_c") / F.col("n_bigrams"), F.lit(0.0)), 6
+                F.when(n_bigrams > 0, top_c / n_bigrams).otherwise(F.lit(0.0)), 6
             ).alias("top_bigram_frac"),
         )
     )
@@ -165,30 +180,55 @@ def quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFram
     (``repetition_signals``) -> keep boolean + comma-joined reject reasons
     in a fixed order. The filter a training-data pipeline runs before dedup.
 
-    Scale shape: two aggregation subplans joined on doc_id (shuffle on the
-    id only), thresholds applied JVM-side; no UDFs, no collects."""
+    Scale shape (round 3): ONE row-wise projection -- stats and repetition
+    signals are all array expressions now, so there is no aggregate, no
+    join, and no shuffle; the gate composes directly onto streams.
+    Thresholds applied JVM-side; no UDFs, no collects. Value-identical to
+    the former two-subplan join (same expressions, same rounding)."""
+    from .dedup import normalized
+
     p = {**GATE_DEFAULTS, **overrides}
-    stats = document_stats(df, text_col).select(
-        "doc_id", "n_tokens", "punct_ratio", "stopword_ratio"
+    t = F.col(text_col)
+    wt = F.filter(F.split(normalized(t), " "), lambda x: x != F.lit(""))
+    base = df.select(
+        "doc_id", t.alias("_t"), tokens(t).alias("_toks"), wt.alias("_wt")
+    ).select(
+        "doc_id", "_t", "_toks", "_wt",
+        F.filter(word_bigrams(F.col("_wt")), lambda x: F.length(x) > 0).alias("_bg"),
     )
-    rep = repetition_signals(df, text_col).select(
-        "doc_id", "distinct_word_frac", "top_bigram_frac"
+    tl, toks = F.col("_t"), F.col("_toks")
+    n_tokens = F.size(toks)
+    n_chars = F.length(tl)
+    punct_ratio = F.round(
+        (n_chars - F.length(F.regexp_replace(tl, PUNCT_CLASS, ""))).cast("double")
+        / n_chars, 6,
     )
-    j = stats.join(rep, "doc_id", "left")
+    low = F.transform(toks, lambda x: F.lower(x))
+    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    en = F.size(F.filter(low, lambda x: F.array_contains(en_arr, x)))
+    stopword_ratio = F.round(en.cast("double") / n_tokens, 6)
+    n_words = F.size(F.col("_wt"))
+    # docs with no countable words (empty text) fail the distinct gate
+    distinct_word_frac = F.when(
+        n_words > 0, F.round(F.size(F.array_distinct(F.col("_wt"))) / n_words, 6)
+    ).otherwise(F.lit(0.0))
+    n_bigrams = F.size(F.col("_bg"))
+    top_bigram_frac = F.when(
+        n_bigrams > 0, F.round(_top_run_count(F.col("_bg")) / n_bigrams, 6)
+    ).otherwise(F.lit(0.0))
     cols = {
-        "n_tokens": F.col("n_tokens"),
-        "punct_ratio": F.col("punct_ratio"),
-        "stopword_ratio": F.col("stopword_ratio"),
-        # docs with no countable words (empty text) fail the distinct gate
-        "distinct_word_frac": F.coalesce(F.col("distinct_word_frac"), F.lit(0.0)),
-        "top_bigram_frac": F.coalesce(F.col("top_bigram_frac"), F.lit(0.0)),
+        "n_tokens": n_tokens,
+        "punct_ratio": punct_ratio,
+        "stopword_ratio": stopword_ratio,
+        "distinct_word_frac": distinct_word_frac,
+        "top_bigram_frac": top_bigram_frac,
     }
     reasons = F.concat_ws(
         ",", *[F.when(cond(cols, p), F.lit(name)) for name, cond in _GATE_REASONS]
     )
-    return j.select(
+    return base.select(
         "doc_id",
-        "n_tokens",
+        n_tokens.alias("n_tokens"),
         reasons.alias("reject_reasons"),
         (reasons == "").alias("keep"),
     )

@@ -150,3 +150,15 @@ def test_simhash_is_shuffle_free_projection(spark):
     plan = _plan(spark, "q_simhash")
     assert "HashAggregate" not in plan, plan
     assert "Generate" not in plan, plan  # no explode
+
+
+def test_quality_signals_are_shuffle_free_projections(spark):
+    """quality_gate and repetition_signals are row-wise array expressions
+    (round 3): no aggregate, no join, no explode -- the only exchange in
+    the harness entries is the output sort."""
+    for name in ("q_quality_gate", "q_repetition_signals"):
+        plan = _plan(spark, name)
+        assert "HashAggregate" not in plan, name
+        assert "SortMergeJoin" not in plan, name
+        assert "BroadcastHashJoin" not in plan, name
+        assert "Generate" not in plan, name
