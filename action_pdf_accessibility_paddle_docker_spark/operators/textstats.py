@@ -96,7 +96,7 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     Value-identical to the former explode+agg formulation (same oracle);
     documents with zero countable words stay absent from the output, as
     before."""
-    from .dedup import normalized
+    from .dedup import _widen, normalized
 
     norm = normalized(F.col(text_col))
     toks = F.split(norm, " ")
@@ -106,8 +106,11 @@ def repetition_signals(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_distinct = F.size(F.array_distinct(F.col("_wt")))
     n_bigrams = F.size(F.col("_bg"))
     top_c = _top_run_count(F.col("_bg"))
+    # widen the raw text first: single-split files would otherwise run the
+    # whole array computation in one task (projection stays above exchange)
     return (
-        df.select("doc_id", wt.alias("_wt"), bg.alias("_bg"))
+        _widen(df.select("doc_id", F.col(text_col).alias(text_col)))
+        .select("doc_id", wt.alias("_wt"), bg.alias("_bg"))
         .where(F.size(F.col("_wt")) > 0)
         .select(
             "doc_id",
@@ -185,12 +188,12 @@ def quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFram
     join, and no shuffle; the gate composes directly onto streams.
     Thresholds applied JVM-side; no UDFs, no collects. Value-identical to
     the former two-subplan join (same expressions, same rounding)."""
-    from .dedup import normalized
+    from .dedup import _widen, normalized
 
     p = {**GATE_DEFAULTS, **overrides}
     t = F.col(text_col)
     wt = F.filter(F.split(normalized(t), " "), lambda x: x != F.lit(""))
-    base = df.select(
+    base = _widen(df.select("doc_id", t.alias(text_col))).select(
         "doc_id", t.alias("_t"), tokens(t).alias("_toks"), wt.alias("_wt")
     ).select(
         "doc_id", "_t", "_toks", "_wt",
