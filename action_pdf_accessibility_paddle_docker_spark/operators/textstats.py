@@ -188,22 +188,43 @@ def quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFram
     join, and no shuffle; the gate composes directly onto streams.
     Thresholds applied JVM-side; no UDFs, no collects. Value-identical to
     the former two-subplan join (same expressions, same rounding)."""
+    base, reasons, n_tokens = _gate_frame(df, text_col, {**GATE_DEFAULTS, **overrides})
+    return base.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        reasons.alias("reject_reasons"),
+        (reasons == "").alias("keep"),
+    )
+
+
+def apply_quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """The consuming/filtering form of the gate: keep only passing rows,
+    original columns preserved. A plain row-wise filter, so it composes
+    onto streams (no aggregate-join like a gate-then-semi-join would be)."""
+    base, reasons, _ = _gate_frame(df, text_col, {**GATE_DEFAULTS, **overrides})
+    return base.where(reasons == "").drop("_toks", "_wt", "_bg")
+
+
+def _gate_frame(df: DataFrame, text_col: str, p: dict):
+    """Shared gate internals: the widened frame with temp array columns,
+    plus the (reasons, n_tokens) expressions over it. Original columns are
+    preserved (withColumn, not select) so the filtering form can return
+    rows unchanged."""
     from .dedup import _widen, normalized
 
-    p = {**GATE_DEFAULTS, **overrides}
     t = F.col(text_col)
     wt = F.filter(F.split(normalized(t), " "), lambda x: x != F.lit(""))
-    base = _widen(df.select("doc_id", t.alias(text_col))).select(
-        "doc_id", t.alias("_t"), tokens(t).alias("_toks"), wt.alias("_wt")
-    ).select(
-        "doc_id", "_t", "_toks", "_wt",
-        F.filter(word_bigrams(F.col("_wt")), lambda x: F.length(x) > 0).alias("_bg"),
+    base = (
+        _widen(df)
+        .withColumn("_toks", tokens(t))
+        .withColumn("_wt", wt)
+        .withColumn("_bg", F.filter(word_bigrams(F.col("_wt")), lambda x: F.length(x) > 0))
     )
-    tl, toks = F.col("_t"), F.col("_toks")
+    toks = F.col("_toks")
     n_tokens = F.size(toks)
-    n_chars = F.length(tl)
+    n_chars = F.length(t)
     punct_ratio = F.round(
-        (n_chars - F.length(F.regexp_replace(tl, PUNCT_CLASS, ""))).cast("double")
+        (n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("double")
         / n_chars, 6,
     )
     low = F.transform(toks, lambda x: F.lower(x))
@@ -229,12 +250,7 @@ def quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFram
     reasons = F.concat_ws(
         ",", *[F.when(cond(cols, p), F.lit(name)) for name, cond in _GATE_REASONS]
     )
-    return base.select(
-        "doc_id",
-        n_tokens.alias("n_tokens"),
-        reasons.alias("reject_reasons"),
-        (reasons == "").alias("keep"),
-    )
+    return base, reasons, n_tokens
 
 
 def stable_split(

@@ -57,6 +57,18 @@ def main() -> None:
                     help="sample: per-source keep rate, e.g. --rate web=0.1")
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--stratum-col", default="source")
+    ap.add_argument("--streaming", action="store_true",
+                    help="run as a Structured Streaming job (availableNow) over "
+                         "arriving document files; clean/pii/gate/split/sample are "
+                         "stateless and stream as-is, dedup becomes the "
+                         "watermarked streaming exact dedup (cross-batch state "
+                         "bounded by --dedup-horizon); incremental --seen-fps "
+                         "is batch-only")
+    ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
+    ap.add_argument("--ts-col", default="ts",
+                    help="streaming dedup event-time column (must exist on the "
+                         "input when --streaming + dedup)")
+    ap.add_argument("--dedup-horizon", default="30 minutes")
     args = ap.parse_args()
 
     stages = [s.strip() for s in args.stages.split(",") if s.strip()]
@@ -66,10 +78,19 @@ def main() -> None:
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
 
+    if args.streaming:
+        if args.seen_fps:
+            ap.error("--seen-fps (incremental dedup) is batch-only")
+        if not args.checkpoint:
+            ap.error("--streaming requires --checkpoint")
+
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("corpus-curation").getOrCreate()
-    result = run_pipeline(spark, args, stages)
+    if args.streaming:
+        result = run_pipeline_streaming(spark, args, stages)
+    else:
+        result = run_pipeline(spark, args, stages)
     print(json.dumps(result))
     spark.stop()
 
@@ -98,11 +119,7 @@ def run_pipeline(spark, args, stages) -> dict:
     if "pii" in stages:
         df = P.redact(df, text_col=args.text_col)
     if "gate" in stages:
-        gated = T.quality_gate(df, text_col=args.text_col)
-        df = df.join(
-            gated.where(F.col("keep")).select(F.col("doc_id").alias(args.id_col)),
-            args.id_col,
-        )
+        df = T.apply_quality_gate(df, text_col=args.text_col)
     if "dedup" in stages:
         if args.seen_fps:
             seen = spark.read.parquet(args.seen_fps)
@@ -131,6 +148,72 @@ def run_pipeline(spark, args, stages) -> dict:
     df.write.mode("overwrite").parquet(args.output)
     counters["output"] = spark.read.parquet(args.output).count()
     return {"mode": "corpus", "stages": stages, "counters": counters}
+
+
+
+def run_pipeline_streaming(spark, args, stages) -> dict:
+    """Streaming curation over arriving document files. clean / pii / gate /
+    split / sample are stateless projections (they stream unchanged); dedup
+    becomes the watermarked streaming exact dedup, its state bounded by
+    --dedup-horizon. Checkpointed availableNow run: re-running drains only
+    new files, exactly once."""
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators import dedup as D
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        linefilter as L,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators import pii as P
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        textstats as T,
+    )
+
+    schema = spark.read.parquet(args.input).schema
+    df = spark.readStream.schema(schema).parquet(args.input)
+
+    if "clean" in stages:
+        df = L.apply_line_filter(
+            df, text_col=args.text_col, min_kept_lines=args.min_kept_lines
+        )
+    if "pii" in stages:
+        df = P.redact(df, text_col=args.text_col)
+    if "gate" in stages:
+        df = T.apply_quality_gate(df, text_col=args.text_col)
+    if "dedup" in stages:
+        ts = (F.col(args.ts_col) if args.ts_col in schema.names
+              else F.current_timestamp())
+        df = (
+            df.withColumn("_ts", ts)
+            .withColumn(
+                "fingerprint", F.md5(D.normalized(F.col(args.text_col)))
+            )
+            .withWatermark("_ts", args.dedup_horizon)
+            .dropDuplicatesWithinWatermark(["fingerprint"])
+            .drop("fingerprint", "_ts")
+        )
+    if "split" in stages:
+        df = T.stable_split(df, id_col=args.id_col)
+    if "sample" in stages:
+        rates = {}
+        for spec in args.rate:
+            k, _, v = spec.partition("=")
+            rates[k] = float(v)
+        df = T.stratified_sample(
+            df, rates=rates, stratum_col=args.stratum_col,
+            id_col=args.id_col, default_rate=args.default_rate,
+        )
+
+    q = (
+        df.writeStream.format("parquet")
+        .option("path", args.output)
+        .option("checkpointLocation", args.checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    n_out = spark.read.parquet(args.output).count()
+    return {"mode": "corpus-streaming", "stages": stages,
+            "counters": {"output": n_out}}
 
 
 if __name__ == "__main__":

@@ -87,3 +87,37 @@ def test_incremental_shard_loop(spark, tmp_path):
     survivors2 = spark.read.parquet(str(tmp_path / "o2")).collect()
     assert [r["doc_id"] for r in survivors2] == [11]
     assert "fingerprint" not in spark.read.parquet(str(tmp_path / "o1")).columns
+
+
+def test_streaming_pipeline_equals_batch(spark, tmp_path):
+    """--streaming composition (clean -> pii -> gate -> dedup -> split) on a
+    file stream must match the batch pipeline on the same input up to
+    dedup's tie-break (batch keeps min doc_id; within one micro-batch the
+    stream's surviving duplicate is arbitrary -- the contract is exactly
+    ONE survivor per fingerprint)."""
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=GOOD + "\nmail me at a@b.io right away please.",
+             source="web"),
+        dict(doc_id=1, text=GOOD, source="web"),
+        dict(doc_id=2, text=GOOD, source="web"),
+        dict(doc_id=3, text="tiny.\nnope", source="web"),
+    ])
+    ns = _ns(
+        input=str(src), output=str(tmp_path / "out"),
+        streaming=True, checkpoint=str(tmp_path / "ck"),
+        ts_col="ts", dedup_horizon="30 minutes",
+    )
+    from jobs.corpus_job import run_pipeline_streaming
+
+    res = run_pipeline_streaming(
+        spark, ns, ["clean", "pii", "gate", "dedup", "split"]
+    )
+    out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert res["counters"]["output"] == 2
+    survivors = set(out)
+    assert 0 in survivors and len(survivors & {1, 2}) == 1  # one dup survivor
+    assert 3 not in survivors  # line-gated
+    assert "<EMAIL>" in out[0]["text"]
+    assert all(r["split"] in ("train", "val", "test") for r in out.values())
