@@ -192,6 +192,52 @@ def lsh_bucketed_topk(
     )
 
 
+def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col):
+    """Fit the coarse quantizer and build the Arrow-batched assignment /
+    probe UDFs (centroid matrix in the closure). Shared by ivf_topk and
+    ivf_assignments."""
+    import pandas as pd
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.sql.functions import pandas_udf
+
+    train = corpus.select(
+        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    )
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    half_sq = 0.5 * (centers * centers).sum(axis=1)  # (C,)
+
+    def _nearest(vecs):
+        m = np.stack(vecs.to_numpy())  # (B, dim)
+        scores = m @ centers.T - half_sq  # (B, C)
+        return pd.Series(scores.argmax(axis=1).astype("int32"))
+
+    def _probe(vecs):
+        m = np.stack(vecs.to_numpy())
+        scores = m @ centers.T - half_sq
+        order = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
+        return pd.Series(list(order))
+
+    return pandas_udf(_nearest, "int"), pandas_udf(_probe, "array<int>"), centers
+
+
+def ivf_assignments(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    max_iter: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus with its coarse-quantizer cell id attached -- the column
+    a production layout partitions on (``write.partitionBy('cid')``), so an
+    IVF probe becomes a PARTITION-PRUNED scan of n_probe/n_centroids of the
+    data instead of a full-corpus read (drilled in test_similarity)."""
+    nearest_cid, _, _ = _ivf_udfs(corpus, n_centroids, 1, seed, max_iter, vec_col)
+    return corpus.withColumn("cid", nearest_cid(_as_double(F.col(vec_col))))
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -220,31 +266,9 @@ def ivf_topk(
     Recall rises with n_probe (n_probe == n_centroids is exhaustive).
     Assignment uses argmin ||v-c||^2 == argmax(v.c - ||c||^2/2), exactly
     KMeans's own metric, so step 2 reproduces the model's clustering."""
-    import pandas as pd
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
-
-    train = corpus.select(
-        array_to_vector(_as_double(F.col(vec_col))).alias("features")
+    nearest_cid, probe_cids, _ = _ivf_udfs(
+        corpus, n_centroids, n_probe, seed, max_iter, vec_col
     )
-    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
-    half_sq = 0.5 * (centers * centers).sum(axis=1)  # (C,)
-
-    def _nearest(vecs):
-        m = np.stack(vecs.to_numpy())  # (B, dim)
-        scores = m @ centers.T - half_sq  # (B, C)
-        return pd.Series(scores.argmax(axis=1).astype("int32"))
-
-    def _probe(vecs):
-        m = np.stack(vecs.to_numpy())
-        scores = m @ centers.T - half_sq
-        order = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
-        return pd.Series(list(order))
-
-    nearest_cid = pandas_udf(_nearest, "int")
-    probe_cids = pandas_udf(_probe, "array<int>")
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")

@@ -144,3 +144,31 @@ def test_ivf_recall_and_exhaustive_probe(spark, emb):
     # probing ALL centroids must reproduce brute force exactly
     full = ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).collect()
     assert sorted(map(tuple, full)) == sorted(map(tuple, exact))
+
+
+def test_ivf_partitioned_layout_prunes_probe_scan(spark, tmp_path):
+    """SCALE.md's IVF claim made concrete: write the corpus partitioned by
+    its coarse-quantizer cell (ivf_assignments -> partitionBy('cid')); a
+    probe restricted to n_probe cells must show PartitionFilters on cid in
+    the scan -- i.e. the probe reads n_probe/n_centroids of the data, it
+    does not filter after a full scan."""
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        ivf_assignments,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    assigned = ivf_assignments(emb, n_centroids=8)
+    out = tmp_path / "ivf_layout"
+    assigned.write.partitionBy("cid").parquet(str(out))
+
+    probed = spark.read.parquet(str(out)).where(F.col("cid").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cid" in plan.split("PartitionFilters")[1][:120]
+    # the pruned read returns exactly the two cells' rows
+    cids = {r["cid"] for r in probed.select("cid").distinct().collect()}
+    assert cids <= {0, 3}
+    full = spark.read.parquet(str(out)).count()
+    assert 0 < probed.count() < full
