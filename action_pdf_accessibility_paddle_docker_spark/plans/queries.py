@@ -2001,6 +2001,42 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+             AS value_ma3,
+           count(*) OVER (PARTITION BY user_id
+                          ORDER BY ts, event_id
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+             ::BIGINT AS window_n
+    FROM events ORDER BY user_id, event_id
+    """,
+)
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window-frame aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
+    ROW): per-user 3-event moving average in event-time order. Pins the
+    explicit frame-specification surface next to the unbounded-frame
+    windows elsewhere in the registry; one shuffle on the user key."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return (
+        _read(spark, sf_dir, "events")
+        .select(
+            "user_id", "event_id",
+            F.round(F.avg("value").over(w), 6).alias("value_ma3"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("window_n"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
