@@ -2037,6 +2037,57 @@ def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_ccnet_buckets",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
+    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
+    tf AS (
+      SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
+      WHERE length(term) > 0 GROUP BY 1, 2
+    ),
+    model AS (SELECT term, sum(tf)::BIGINT AS c_term FROM tf GROUP BY 1),
+    tot AS (SELECT sum(c_term)::BIGINT AS c_total FROM model),
+    nll AS (
+      SELECT doc_id,
+             round(sum(-tf * ln(c_term / c_total)) / sum(tf), 6) AS mean_nll
+      FROM tf JOIN model USING (term) CROSS JOIN tot GROUP BY doc_id
+    ),
+    b AS (
+      SELECT doc_id,
+             ntile(3) OVER (ORDER BY mean_nll, doc_id) AS tercile
+      FROM nll
+    )
+    SELECT CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+           count(*)::BIGINT AS n_docs,
+           min(doc_id) AS min_id
+    FROM b GROUP BY 1 ORDER BY 1
+    """,
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's actual partitioning output: head / middle / tail terciles of
+    the per-document LM score (mean unigram NLL; lower = head-like common
+    text). ntile over the score with a doc_id tie-break so both engines
+    bucket identically; a global window over one DOUBLE column -- tiny rows,
+    and at real scale the cutpoints would come from approx quantiles
+    (q_sketch_accuracy pins that machinery) rather than a global sort."""
+    nll = T.unigram_logprob_score(_read(spark, sf_dir, "documents"))
+    w = Window.orderBy("mean_nll", "doc_id")
+    b = nll.select("doc_id", F.ntile(3).over(w).alias("tercile"))
+    bucket = (
+        F.when(F.col("tercile") == 1, F.lit("head"))
+        .when(F.col("tercile") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        b.select("doc_id", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
+        .orderBy("bucket")
+    )
+
+
 def queries() -> dict[str, Builder]:
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
