@@ -20,17 +20,22 @@ from pyspark.sql import functions as F
 
 EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 PHONE_RE = r"\+?\d{1,3}-\d{3}-\d{4}"
 
 EMAIL_TOKEN = "<EMAIL>"
 IPV4_TOKEN = "<IP>"
+SSN_TOKEN = "<SSN>"
 PHONE_TOKEN = "<PHONE>"
 
 
 def scrub_pii(text: Column) -> Column:
-    """Mask all PII spans, in the fixed order email -> IPv4 -> phone."""
+    """Mask all PII spans, fixed order email -> IPv4 -> SSN -> phone (SSN
+    before phone: the 3-2-4 dash shape must not be half-eaten by a later
+    pattern; the phone's 3-3-4 shape cannot match inside an SSN)."""
     out = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
     out = F.regexp_replace(out, IPV4_RE, IPV4_TOKEN)
+    out = F.regexp_replace(out, SSN_RE, SSN_TOKEN)
     return F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
 
 
@@ -45,6 +50,7 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(SSN_RE)).cast("bigint").alias("n_ssns"),
         F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(scrub_pii(t)).alias("redacted_fp"),
     )

@@ -1672,6 +1672,7 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 from ..operators.pii import EMAIL_RE as _EMAIL_RE  # noqa: E402
 from ..operators.pii import IPV4_RE as _IPV4_RE  # noqa: E402
 from ..operators.pii import PHONE_RE as _PHONE_RE  # noqa: E402
+from ..operators.pii import SSN_RE as _SSN_RE  # noqa: E402
 
 
 @register(
@@ -1684,23 +1685,29 @@ from ..operators.pii import PHONE_RE as _PHONE_RE  # noqa: E402
                     || '@example.com or 10.' || (doc_id % 200)
                     || '.' || ((doc_id * 7) % 200)
                     || '.42 call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                    || CASE WHEN doc_id % 5 = 0
+                       THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END
              ELSE text END AS text
       FROM documents
     )
     SELECT doc_id,
            len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
            len(regexp_extract_all(text, '{_IPV4_RE}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '{_SSN_RE}'))::BIGINT AS n_ssns,
            len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
            md5(regexp_replace(
                  regexp_replace(
-                   regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                   '{_IPV4_RE}', '<IP>', 'g'),
+                   regexp_replace(
+                     regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                     '{_IPV4_RE}', '<IP>', 'g'),
+                   '{_SSN_RE}', '<SSN>', 'g'),
                  '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
     FROM p ORDER BY doc_id
     """,
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub (emails / IPv4 / dashed phones): counts on the original
+    """PII scrub (emails / IPv4 / SSNs / dashed phones): counts on the original
     text + md5 of the redacted text. RE2-compatible patterns so DuckDB
     evaluates the identical regexes; whole pass is one JVM projection."""
     from ..operators import pii as P
@@ -1715,6 +1722,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("."), ((d * 7) % 200).cast("string"),
             F.lit(".42 call +1-555-"),
             F.lpad((d % 10000).cast("string"), 4, "0"),
+            F.when(
+                d % 5 == 0,
+                F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
         ),
     ).otherwise(F.col("text"))
     doc = _read(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))

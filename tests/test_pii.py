@@ -20,6 +20,7 @@ def test_redaction_exact_strings(spark):
         "call +1-555-0100 or 44-201-9999",
         "clean text with no pii at all",
         "email@x.io next to 192.168.1.1 and +1-555-0000",
+        "ssn 123-45-6789 but build 1234-56-7890 stays",
     ])
     assert out == [
         "mail <EMAIL> now",
@@ -27,6 +28,7 @@ def test_redaction_exact_strings(spark):
         "call <PHONE> or <PHONE>",
         "clean text with no pii at all",
         "<EMAIL> next to <IP> and <PHONE>",
+        "ssn <SSN> but build 1234-56-7890 stays",
     ]
 
 
@@ -66,6 +68,7 @@ def test_cross_engine_regex_fuzz(spark):
         EMAIL_RE,
         IPV4_RE,
         PHONE_RE,
+        SSN_RE,
         pii_stats,
     )
 
@@ -77,6 +80,8 @@ def test_cross_engine_regex_fuzz(spark):
         "1.2.3.4.5", "1.2.3", "v1.2.3.4b", "0.0.0.0",
         "+1-555-0100", "44-201-9999", "1-23-4567", "+123-456-7890",
         "12345-678-9012", "+-555-0100", "555-01000", "--555-0100",
+        "123-45-6789", "000-00-0000", "1234-56-7890", "123-456-789",
+        "a123-45-6789", "123-45-67890",
         "word", "über", "naïve@café.fr", "日本語", "a.b", "...", "@",
         "+", "-", "()", "a_b%c@d-e.fg", "5.5", "tel:+1-555-1234.",
     ]
@@ -102,16 +107,21 @@ def test_cross_engine_regex_fuzz(spark):
         SELECT doc_id,
                len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
                len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+               len(regexp_extract_all(text, '{SSN_RE}')) AS n_ssns,
                len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
                md5(regexp_replace(
                      regexp_replace(
-                       regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                       '{IPV4_RE}', '<IP>', 'g'),
+                       regexp_replace(
+                         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{IPV4_RE}', '<IP>', 'g'),
+                       '{SSN_RE}', '<SSN>', 'g'),
                      '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
         FROM t ORDER BY doc_id
         """
     ).fetchall()
-    for doc_id, n_emails, n_ips, n_phones, fp in drows:
+    for doc_id, n_emails, n_ips, n_ssns, n_phones, fp in drows:
         s = srows[doc_id]
-        got = (s["n_emails"], s["n_ips"], s["n_phones"], s["redacted_fp"])
-        assert got == (n_emails, n_ips, n_phones, fp), (doc_id, texts[doc_id], got)
+        got = (s["n_emails"], s["n_ips"], s["n_ssns"], s["n_phones"],
+               s["redacted_fp"])
+        assert got == (n_emails, n_ips, n_ssns, n_phones, fp), (
+            doc_id, texts[doc_id], got)
