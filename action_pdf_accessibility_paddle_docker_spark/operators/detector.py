@@ -9,7 +9,7 @@ cpu). That is the single biggest inefficiency in the reference; this engine
 fixes it structurally:
 
 * ONE detector instance per (model, thresholds, model_dir) per Python worker
-  process (keyed singleton, created lazily inside the mapInPandas kernel),
+  process (keyed singleton, created lazily inside the mapInArrow kernel),
   each model loaded at most once per worker.
 * BATCHED scoring: the kernel plans a whole Arrow batch up front
   (operators/payload.py:_plan_batch) and drives the ``*_many`` hooks below,

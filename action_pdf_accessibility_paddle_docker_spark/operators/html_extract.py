@@ -9,7 +9,7 @@ drop them (/root/reference/src/template_json.py:255-258,287-294,315-322,
 tag-depth triple (north_star axes).
 
 Pure-Python and dependency-free; called from both the oracle and the Spark
-``mapInPandas`` kernel (it is a scalar library function, like latex2mathml in
+``mapInArrow`` kernel (it is a scalar library function, like latex2mathml in
 the reference).
 """
 

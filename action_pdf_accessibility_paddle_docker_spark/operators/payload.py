@@ -3,7 +3,7 @@ the reference's page pipeline (stub detector -> threshold filter -> table /
 formula sub-pipelines -> NMS -> element conversion + formula nesting ->
 reading order -> artifact strip -> text assembly).
 
-This module is called from ``plans/extraction.py`` inside ``mapInPandas``:
+This module is called from ``plans/extraction.py`` inside ``mapInArrow``:
 Arrow batches in, Arrow batches out; geometry is numpy-vectorized per page
 (operators/kernels.py). It must not import pyspark (runs in Python workers).
 
