@@ -55,6 +55,8 @@ HEADLINE_QUERIES = [
     "q_dup_ngrams",
     "q_chunk_dedup",
     "q_sketch_accuracy",
+    "q_quality_gate",
+    "q_unigram_logprob",
 ]
 
 GEN_VERSION = 2  # bump to invalidate the cached synthetic transcripts
