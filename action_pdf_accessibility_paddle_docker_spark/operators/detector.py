@@ -294,12 +294,29 @@ class PaddleXDetector(BatchHooks):
         the reference reads element text through PDFix,
         src/template_json.py:219-382 / src/process_table.py). Without
         pypdfium2 installed this raises, which extract_series converts into
-        the honest per-turn 'pdf-bytes-decode' error row."""
+        the honest per-turn 'pdf-bytes-decode' error row.
+
+        Binary-in-string contract: the transcripts table carries payloads in
+        a STRING ``text`` column, so raw PDF bytes must have been decoded at
+        ingest with either latin-1 (lossless for all 256 byte values -- the
+        recommended convention) or utf-8+surrogateescape. Both are inverted
+        here: latin-1 encode first, and when the string contains codepoints
+        >U+00FF (possible only if ingest decoded multi-byte UTF-8 runs),
+        fall back to utf-8+surrogateescape, which round-trips that decode
+        exactly. Callers that still hold real ``bytes`` should pass them
+        directly -- they are used as-is."""
         from ..config import PAYLOAD_KIND_PDF_BYTES
         from .payload import _plan_batch, extract_pages
         from .rasterize import open_pdf_pages
 
-        data = text.encode("latin-1", "surrogateescape") if isinstance(text, str) else text
+        if isinstance(text, (bytes, bytearray)):
+            data = bytes(text)
+        else:
+            try:
+                data = text.encode("latin-1", "surrogateescape")
+            except UnicodeEncodeError:
+                # ingest used utf-8+surrogateescape; invert that decode
+                data = text.encode("utf-8", "surrogateescape")
         pages, close = open_pdf_pages(data, scale=self.zoom)
         try:
             planned = _plan_batch(self, pages, process_table, process_formula)

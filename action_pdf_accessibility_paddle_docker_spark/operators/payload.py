@@ -15,6 +15,7 @@ src/template_json.py:75-98,146-196.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Iterator
 
 try:  # orjson parses the layout payloads ~2.4x faster than stdlib json
@@ -470,16 +471,25 @@ def extract_series(
 ) -> Iterator[dict[str, Any]]:
     """Extract a pandas Series of turn payloads (one Arrow batch column).
 
-    Two-phase: (1) parse every structured-PDF payload and run BATCHED
-    inference over all pages/regions of the batch (_plan_batch); (2) run the
-    per-turn geometry pipeline against the precomputed results. Stub and
-    production detectors share this path; only the batch hooks differ."""
+    Two-phase: (1) parse the structured-PDF payloads of a CHUNK of the
+    batch and run BATCHED inference over all its pages/regions
+    (_plan_batch); (2) run the per-turn geometry pipeline against the
+    precomputed results, then drop the chunk before planning the next one.
+    Stub and production detectors share this path; only the batch hooks
+    differ.
+
+    Chunking bounds worker memory: planning the WHOLE Arrow batch at once
+    pins every parsed page (incl. decoded page rasters on the production
+    path) for up to arrow maxRecordsPerBatch rows simultaneously; with
+    MB-scale rasters that OOMs a Python worker. PLAN_CHUNK_PAGES caps the
+    pages pinned at any moment while keeping inference batched (one predict
+    per model per chunk, not per turn); paddlex deployments with very large
+    page rasters can lower it via SPARK_GRAFT_PLAN_CHUNK_PAGES."""
     from .detector import StubDetector
 
     th = thresholds if thresholds is not None else effective_thresholds()
     det = detector if detector is not None else StubDetector(th)
 
-    PDF, PDF_ERR, OTHER = 0, 1, 2
     items: list[tuple] = []
     batch_pages: list = []
     for text in texts:
@@ -499,7 +509,36 @@ def extract_series(
                 items.append((PDF_ERR, text, e))
         else:
             items.append((OTHER, text, None))
+        if len(batch_pages) >= PLAN_CHUNK_PAGES:
+            yield from _extract_chunk(
+                items, batch_pages, det, th, process_table, process_formula,
+                reading_order,
+            )
+            items, batch_pages = [], []
 
+    yield from _extract_chunk(
+        items, batch_pages, det, th, process_table, process_formula,
+        reading_order,
+    )
+
+
+PDF, PDF_ERR, OTHER = 0, 1, 2
+
+# Max structured-PDF pages planned (and therefore pinned in memory,
+# together with their inference results) per planner pass.
+PLAN_CHUNK_PAGES = int(os.environ.get("SPARK_GRAFT_PLAN_CHUNK_PAGES", "512"))
+
+
+def _extract_chunk(
+    items: list[tuple],
+    batch_pages: list,
+    det,
+    th: dict[int, float],
+    process_table: bool,
+    process_formula: bool,
+    reading_order: str,
+) -> Iterator[dict[str, Any]]:
+    """Plan one chunk's pages, then emit its turns in input order."""
     replay = (
         _plan_batch(det, batch_pages, process_table, process_formula)
         if batch_pages else det

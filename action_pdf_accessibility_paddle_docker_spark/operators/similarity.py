@@ -97,8 +97,15 @@ def signature_udf(plane_sets: list[np.ndarray]):
     at real embedding dims (768-3072) x 8 planes x 12-16 bands that
     generated tens of thousands of literal nodes and blew up codegen
     (round-2 verdict item). Plan size is now independent of dim x bands;
-    bucket values are bit-identical to the old JVM expression (same planes,
-    same ``bit_p * 2^p`` packing)."""
+    bucket values are identical to the old JVM expression on non-degenerate
+    dots (same planes, same ``bit_p * 2^p`` packing; a dot within float
+    rounding of exactly 0 could in principle flip sign vs a left-fold,
+    because matmul summation order differs -- fixture-checked empirically).
+
+    Null or shape-mismatched vectors yield a NULL bucket array for that ROW
+    (dropped by the downstream bucket join / caught by _assert_dim) instead
+    of np.stack failing the whole Arrow batch before the per-row error
+    could fire."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -111,17 +118,27 @@ def signature_udf(plane_sets: list[np.ndarray]):
     def _sig(vecs):
         if len(vecs) == 0:
             return pd.Series([], dtype=object)
-        m = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        if m.ndim != 2 or m.shape[1] != dim:
-            raise ValueError(
-                f"embedding dimension != {dim}: got shape {m.shape}"
-            )
-        bits = (m @ flat.T) >= 0  # (N, P_total)
-        out = np.empty((len(m), len(sizes)), dtype=np.int64)
-        for b in range(len(sizes)):
-            o = offsets[b]
-            out[:, b] = (bits[:, o:o + sizes[b]] * pows[b]).sum(axis=1)
-        return pd.Series(list(out))
+        # per-row validity: one null/ragged vector must not fail the batch
+        rows = []
+        good = np.zeros(len(vecs), dtype=bool)
+        for i, v in enumerate(vecs):
+            if v is None:
+                continue
+            a = np.asarray(v, dtype=np.float64)
+            if a.ndim == 1 and a.shape[0] == dim:
+                rows.append(a)
+                good[i] = True
+        result = [None] * len(vecs)
+        if rows:
+            m = np.stack(rows)
+            bits = (m @ flat.T) >= 0  # (N_good, P_total)
+            out = np.empty((len(m), len(sizes)), dtype=np.int64)
+            for b in range(len(sizes)):
+                o = offsets[b]
+                out[:, b] = (bits[:, o:o + sizes[b]] * pows[b]).sum(axis=1)
+            for j, i in enumerate(np.flatnonzero(good)):
+                result[i] = out[j]
+        return pd.Series(result)
 
     return pandas_udf(_sig, "array<bigint>")
 

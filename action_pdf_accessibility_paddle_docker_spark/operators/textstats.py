@@ -351,10 +351,15 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     common text, high score = rare/garbled tail). CCNet buckets the corpus
     by exactly this kind of score (Wenzek et al. 2020).
 
-    Scale shape: token counts explode once; the unigram model is a
-    vocabulary-sized aggregate joined back BROADCAST (never a shuffle of
-    the corpus side); per-doc reduce has map-side combine. ln(count/total)
-    is exact integer-ratio math so DuckDB agrees bit-for-bit."""
+    Scale shape: token counts explode once; per-doc reduce has map-side
+    combine. The unigram model joins back on ``term`` WITHOUT a broadcast
+    hint: on a real web corpus the distinct-term table is unbounded
+    (hundreds of millions of terms incl. typos/urls) and would blow the
+    broadcast limit -- both sides are already hash-partitioned on ``term``
+    from their groupBys, so AQE picks a cheap (often exchange-reusing)
+    shuffle join, and may still elect a broadcast when runtime stats show
+    the vocab is genuinely small. ln(count/total) is exact integer-ratio
+    math so DuckDB agrees bit-for-bit."""
     from .dedup import normalized
 
     toks = F.split(normalized(F.col(text_col)), " ")
@@ -365,7 +370,7 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     model = tf.groupBy("term").agg(F.sum("tf").alias("c_term"))
     total = model.agg(F.sum("c_term").alias("c_total"))
     return (
-        tf.join(F.broadcast(model), "term")
+        tf.join(model, "term")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -425,10 +430,13 @@ def stratified_sample(
             16, 10,
         ).cast("bigint") % 10000
     )
+    # int(round(...)) not int(...): bare truncation lands one-below for
+    # ~5.6% of 3-decimal rates (0.051*10000 = 509.999... -> 509), so the
+    # realized keep rate and any oracle computing round(rate*10000) disagree
     rate = None
     for stratum, r in sorted(rates.items()):
-        c = F.when(F.col(stratum_col) == stratum, F.lit(int(r * 10000)))
-        rate = c if rate is None else rate.when(F.col(stratum_col) == stratum, F.lit(int(r * 10000)))
-    rate = (rate.otherwise(F.lit(int(default_rate * 10000)))
-            if rate is not None else F.lit(int(default_rate * 10000)))
+        c = F.when(F.col(stratum_col) == stratum, F.lit(int(round(r * 10000))))
+        rate = c if rate is None else rate.when(F.col(stratum_col) == stratum, F.lit(int(round(r * 10000))))
+    rate = (rate.otherwise(F.lit(int(round(default_rate * 10000))))
+            if rate is not None else F.lit(int(round(default_rate * 10000))))
     return df.where(h < rate)

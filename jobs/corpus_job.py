@@ -109,17 +109,35 @@ def run_pipeline(spark, args, stages) -> dict:
         textstats as T,
     )
 
+    from pyspark.sql import Observation
+
     df = spark.read.parquet(args.input)
     counters: dict[str, int] = {"input": df.count()}
 
+    # Per-stage row counters ride the single write pass as Observations
+    # (no extra scans -- a count() per stage would re-execute the whole
+    # chain once per stage, which is wrong at curation scale). A stage
+    # that drops everything is then visible in the JSON line instead of a
+    # bare output=0.
+    observations: list[tuple[str, Observation, "object"]] = []
+
+    def observed(frame, stage: str):
+        obs = Observation(f"after_{stage}")
+        out = frame.observe(obs, F.count(F.lit(1)).alias("rows"))
+        observations.append((stage, obs, out))
+        return out
+
     if "clean" in stages:
-        df = L.apply_line_filter(
-            df, text_col=args.text_col, min_kept_lines=args.min_kept_lines
+        df = observed(
+            L.apply_line_filter(
+                df, text_col=args.text_col, min_kept_lines=args.min_kept_lines
+            ),
+            "clean",
         )
     if "pii" in stages:
         df = P.redact(df, text_col=args.text_col)
     if "gate" in stages:
-        df = T.apply_quality_gate(df, text_col=args.text_col)
+        df = observed(T.apply_quality_gate(df, text_col=args.text_col), "gate")
     if "dedup" in stages:
         if args.seen_fps:
             seen = spark.read.parquet(args.seen_fps)
@@ -146,6 +164,16 @@ def run_pipeline(spark, args, stages) -> dict:
         )
 
     df.write.mode("overwrite").parquet(args.output)
+    for stage, obs, frame in observations:
+        # When a stage empties the corpus, AQE empty-relation propagation
+        # can replace the downstream subtree (incl. the CollectMetrics
+        # node) with an empty LocalRelation, so the observation never
+        # fires; fall back to a direct count of that stage's frame -- the
+        # chain is cheap precisely because it is (nearly) empty.
+        try:
+            counters[f"after_{stage}"] = int(obs.get["rows"])
+        except Exception:  # noqa: BLE001 -- metrics node elided
+            counters[f"after_{stage}"] = frame.count()
     counters["output"] = spark.read.parquet(args.output).count()
     return {"mode": "corpus", "stages": stages, "counters": counters}
 

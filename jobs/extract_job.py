@@ -152,6 +152,10 @@ def main() -> None:
         if not args.checkpoint:
             sys.exit("--streaming requires --checkpoint")
         run_stream_to_parquet(spark, args.input, args.output, args.checkpoint, thresholds)
+        print(json.dumps({
+            "mode": "streaming",
+            "rows": spark.read.parquet(args.output).count(),
+        }))
         return
 
     if args.resumable:

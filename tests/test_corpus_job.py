@@ -47,7 +47,9 @@ def test_full_stage_composition(spark, tmp_path):
         ["clean", "pii", "gate", "dedup", "split"],
     )
     out = {r["doc_id"]: r for r in spark.read.parquet(str(tmp_path / "out")).collect()}
-    assert res["counters"] == {"input": 4, "output": 2}
+    assert res["counters"] == {
+        "input": 4, "after_clean": 3, "after_gate": 3, "output": 2,
+    }
     assert set(out) == {0, 1}  # 2 deduped against 1, 3 line-gated
     assert "<EMAIL>" in out[0]["text"] and "a@b.io" not in out[0]["text"]
     assert out[1]["split"] in ("train", "val", "test")
