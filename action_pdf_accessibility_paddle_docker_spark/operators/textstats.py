@@ -177,21 +177,36 @@ _GATE_REASONS = (
 )
 
 
-def quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+def quality_gate(
+    df: DataFrame, text_col: str = "text",
+    include_signals: bool = False, **overrides,
+) -> DataFrame:
     """Composed Gopher-style document quality gate: length / punctuation /
     stopword signals (``document_stats``) + repetition signals
     (``repetition_signals``) -> keep boolean + comma-joined reject reasons
     in a fixed order. The filter a training-data pipeline runs before dedup.
+    ``include_signals=True`` additionally emits the raw signal columns the
+    verdict was derived from (punct/stopword ratios, distinct-word and
+    top-bigram fractions) -- the report form an audit or threshold-tuning
+    pass reads; same single projection either way.
 
     Scale shape (round 3): ONE row-wise projection -- stats and repetition
     signals are all array expressions now, so there is no aggregate, no
     join, and no shuffle; the gate composes directly onto streams.
     Thresholds applied JVM-side; no UDFs, no collects. Value-identical to
     the former two-subplan join (same expressions, same rounding)."""
-    base, reasons, n_tokens = _gate_frame(df, text_col, {**GATE_DEFAULTS, **overrides})
+    base, reasons, cols = _gate_frame(df, text_col, {**GATE_DEFAULTS, **overrides})
+    signal_cols = (
+        [cols[name].alias(name) for name in (
+            "punct_ratio", "stopword_ratio", "distinct_word_frac",
+            "top_bigram_frac",
+        )]
+        if include_signals else []
+    )
     return base.select(
         "doc_id",
-        n_tokens.alias("n_tokens"),
+        cols["n_tokens"].alias("n_tokens"),
+        *signal_cols,
         reasons.alias("reject_reasons"),
         (reasons == "").alias("keep"),
     )
@@ -201,7 +216,7 @@ def apply_quality_gate(df: DataFrame, text_col: str = "text", **overrides) -> Da
     """The consuming/filtering form of the gate: keep only passing rows,
     original columns preserved. A plain row-wise filter, so it composes
     onto streams (no aggregate-join like a gate-then-semi-join would be)."""
-    base, reasons, _ = _gate_frame(df, text_col, {**GATE_DEFAULTS, **overrides})
+    base, reasons, _cols = _gate_frame(df, text_col, {**GATE_DEFAULTS, **overrides})
     return base.where(reasons == "").drop("_toks", "_wt", "_bg")
 
 
@@ -250,7 +265,7 @@ def _gate_frame(df: DataFrame, text_col: str, p: dict):
     reasons = F.concat_ws(
         ",", *[F.when(cond(cols, p), F.lit(name)) for name, cond in _GATE_REASONS]
     )
-    return base, reasons, n_tokens
+    return base, reasons, cols
 
 
 def stable_split(

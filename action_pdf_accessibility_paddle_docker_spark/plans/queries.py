@@ -133,8 +133,8 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_reading_order_window",
     """
-    SELECT user_id, event_id, rank FROM (
-      SELECT user_id, event_id,
+    SELECT user_id, event_id, rank, round(value, 6) AS value FROM (
+      SELECT user_id, event_id, value,
              row_number() OVER (PARTITION BY user_id
                                 ORDER BY value DESC, ts ASC, event_id ASC) AS rank
       FROM events
@@ -144,7 +144,10 @@ def q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_reading_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/O1 analog: deterministic per-group ordering with row_number (the
-    reading-order sort is the same Window shape over (top, left))."""
+    reading-order sort is the same Window shape over (top, left)). The
+    ``value`` column makes the rank=1 rows the T1 group-argmax check too
+    (greedy top-1 by score per group -- the NMS argmax step; absorbed the
+    former q_group_argmax entry, which was the identical window shape)."""
     ev = _read(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(
         F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()
@@ -152,73 +155,41 @@ def q_reading_order_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= 3)
-        .select("user_id", "event_id", "rank")
+        .select("user_id", "event_id", "rank", F.round("value", 6).alias("value"))
         .orderBy("user_id", "rank")
     )
 
 
 @register(
-    "q_group_argmax",
+    "q_semi_anti_join",
     """
-    SELECT user_id, event_id AS top_event_id, round(value, 6) AS top_value FROM (
-      SELECT user_id, event_id, value,
-             row_number() OVER (PARTITION BY user_id
-                                ORDER BY value DESC, event_id ASC) AS rn
-      FROM events
-    ) WHERE rn = 1 ORDER BY user_id
-    """,
-)
-def q_group_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T1 analog: greedy top-1 by score per group (the NMS argmax step)."""
-    ev = _read(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id").asc())
-    return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("user_id", F.col("event_id").alias("top_event_id"),
-                F.round("value", 6).alias("top_value"))
-        .orderBy("user_id")
-    )
-
-
-@register(
-    "q_anti_join",
-    """
-    SELECT c.c_custkey, c.c_name FROM customer c
-    ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
-      ON c.c_custkey = o.o_custkey
-    ORDER BY c.c_custkey
-    """,
-)
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J5 removal anti-join analog (filter out members of the removal set)."""
-    c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
-    )
-
-
-@register(
-    "q_semi_join",
-    """
-    SELECT c.c_custkey, c.c_mktsegment FROM customer c
+    SELECT c.c_custkey, 'kept' AS side FROM customer c
     SEMI JOIN (SELECT * FROM orders WHERE o_totalprice > 400000) o
       ON c.c_custkey = o.o_custkey
-    ORDER BY c.c_custkey
+    UNION ALL
+    SELECT c.c_custkey, 'removed_from' AS side FROM customer c
+    ANTI JOIN (SELECT * FROM orders WHERE o_totalprice > 300000) o
+      ON c.c_custkey = o.o_custkey
+    ORDER BY side, c_custkey
     """,
 )
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J3 containment semi-join analog."""
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 containment semi-join + J5 removal anti-join in one certified
+    row: the 'kept' side is the semi join (members of the containment
+    set), the 'removed_from' side the anti join (survivors of the removal
+    set) -- both plan shapes pinned in test_plan_quality."""
     c = _read(spark, sf_dir, "customer")
-    o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .select("c_custkey", "c_mktsegment")
-        .orderBy("c_custkey")
+    semi_o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    anti_o = _read(spark, sf_dir, "orders").where(F.col("o_totalprice") > 300000)
+    semi = (
+        c.join(semi_o, c.c_custkey == semi_o.o_custkey, "left_semi")
+        .select("c_custkey", F.lit("kept").alias("side"))
     )
+    anti = (
+        c.join(anti_o, c.c_custkey == anti_o.o_custkey, "left_anti")
+        .select("c_custkey", F.lit("removed_from").alias("side"))
+    )
+    return semi.unionAll(anti).orderBy("side", "c_custkey")
 
 
 @register(
@@ -296,17 +267,22 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_threshold_filter",
     """
-    SELECT event_type, count(*) AS n_kept, round(avg(value), 4) AS avg_value
+    SELECT event_type,
+           CASE WHEN extract(hour FROM ts) < 12 THEN 'header' ELSE 'footer' END AS half,
+           count(*) AS n_kept, round(avg(value), 4) AS avg_value
     FROM events
     WHERE value >= CASE event_type
         WHEN 'view' THEN 20.0 WHEN 'click' THEN 30.0 WHEN 'purchase' THEN 50.0
         WHEN 'signup' THEN 10.0 WHEN 'error' THEN 5.0 ELSE 50.0 END
-    GROUP BY event_type ORDER BY event_type
+    GROUP BY 1, 2 ORDER BY event_type, half
     """,
 )
 def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1 per-class score-threshold analog: per-key threshold pushed into the
-    scan as a CASE predicate (Catalyst pushes it to parquet)."""
+    scan as a CASE predicate (Catalyst pushes it to parquet). The ``half``
+    grouping dimension is the W3 header/footer half-split analog
+    (position-relative classification; absorbed the former
+    q_header_footer_split entry -- same CASE projection, one driver row)."""
     ev = _read(spark, sf_dir, "events")
     th = (
         F.when(F.col("event_type") == "view", 20.0)
@@ -316,30 +292,11 @@ def q_threshold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("event_type") == "error", 5.0)
         .otherwise(50.0)
     )
-    return (
-        ev.where(F.col("value") >= th)
-        .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_kept"), F.round(F.avg("value"), 4).alias("avg_value"))
-        .orderBy("event_type")
-    )
-
-
-@register(
-    "q_header_footer_split",
-    """
-    SELECT event_type,
-           CASE WHEN extract(hour FROM ts) < 12 THEN 'header' ELSE 'footer' END AS half,
-           count(*) AS n
-    FROM events GROUP BY 1, 2 ORDER BY event_type, half
-    """,
-)
-def q_header_footer_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W3 header/footer half-split analog (position-relative classification)."""
-    ev = _read(spark, sf_dir, "events")
     half = F.when(F.hour("ts") < 12, F.lit("header")).otherwise(F.lit("footer"))
     return (
-        ev.groupBy("event_type", half.alias("half"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        ev.where(F.col("value") >= th)
+        .groupBy("event_type", half.alias("half"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.round(F.avg("value"), 4).alias("avg_value"))
         .orderBy("event_type", "half")
     )
 
@@ -362,35 +319,6 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
         .orderBy("event_type")
-    )
-
-
-@register(
-    "q_rollup",
-    """
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(CAST(extract(hour FROM ts) AS VARCHAR), 'ALL') AS hr,
-           count(*) AS n, round(sum(value), 2) AS total
-    FROM events
-    GROUP BY ROLLUP (event_type, extract(hour FROM ts))
-    ORDER BY event_type, hr
-    """,
-)
-def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hierarchical aggregation (rollup/grouping sets) -- beyond the
-    reference (it has no grouping sets, SURVEY section 2.4); the partial-agg
-    shape every reporting layer over the extraction output needs. Fixture
-    columns are non-null, so coalesce markers are unambiguous."""
-    ev = _read(spark, sf_dir, "events")
-    return (
-        ev.rollup("event_type", F.hour("ts").alias("hr"))
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
-        .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce(F.col("hr").cast("string"), F.lit("ALL")).alias("hr"),
-            "n", "total",
-        )
-        .orderBy("event_type", "hr")
     )
 
 
@@ -653,63 +581,6 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_stable_split",
-    """
-    WITH h AS (
-      SELECT doc_id,
-             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 100 AS b
-      FROM documents
-    )
-    SELECT doc_id,
-           CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val' ELSE 'train' END AS split
-    FROM h ORDER BY doc_id
-    """,
-)
-def q_stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic hash-based train/val/test split (content-independent,
-    engine-independent, ordering-independent): a re-shard or backfill never
-    migrates a document between splits."""
-    return (
-        T.stable_split(_read(spark, sf_dir, "documents"))
-        .select("doc_id", "split")
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "q_repetition_signals",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
-    ), words AS (
-      SELECT doc_id, count(*)::BIGINT AS n_words, count(DISTINCT w)::BIGINT AS n_distinct
-      FROM (SELECT doc_id, unnest(t) AS w FROM toks) u
-      WHERE length(w) > 0 GROUP BY doc_id
-    ), bg AS (
-      SELECT doc_id, sum(c)::BIGINT AS n_bigrams, max(c)::BIGINT AS top_c FROM (
-        SELECT doc_id, bgm, count(*)::BIGINT AS c FROM (
-          SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bgm
-          FROM toks WHERE len(t) >= 2
-        ) e
-        WHERE length(bgm) > 0
-        GROUP BY doc_id, bgm
-      ) g GROUP BY doc_id
-    )
-    SELECT w.doc_id, w.n_words,
-           round(w.n_distinct / w.n_words, 6) AS distinct_word_frac,
-           coalesce(b.n_bigrams, 0)::BIGINT AS n_bigrams,
-           round(coalesce(b.top_c / b.n_bigrams, 0.0), 6) AS top_bigram_frac
-    FROM words w LEFT JOIN bg b USING (doc_id)
-    ORDER BY doc_id
-    """,
-)
-def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gopher-style repetition quality gate signals (distinct-word fraction,
-    top-bigram fraction) -- training-data quality filtering over documents."""
-    return T.repetition_signals(_read(spark, sf_dir, "documents")).orderBy("doc_id")
-
-
-@register(
     "q_tfidf_top_terms",
     f"""
     WITH terms AS (
@@ -742,28 +613,6 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_top_phrases",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
-    ), phrases AS (
-      SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS phrase
-      FROM toks WHERE len(t) >= 2
-    )
-    SELECT phrase, count(*)::BIGINT AS n_occurrences,
-           count(DISTINCT doc_id)::BIGINT AS n_docs
-    FROM phrases WHERE length(phrase) > 0
-    GROUP BY phrase
-    ORDER BY n_occurrences DESC, phrase ASC LIMIT 20
-    """,
-)
-def q_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-wide top-20 boilerplate phrases (bigram frequency + doc
-    frequency; deterministic tie-break)."""
-    return T.top_phrases(_read(spark, sf_dir, "documents"), k=20)
-
-
-@register(
     "q_quality_gate",
     f"""
     WITH toks AS (
@@ -792,7 +641,8 @@ def q_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
              coalesce(round(b.top_c / b.n_bigrams, 6), 0.0) AS tbf
       FROM toks k LEFT JOIN words w USING (doc_id) LEFT JOIN bg b USING (doc_id)
     ), gated AS (
-      SELECT doc_id, n_tokens,
+      SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+             dwf AS distinct_word_frac, tbf AS top_bigram_frac,
              concat_ws(',',
                CASE WHEN n_tokens < 20 THEN 'too_short' END,
                CASE WHEN punct_ratio > 0.2 THEN 'high_punct' END,
@@ -801,14 +651,21 @@ def q_top_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN tbf > 0.10 THEN 'repetitive_bigram' END) AS reject_reasons
       FROM sig
     )
-    SELECT doc_id, n_tokens, reject_reasons, reject_reasons = '' AS keep
+    SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+           distinct_word_frac, top_bigram_frac,
+           reject_reasons, reject_reasons = '' AS keep
     FROM gated ORDER BY doc_id
     """,
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed Gopher-style quality filter (length/punct/stopword +
-    repetition signals -> keep/reject_reasons)."""
-    return T.quality_gate(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    repetition signals -> keep/reject_reasons). include_signals exposes the
+    raw signal columns, so this one row certifies BOTH the verdict and the
+    Gopher repetition signals (distinct-word / top-bigram fractions --
+    formerly the separate q_repetition_signals entry, same expressions)."""
+    return T.quality_gate(
+        _read(spark, sf_dir, "documents"), include_signals=True
+    ).orderBy("doc_id")
 
 
 @register(
@@ -914,19 +771,6 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_extract_plaintext",
-    "SELECT doc_id, trim(text) AS extracted_text FROM documents ORDER BY doc_id",
-)
-def q_extract_plaintext(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Plain-text extraction branch parity (pass-through trim)."""
-    return (
-        _read(spark, sf_dir, "documents")
-        .select("doc_id", F.trim("text").alias("extracted_text"))
-        .orderBy("doc_id")
-    )
-
-
 # ===========================================================================
 # Similarity search
 # ===========================================================================
@@ -952,24 +796,6 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(emb, emb.where(F.col("vec_id") < 20), k=5).orderBy(
         "query_id", "rank"
     )
-
-
-@register(
-    "q_embedding_near_dup",
-    """
-    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.35
-    ORDER BY id_a, id_b
-    """,
-)
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs baseline (oracle-checkable); the scale front door is
-    the banded-LSH default of embedding_near_dup_pairs (q_embedding_near_dup_lsh)."""
-    return S.embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), threshold=0.35, method="exact"
-    ).orderBy("id_a", "id_b")
 
 
 @register(
@@ -1003,8 +829,10 @@ def q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     equi-join, no cross product) + exact cosine re-check. VALUE-checked: the
     16x4 banded plane sets are a committed fixture parquet, so DuckDB
     replays the identical band signatures, candidate join, and cosine
-    filter. Recall vs the exact baseline is additionally asserted in
-    tests/test_similarity.py."""
+    filter. The exact all-pairs twin (method='exact') shares the cosine
+    kernel certified by q_ann_topk and backs the recall assertions in
+    tests/test_similarity.py (its former separate driver entry was
+    redundant with those two checks)."""
     return S.embedding_near_dup_pairs(
         _read(spark, sf_dir, "embeddings"), threshold=0.35
     ).orderBy("id_a", "id_b")
@@ -1554,20 +1382,8 @@ def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_SCALAR_SUBQ_SQL)
 
 
-@register("q_ivf_ann_topk", None)
-def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate ANN (IVF coarse quantizer: MLlib KMeans centroids,
-    Arrow-batched assignment, centroid-id equi-join probe); recall and the
-    exhaustive-probe==brute-force identity are asserted in
-    tests/test_similarity.py."""
-    emb = _read(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=3
-    ).orderBy("query_id", "rank")
-
-
 @register(
-    "q_ivf_exhaustive_topk",
+    "q_ivf_ann_topk",
     """
     WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 20),
     sims AS (
@@ -1575,23 +1391,48 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS sim_exact
       FROM q JOIN embeddings c ON c.vec_id <> q.query_id
     )
-    SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim FROM (
+    SELECT query_id, neighbor_id, rank, round(sim_exact, 6) AS sim,
+           TRUE AS recall_ok
+    FROM (
       SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY sim_exact DESC, neighbor_id ASC) AS rank
       FROM sims
     ) WHERE rank <= 5 ORDER BY query_id, rank
     """,
 )
-def q_ivf_exhaustive_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF with n_probe == n_centroids probes every inverted list, which is
-    exact by construction -- so its oracle is the same brute-force SQL as
-    q_ann_topk. Value-checks the WHOLE IVF plumbing (KMeans fit, Arrow
-    assignment UDF, probe explode, centroid equi-join, re-rank) end-to-end;
-    the recall-mode entry (q_ivf_ann_topk) stays rows-only by nature."""
+def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN with a CHECKABLE contract (round-3 verdict
+    item: the former recall-mode entry was rows-only, 'no engine-independent
+    oracle'). Two probes of the same fitted coarse quantizer (MLlib KMeans,
+    fixed seed; Arrow-batched assignment; centroid-id equi-join probe):
+
+    * n_probe == n_centroids probes every inverted list -- exact by
+      construction, so those rows hash-check against the brute-force SQL
+      (value-certifying the whole IVF plumbing: KMeans fit, assignment UDF,
+      probe explode, equi-join, re-rank);
+    * n_probe=3 is the approximate path; its mean recall vs the exhaustive
+      rows is reduced to ONE deterministic boolean column ``recall_ok``
+      (recall >= 0.3, the bound tests/test_similarity.py pins; observed
+      ~0.6-0.9), which the oracle asserts is literally TRUE -- the sketch
+      pattern proven by q_sketch_accuracy. Centroid float jitter cannot
+      flip it: the bound sits far below observed recall."""
     emb = _read(spark, sf_dir, "embeddings")
-    return S.ivf_topk(
-        emb, emb.where(F.col("vec_id") < 20), k=5, n_centroids=8, n_probe=8
-    ).orderBy("query_id", "rank")
+    queries = emb.where(F.col("vec_id") < 20)
+    exhaustive = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+    approx = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    pairs = exhaustive.select("query_id", "neighbor_id")
+    recall = (
+        pairs.join(approx.select("query_id", "neighbor_id"),
+                   ["query_id", "neighbor_id"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("hits"))
+        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("total")))
+        .select((F.col("hits") / F.col("total") >= 0.3).alias("recall_ok"))
+    )
+    return (
+        exhaustive.crossJoin(F.broadcast(recall))
+        .select("query_id", "neighbor_id", "rank", "sim", "recall_ok")
+        .orderBy("query_id", "rank")
+    )
 
 
 # ===========================================================================
@@ -1740,18 +1581,22 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*)::BIGINT AS n_orders,
            round(sum(o_totalprice), 2) AS total_price
     FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus),
+                            (o_orderpriority), ())
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-granularity aggregate in one pass (GROUPING SETS; the rollup
-    entry covers the hierarchical special case, this pins the general
-    native DataFrame API)."""
+    """Multi-granularity aggregate in one Expand pass (GROUPING SETS via
+    the native DataFrame API). The set list is deliberately
+    NON-hierarchical -- (status, priority), (status), (priority), () -- so
+    this one row certifies both the general surface and its rollup
+    hierarchy subset ((a,b),(a),() -- the former q_rollup entry)."""
     o = _read(spark, sf_dir, "orders")
     return (
         o.groupingSets(
-            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"], []],
+            [["o_orderstatus", "o_orderpriority"], ["o_orderstatus"],
+             ["o_orderpriority"], []],
             "o_orderstatus", "o_orderpriority",
         )
         .agg(
@@ -1853,8 +1698,11 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderstatus")
 
 
+_THIRD, _TWO_THIRDS = 1.0 / 3.0, 2.0 / 3.0
+
+
 @register(
-    "q_unigram_logprob",
+    "q_lm_quality",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
     terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
@@ -1863,18 +1711,75 @@ def q_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE length(term) > 0 GROUP BY 1, 2
     ),
     model AS (SELECT term, sum(tf)::BIGINT AS c_term FROM tf GROUP BY 1),
-    tot AS (SELECT sum(c_term)::BIGINT AS c_total FROM model)
-    SELECT doc_id,
-           sum(tf)::BIGINT AS n_tokens,
-           round(sum(-tf * ln(c_term / c_total)) / sum(tf), 6) AS mean_nll
-    FROM tf JOIN model USING (term) CROSS JOIN tot
-    GROUP BY doc_id ORDER BY doc_id
+    tot AS (SELECT sum(c_term)::BIGINT AS c_total FROM model),
+    nll AS (
+      SELECT doc_id,
+             sum(tf)::BIGINT AS n_tokens,
+             round(sum(-tf * ln(c_term / c_total)) / sum(tf), 6) AS mean_nll
+      FROM tf JOIN model USING (term) CROSS JOIN tot
+      GROUP BY doc_id
+    ),
+    cut AS (
+      SELECT quantile_cont(mean_nll, {_THIRD!r}) AS q1,
+             quantile_cont(mean_nll, {_TWO_THIRDS!r}) AS q2
+      FROM nll
+    ),
+    counts AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim({_NORM_SQL}), '\\s+'))::BIGINT
+               AS n_ws_tokens,
+             len(regexp_extract_all({_NORM_SQL},
+                 '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+'))::BIGINT
+               AS n_bpe_tokens
+      FROM documents
+    )
+    SELECT n.doc_id, c.n_ws_tokens, c.n_bpe_tokens, n.n_tokens, n.mean_nll,
+           CASE WHEN n.mean_nll <= cut.q1 THEN 'head'
+                WHEN n.mean_nll <= cut.q2 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM nll n JOIN counts c USING (doc_id) CROSS JOIN cut
+    ORDER BY n.doc_id
     """,
 )
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style statistical LM score: mean per-token negative
-    log-likelihood under the corpus unigram distribution."""
-    return T.unigram_logprob_score(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet-style LM quality report in one row per document: token
+    budgets (whitespace + BPE-ish pretokenizer counts, the RE2/Java-common
+    regex both engines run identically), mean per-token negative
+    log-likelihood under the corpus unigram distribution (Wenzek et al.
+    2020's cheap KenLM stand-in), and the head/middle/tail bucket CCNet
+    actually partitions by. Consolidates the former q_bpe_tokens /
+    q_unigram_logprob / q_ccnet_buckets entries -- same expressions, one
+    driver row.
+
+    Bucket cutpoints are TERCILE QUANTILES of the score (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, value-equality proven by
+    q_percentiles), NOT a global ntile window: two doubles cross-joined
+    back beat a global sort at any scale, and at 100 TB the same shape
+    swaps in approx_percentile (round-3 advice item). Interpolated
+    cutpoints fall strictly between scores, so the <= bucketing cannot
+    straddle an engine ulp."""
+    nll = T.unigram_logprob_score(_read(spark, sf_dir, "documents"))
+    cut = nll.agg(
+        F.expr(f"percentile(mean_nll, {_THIRD!r})").alias("q1"),
+        F.expr(f"percentile(mean_nll, {_TWO_THIRDS!r})").alias("q2"),
+    )
+    counts = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        T.token_count(D.normalized(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
+    )
+    bucket = (
+        F.when(F.col("mean_nll") <= F.col("q1"), F.lit("head"))
+        .when(F.col("mean_nll") <= F.col("q2"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        nll.join(counts, "doc_id")
+        .crossJoin(F.broadcast(cut))
+        .select("doc_id", "n_ws_tokens", "n_bpe_tokens", "n_tokens",
+                "mean_nll", bucket.alias("bucket"))
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -1905,30 +1810,6 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         doc.where(F.col("doc_id") % 2 == 1), seen_fps
     )
     return survivors.select("doc_id", "fingerprint").orderBy("doc_id")
-
-
-@register(
-    "q_bpe_tokens",
-    f"""
-    SELECT doc_id,
-           len(regexp_split_to_array(trim({_NORM_SQL}), '\\s+'))::BIGINT
-             AS n_ws_tokens,
-           len(regexp_extract_all({_NORM_SQL},
-               '''(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s'']+|\\s+'))::BIGINT
-             AS n_bpe_tokens
-    FROM documents ORDER BY doc_id
-    """,
-)
-def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Whitespace vs BPE-style pretokenizer counts side by side (the regex
-    is restricted to the RE2/Java common subset so both engines run the
-    identical pattern)."""
-    doc = _read(spark, sf_dir, "documents")
-    return doc.select(
-        "doc_id",
-        T.token_count(D.normalized(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
-        T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
-    ).orderBy("doc_id")
 
 
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
@@ -1967,29 +1848,39 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_time_interpolate",
+    "q_timeseries_fill",
     """
     WITH o AS (
       SELECT user_id, event_id, epoch_ms(ts) AS t, value,
              lead(epoch_ms(ts)) OVER w AS next_t,
-             lead(value) OVER w AS next_value
+             lead(value) OVER w AS next_value,
+             round(avg(value) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
+               AS value_ma3,
+             (count(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))::BIGINT
+               AS window_n
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     )
     SELECT user_id, event_id,
            (t + next_t) / 2 AS mid_t,
            round((value + next_value) / 2, 6) AS mid_value,
-           (next_t - t)::BIGINT AS gap_ms
+           (next_t - t)::BIGINT AS gap_ms,
+           value_ma3, window_n
     FROM o
     WHERE next_t IS NOT NULL AND next_t - t > 3600000
     ORDER BY user_id, event_id
     """,
 )
-def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Time-series gap interpolation: for each per-user gap over one hour,
-    the linearly interpolated midpoint sample (time + value). One window
-    per user key -- the standard lead/lag resample shape, no self-join."""
+def q_timeseries_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling in one window pass per user key (no
+    self-join): for each per-user gap over one hour, the linearly
+    interpolated midpoint sample (lead-based), PLUS the trailing 3-event
+    moving average at the gap's left edge (explicit ROWS BETWEEN 2
+    PRECEDING frame -- the bounded-frame window surface). Consolidates the
+    former q_time_interpolate / q_moving_avg entries: identical window
+    spec, one shuffle, one driver row."""
     w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    wf = w.rowsBetween(-2, Window.currentRow)
     e = _read(spark, sf_dir, "events").select(
         "user_id", "event_id",
         # parquet ts is TIMESTAMP_NTZ; session tz is UTC so the cast is the
@@ -2000,6 +1891,8 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", "t", "value",
         F.lead("t").over(w).alias("next_t"),
         F.lead("value").over(w).alias("next_value"),
+        F.round(F.avg("value").over(wf), 6).alias("value_ma3"),
+        F.count(F.lit(1)).over(wf).cast("bigint").alias("window_n"),
     )
     return (
         o.where(F.col("next_t").isNotNull() & (F.col("next_t") - F.col("t") > 3_600_000))
@@ -2008,96 +1901,108 @@ def q_time_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("t") + F.col("next_t")) / 2).alias("mid_t"),
             F.round((F.col("value") + F.col("next_value")) / 2, 6).alias("mid_value"),
             (F.col("next_t") - F.col("t")).cast("bigint").alias("gap_ms"),
+            "value_ma3", "window_n",
         )
         .orderBy("user_id", "event_id")
     )
 
 
+# ===========================================================================
+# Round 4 additions: tag-tree rows in the driver harness; a readStream-based
+# plan under the driver's value check
+# ===========================================================================
+
 @register(
-    "q_moving_avg",
-    """
-    SELECT user_id, event_id,
-           round(avg(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6)
-             AS value_ma3,
-           count(*) OVER (PARTITION BY user_id
-                          ORDER BY ts, event_id
-                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-             ::BIGINT AS window_n
-    FROM events ORDER BY user_id, event_id
-    """,
+    "q_tag_tree",
+    _fixture_sql(
+        "tag_tree_oracle",
+        "conv_id, turn_idx, node_id, parent_node_id, depth, child_index, "
+        "page, tag, type, flag, heading, formula_id, cell_row, cell_column, "
+        "bbox_x0, bbox_y0, bbox_x1, bbox_y1",
+        "conv_id, turn_idx, node_id",
+    ),
 )
-def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding window-frame aggregate (ROWS BETWEEN 2 PRECEDING AND CURRENT
-    ROW): per-user 3-event moving average in event-time order. Pins the
-    explicit frame-specification surface next to the unbounded-frame
-    windows elsewhere in the registry; one shuffle on the user key."""
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(-2, Window.currentRow)
-    )
-    return (
-        _read(spark, sf_dir, "events")
-        .select(
-            "user_id", "event_id",
-            F.round(F.avg("value").over(w), 6).alias("value_ma3"),
-            F.count(F.lit(1)).over(w).cast("bigint").alias("window_n"),
-        )
-        .orderBy("user_id", "event_id")
-    )
+def q_tag_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flattened pre-order tag-tree rows (reference struct tree,
+    src/autotag.py:224-295 + regex tag-DFS src/utils_sdk.py:61-97) from the
+    include_template extraction path: every tree op the reference performs
+    natively becomes a filter/join on this row table. Oracle: fixture
+    parquet from the INDEPENDENT scalar oracle's template
+    (oracle/extract.template_for_turn -> tagtree.tag_tree_rows;
+    scripts/make_fixture_oracles.py). Nullable ints -> -1 and bbox -> four
+    rounded doubles on BOTH sides (driver canonicalizer constraint)."""
+    from ..functions.tagtree import tag_tree
+    from ..sources.transcripts import distributed_transcripts
+    from .extraction import build_extraction
+
+    rows = distributed_transcripts(spark, n_convs=30, median_turns=6, seed=42)
+    tree = tag_tree(build_extraction(rows, include_template=True, order_output=False))
+    bbox = {
+        f"bbox_{s}": F.coalesce(
+            F.round(F.element_at("bbox", i + 1), 6), F.lit(-1.0)
+        ).alias(f"bbox_{s}")
+        for i, s in enumerate(("x0", "y0", "x1", "y1"))
+    }
+    return tree.select(
+        "conv_id", "turn_idx", "node_id",
+        F.coalesce("parent_node_id", F.lit(-1)).alias("parent_node_id"),
+        "depth", "child_index", "page",
+        F.coalesce("tag", F.lit("")).alias("tag"),
+        F.coalesce("type", F.lit("")).alias("type"),
+        F.coalesce("flag", F.lit("")).alias("flag"),
+        F.coalesce("heading", F.lit("")).alias("heading"),
+        F.coalesce("formula_id", F.lit(-1)).alias("formula_id"),
+        F.coalesce("cell_row", F.lit(-1)).alias("cell_row"),
+        F.coalesce("cell_column", F.lit(-1)).alias("cell_column"),
+        *bbox.values(),
+    ).orderBy("conv_id", "turn_idx", "node_id")
 
 
 @register(
-    "q_ccnet_buckets",
+    "q_stream_dedup",
     f"""
-    WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS t FROM documents),
-    terms AS (SELECT doc_id, unnest(t) AS term FROM toks),
-    tf AS (
-      SELECT doc_id, term, count(*)::BIGINT AS tf FROM terms
-      WHERE length(term) > 0 GROUP BY 1, 2
-    ),
-    model AS (SELECT term, sum(tf)::BIGINT AS c_term FROM tf GROUP BY 1),
-    tot AS (SELECT sum(c_term)::BIGINT AS c_total FROM model),
-    nll AS (
-      SELECT doc_id,
-             round(sum(-tf * ln(c_term / c_total)) / sum(tf), 6) AS mean_nll
-      FROM tf JOIN model USING (term) CROSS JOIN tot GROUP BY doc_id
-    ),
-    b AS (
-      SELECT doc_id,
-             ntile(3) OVER (ORDER BY mean_nll, doc_id) AS tercile
-      FROM nll
-    )
-    SELECT CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                        ELSE 'tail' END AS bucket,
-           count(*)::BIGINT AS n_docs,
-           min(doc_id) AS min_id
-    FROM b GROUP BY 1 ORDER BY 1
+    SELECT md5({_NORM_SQL}) AS fingerprint,
+           min(doc_id) AS canonical_id, count(*) AS n_dups
+    FROM documents GROUP BY 1 ORDER BY fingerprint
     """,
 )
-def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet's actual partitioning output: head / middle / tail terciles of
-    the per-document LM score (mean unigram NLL; lower = head-like common
-    text). ntile over the score with a doc_id tie-break so both engines
-    bucket identically; a global window over one DOUBLE column -- tiny rows,
-    and at real scale the cutpoints would come from approx quantiles
-    (q_sketch_accuracy pins that machinery) rather than a global sort."""
-    nll = T.unigram_logprob_score(_read(spark, sf_dir, "documents"))
-    w = Window.orderBy("mean_nll", "doc_id")
-    b = nll.select("doc_id", F.ntile(3).over(w).alias("tercile"))
-    bucket = (
-        F.when(F.col("tercile") == 1, F.lit("head"))
-        .when(F.col("tercile") == 2, F.lit("middle"))
-        .otherwise(F.lit("tail"))
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup under the driver's VALUE check (round-3
+    verdict item: the streaming surface was pytest-only): the documents
+    table is consumed through ``readStream`` (file source) and reduced by a
+    streaming aggregation in an availableNow run; the final complete-mode
+    result must equal the batch exact-dedup oracle -- the batch==stream
+    identity the sha256 convergence drill pins for extraction, here
+    hash-checked row-by-row by the driver. The memory sink is the
+    harness-scale choice; the production path (watermarked incremental
+    state, parquet sink, restart drills) is streaming/stream.py +
+    tests/test_streaming.py."""
+    from ..operators.dedup import normalized
+
+    path = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(path).schema
+    # the file stream source wants a DIRECTORY basePath; select just the
+    # documents table out of sf_dir with a glob filter
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
     )
-    return (
-        b.select("doc_id", bucket.alias("bucket"))
-        .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id"))
-        .orderBy("bucket")
+    agg = (
+        stream.select("doc_id", F.md5(normalized(F.col("text"))).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.min("doc_id").alias("canonical_id"), F.count(F.lit(1)).alias("n_dups"))
     )
+    name = "q_stream_dedup_result"
+    for q in spark.streams.active:
+        if q.name == name:
+            q.stop()
+    query = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    query.awaitTermination()
+    return spark.table(name).orderBy("fingerprint")
 
 
 def queries() -> dict[str, Builder]:

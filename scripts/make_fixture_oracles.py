@@ -176,6 +176,66 @@ def mathml_from_image_fixture() -> str:
     return _write("mathml_from_image_oracle", pa.table(cols, schema=schema))
 
 
+def tag_tree_fixture() -> str:
+    """Mirror of q_tag_tree (n_convs=30, median_turns=6, seed=42): scalar
+    oracle extraction -> reference-shaped template (oracle/extract.py
+    template_for_turn) -> flattened pre-order tag-tree rows
+    (functions/tagtree.tag_tree_rows -- the flattening is a trivial shared
+    walk; the semantic content under test is the template, which the
+    scalar side derives independently of the Spark kernel). Nullable ints
+    are scalarized to -1 and the bbox to four rounded doubles (-1.0 when
+    absent) because the driver's value-hash canonicalizer handles neither
+    mixed None/int columns nor list columns."""
+    from action_pdf_accessibility_paddle_docker_spark.functions.tagtree import (
+        tag_tree_rows,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.oracle.extract import (
+        template_for_turn,
+    )
+
+    names = (
+        "conv_id", "turn_idx", "node_id", "parent_node_id", "depth",
+        "child_index", "page", "tag", "type", "flag", "heading",
+        "formula_id", "cell_row", "cell_column",
+        "bbox_x0", "bbox_y0", "bbox_x1", "bbox_y1",
+    )
+    cols = {k: [] for k in names}
+    for row in iter_rows(30, 6, seed=42):
+        res = extract_turn(row["text"])
+        for node in tag_tree_rows(template_for_turn(res)):
+            (node_id, parent, depth, child_index, page, tag, type_, flag,
+             heading, fid, crow, ccol, bbox) = node
+            cols["conv_id"].append(row["conv_id"])
+            cols["turn_idx"].append(row["turn_idx"])
+            cols["node_id"].append(node_id)
+            cols["parent_node_id"].append(-1 if parent is None else parent)
+            cols["depth"].append(depth)
+            cols["child_index"].append(child_index)
+            cols["page"].append(page)
+            cols["tag"].append(tag or "")
+            cols["type"].append(type_ or "")
+            cols["flag"].append(flag or "")
+            cols["heading"].append(heading or "")
+            cols["formula_id"].append(-1 if fid is None else fid)
+            cols["cell_row"].append(-1 if crow is None else crow)
+            cols["cell_column"].append(-1 if ccol is None else ccol)
+            b = bbox if bbox is not None else [-1.0] * 4
+            for i, suffix in enumerate(("x0", "y0", "x1", "y1")):
+                cols[f"bbox_{suffix}"].append(round(float(b[i]), 6))
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()),
+        ("node_id", pa.int32()), ("parent_node_id", pa.int32()),
+        ("depth", pa.int32()), ("child_index", pa.int32()),
+        ("page", pa.int32()), ("tag", pa.string()), ("type", pa.string()),
+        ("flag", pa.string()), ("heading", pa.string()),
+        ("formula_id", pa.int64()), ("cell_row", pa.int32()),
+        ("cell_column", pa.int32()), ("bbox_x0", pa.float64()),
+        ("bbox_y0", pa.float64()), ("bbox_x1", pa.float64()),
+        ("bbox_y1", pa.float64()),
+    ])
+    return _write("tag_tree_oracle", pa.table(cols, schema=schema))
+
+
 def lsh_planes_fixture() -> str:
     """The deterministic hyperplanes behind q_lsh_ann_topk (single set,
     8 planes, dim 64, default salt). With the planes as data, DuckDB can
@@ -215,5 +275,5 @@ def lsh_band_planes_fixture() -> str:
 if __name__ == "__main__":
     for fn in (extract_transcripts_fixture, pipeline_extract_dedup_fixture,
                multimodal_decode_fixture, mathml_from_image_fixture,
-               lsh_planes_fixture, lsh_band_planes_fixture):
+               tag_tree_fixture, lsh_planes_fixture, lsh_band_planes_fixture):
         print(fn())

@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Round-3 verdict item 4: probe the newest aggregate families at 10x bench
+scale (sf0.1 -> sf1-equivalent) to confirm the documented map-side-combine
+shapes hold when BOTH the row count and the aggregate-key cardinality grow
+10x.
+
+The sandbox testdata stops at sf0.1, so the sf1-equivalent inputs are
+synthesized ONCE from the sf0.1 tables by 10-way replication with
+cardinality-preserving transforms:
+
+* documents: every token of replica k is salted to ``r<k>_<token>``
+  (regexp_replace on the word boundary), so the n-gram / chunk / unigram
+  KEY SPACE really grows ~10x -- a naive copy would keep the vocabulary
+  constant and only deepen per-key counts, which probes skew but not
+  cardinality;
+* orders: o_orderkey / o_custkey offset per replica -- distinct-count
+  cardinality grows 10x for the sketch probe.
+
+Timing protocol matches bench.py: warm pass, then min-of-2 per query per
+scale. Prints one JSON line; results recorded in BASELINE.md.
+
+Run:  python scripts/scale_probe.py   (SPARK_GRAFT_CPUS to override cores)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPLICAS = 10
+PROBE_DIR = os.path.join(REPO, "_bench_data", f"probe_sf1_x{REPLICAS}")
+QUERIES = ["q_sketch_accuracy", "q_chunk_dedup", "q_dup_ngrams", "q_lm_quality"]
+
+
+def make_spark():
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("scale-probe")
+        .config("spark.sql.shuffle.partitions", str(max(8, CPUS)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .getOrCreate()
+    )
+
+
+def ensure_probe_tables(spark) -> None:
+    from pyspark.sql import functions as F
+
+    marker = os.path.join(PROBE_DIR, "_DONE")
+    if os.path.exists(marker):
+        return
+    docs = spark.read.parquet(f"{SF01}/documents.parquet")
+    n_docs = docs.count()
+    parts = []
+    for k in range(REPLICAS):
+        salted = F.regexp_replace(
+            F.col("text"), r"(^|\s)(\S)", rf"$1r{k}_$2"
+        )
+        parts.append(
+            docs.select(
+                (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                salted.alias("text"),
+                *[c for c in docs.columns if c not in ("doc_id", "text")],
+            )
+        )
+    big_docs = parts[0]
+    for p in parts[1:]:
+        big_docs = big_docs.unionByName(p)
+    big_docs.repartition(CPUS).write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/documents.parquet"
+    )
+
+    orders = spark.read.parquet(f"{SF01}/orders.parquet")
+    n_orders = orders.count()
+    oparts = []
+    for k in range(REPLICAS):
+        oparts.append(
+            orders.select(
+                (F.col("o_orderkey") + k * n_orders).alias("o_orderkey"),
+                (F.col("o_custkey") + k * 1_000_000).alias("o_custkey"),
+                *[c for c in orders.columns if c not in ("o_orderkey", "o_custkey")],
+            )
+        )
+    big_orders = oparts[0]
+    for p in oparts[1:]:
+        big_orders = big_orders.unionByName(p)
+    big_orders.repartition(CPUS).write.mode("overwrite").parquet(
+        f"{PROBE_DIR}/orders.parquet"
+    )
+    with open(marker, "w") as f:
+        f.write("ok")
+
+
+def time_query(fn, spark, sf_dir: str) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 2)
+
+
+def main() -> None:
+    from action_pdf_accessibility_paddle_docker_spark.plans.queries import REGISTRY
+
+    spark = make_spark()
+    try:
+        ensure_probe_tables(spark)
+        out: dict[str, dict] = {}
+        for name in QUERIES:
+            fn, _sql = REGISTRY[name]
+            t_small = time_query(fn, spark, SF01)
+            t_big = time_query(fn, spark, PROBE_DIR)
+            out[name] = {
+                "sf0.1_sec": t_small,
+                "sf1_sec": t_big,
+                "ratio": round(t_big / t_small, 2),
+            }
+        print(json.dumps({"replicas": REPLICAS, "cpus": CPUS, "queries": out}))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -321,3 +321,57 @@ def test_real_paddlex_smoke():  # pragma: no cover - env-gated
     det = PaddleXDetector.get("PP-DocLayout-L", effective_thresholds(), "/models")
     boxes = det.detect_pages(_pages(2, h=640, w=480))
     assert len(boxes) == 2
+
+
+def test_runtime_import_surface_manifest():
+    """Version-pin guard (round-3 verdict item 8): the fakes in this file
+    only prove anything while the production code touches EXACTLY the
+    runtime surface they implement. This manifest enumerates that surface,
+    written against the public APIs as of:
+
+      * paddlex 3.x  -- ``from paddlex import create_model``;
+        ``create_model(model_name=...)``; ``model.predict(input=[...],
+        batch_size=N)`` yielding one result dict per input item with
+        ``boxes`` (layout/cell det), ``label_names``/``scores`` (cls), and
+        ``rec_formula`` (formula) keys;
+      * pypdfium2 4.x -- ``pdfium.PdfDocument(bytes)``; ``len(doc)`` /
+        ``doc[i]``; ``page.render(scale=...).to_numpy()``;
+        ``page.get_textpage()``; ``page.get_height()``;
+        ``textpage.get_text_bounded(left=, bottom=, right=, top=)``;
+        ``textpage.close()`` / ``doc.close()``.
+
+    If detector.py / rasterize.py grow a new runtime call, this test fails:
+    add the call HERE and teach the fakes above to implement it, otherwise
+    the fakes silently stop covering the real surface (API drift would only
+    surface in a production image)."""
+    import inspect
+    import re
+
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        detector as det_mod,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        rasterize as ras_mod,
+    )
+
+    det_src = inspect.getsource(det_mod)
+    ras_src = inspect.getsource(ras_mod)
+
+    # -- paddlex: the ONLY import is create_model; predict is the only
+    # method called on a model handle, always with input= and batch_size=
+    assert "from paddlex import create_model" in det_src
+    assert re.findall(r"paddlex import (\w+)", det_src) == ["create_model"]
+    predict_calls = re.findall(r"\.predict\(([^)]*)\)", det_src)
+    assert predict_calls, "production path must call model.predict"
+    for args in predict_calls:
+        assert "input=" in args and "batch_size=" in args, args
+    # result-dict keys the code reads (the fakes emit exactly these)
+    for key in ('"boxes"', '"rec_formula"', '"label_names"', '"scores"'):
+        assert key in det_src, f"expected paddlex result key {key} in detector.py"
+
+    # -- pypdfium2: module-level surface is PdfDocument only
+    assert set(re.findall(r"pdfium\.(\w+)", ras_src)) == {"PdfDocument"}
+    # handle-level surface (methods called on doc/page/bitmap/textpage)
+    for call in (".render(scale=", ".to_numpy()", ".get_textpage()",
+                 ".get_height()", ".get_text_bounded(", ".close()"):
+        assert call in ras_src, f"expected pypdfium2 call {call} in rasterize.py"

@@ -18,6 +18,7 @@ from scripts.make_fixture_oracles import (
     mathml_from_image_fixture,
     multimodal_decode_fixture,
     pipeline_extract_dedup_fixture,
+    tag_tree_fixture,
 )
 
 # fixture-file basename per generator: the oracle fixtures use an _oracle
@@ -28,6 +29,7 @@ _BASENAME = {
     "pipeline_extract_dedup_fixture": "pipeline_extract_dedup_oracle",
     "multimodal_decode_fixture": "multimodal_decode_oracle",
     "mathml_from_image_fixture": "mathml_from_image_oracle",
+    "tag_tree_fixture": "tag_tree_oracle",
     "lsh_planes_fixture": "lsh_planes",
     "lsh_band_planes_fixture": "lsh_band_planes",
 }
@@ -40,6 +42,7 @@ _BASENAME = {
         pipeline_extract_dedup_fixture,
         multimodal_decode_fixture,
         mathml_from_image_fixture,
+        tag_tree_fixture,
         lsh_planes_fixture,
         lsh_band_planes_fixture,
     ],

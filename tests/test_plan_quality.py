@@ -94,8 +94,9 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
 
 
 def test_semi_anti_join_shapes(spark):
-    assert "LeftSemi" in _plan(spark, "q_semi_join")
-    assert "LeftAnti" in _plan(spark, "q_anti_join")
+    plan = _plan(spark, "q_semi_anti_join")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_column_pruned_scan_for_doc_stats(spark):
@@ -165,10 +166,11 @@ def test_simhash_column_form_equals_batch_form(spark):
 
 
 def test_quality_signals_are_shuffle_free_projections(spark):
-    """quality_gate and repetition_signals are row-wise array expressions
-    (round 3): no aggregate, no join, no explode -- the only exchange in
-    the harness entries is the output sort."""
-    for name in ("q_quality_gate", "q_repetition_signals"):
+    """quality_gate (incl. its merged repetition-signal columns) is one
+    row-wise array-expression projection (round 3): no aggregate, no join,
+    no explode -- the only exchange in the harness entry is the output
+    sort."""
+    for name in ("q_quality_gate",):
         plan = _plan(spark, name)
         assert "HashAggregate" not in plan, name
         assert "SortMergeJoin" not in plan, name
