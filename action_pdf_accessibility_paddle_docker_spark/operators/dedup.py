@@ -168,14 +168,19 @@ def chunk_dedup_stats(
         by doc_id is skew-free by construction;
       * the final equi-join is on doc_id between two per-doc aggregates
         (each bounded by document count), never on the hash."""
-    toks = F.split(normalized(F.col(text_col)), " ")
+    # chunking expressions reference the ALIASED text column so they sit
+    # ABOVE _widen's exchange: computing them in the pre-widen projection
+    # would run the whole tokenize+chunk chain in the input's (possibly
+    # single) split -- widen the raw rows first, transform after
+    toks = F.split(normalized(F.col("text")), " ")
     n_chunks = F.ceil(F.size(toks).cast("double") / chunk_tokens).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), n_chunks - 1),
         lambda j: F.array_join(F.slice(toks, j * chunk_tokens + 1, chunk_tokens), " "),
     )
     ch = (
-        _widen(df.select(F.col(id_col).alias("doc_id"), chunks.alias("chunks")))
+        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+        .select("doc_id", chunks.alias("chunks"))
         .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
         .select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
     )

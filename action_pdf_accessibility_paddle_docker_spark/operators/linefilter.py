@@ -65,7 +65,14 @@ def line_filter_stats(
 ) -> DataFrame:
     """Per-document line-filter outcome: line counts, the document-level
     keep decision, and the md5 of the cleaned (newline-rejoined) text so the
-    exact reassembly is pinned byte-for-byte against the oracle."""
+    exact reassembly is pinned byte-for-byte against the oracle. Input
+    widened first (no-op when the scan already has enough splits) so a
+    single-row-group file doesn't run the whole line stack in one task;
+    ``apply_line_filter`` (the streaming/filtering form) stays
+    projection-only."""
+    from .dedup import _widen
+
+    df = _widen(df)
     t = F.col(text_col)
     kept = clean_lines(t, min_words)
     return df.select(

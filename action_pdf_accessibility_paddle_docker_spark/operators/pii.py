@@ -44,7 +44,13 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
 
     The md5 of the redacted text (rather than the text itself) keeps the
     result narrow while still pinning the exact redaction byte-for-byte
-    against the oracle."""
+    against the oracle. The input is widened first (no-op when the scan
+    already has enough splits) so a single-row-group file doesn't run the
+    whole regex stack in one task; ``redact`` (the streaming/filtering
+    form) stays projection-only."""
+    from .dedup import _widen
+
+    df = _widen(df)
     t = F.col(text_col)
     return df.select(
         F.col(id_col),

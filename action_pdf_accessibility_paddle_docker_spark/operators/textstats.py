@@ -327,8 +327,15 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     Value-identical to the unfused expressions (same splits, same casts,
     same rounding); the DuckDB oracle in plans/queries.py is unchanged."""
+    from .dedup import _widen
+
     t = F.col(text_col)
-    base = df.select("doc_id", t.alias("_t"), tokens(t).alias("_toks"))
+    # widen the raw rows FIRST (no-op when the scan already has enough
+    # splits): a single-row-group parquet file otherwise runs the whole
+    # tokenize/stats projection in one task
+    base = _widen(df.select("doc_id", t.alias("_t"))).select(
+        "doc_id", "_t", tokens(F.col("_t")).alias("_toks")
+    )
     toks = F.col("_toks")
     tl = F.col("_t")
     low = F.transform(toks, lambda x: F.lower(x))

@@ -1570,7 +1570,11 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(F.lit("")),
         ),
     ).otherwise(F.col("text"))
-    doc = _read(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))
+    # widen BEFORE the injection projection: the sf tables are single-row-
+    # group files, and the injected-text expr would otherwise build in 1 task
+    doc = D._widen(_read(spark, sf_dir, "documents")).select(
+        "doc_id", injected.alias("text")
+    )
     return P.pii_stats(doc).orderBy("doc_id")
 
 
@@ -1668,7 +1672,9 @@ def q_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(F.array_join(F.slice(t, 15, 8), " "), F.lit("?")),
         F.when(d % 7 == 0, F.lit("short line.")),
     )
-    doc = _read(spark, sf_dir, "documents").select("doc_id", injected.alias("text"))
+    doc = D._widen(_read(spark, sf_dir, "documents")).select(
+        "doc_id", injected.alias("text")
+    )
     return L.line_filter_stats(doc).orderBy("doc_id")
 
 
