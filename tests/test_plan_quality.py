@@ -176,3 +176,48 @@ def test_quality_signals_are_shuffle_free_projections(spark):
         assert "SortMergeJoin" not in plan, name
         assert "BroadcastHashJoin" not in plan, name
         assert "Generate" not in plan, name
+
+
+def test_lm_quality_has_no_global_window_and_no_model_broadcast_hint(spark):
+    """Round-4 consolidation gates: the CCNet bucket cutpoints must come
+    from a quantile AGGREGATE cross-joined back (two doubles), never a
+    global ntile Window (unsplittable single-partition sort at scale); and
+    the unigram model join must not be a planner-forced broadcast (the
+    logical plan must carry no hint -- web-scale vocab is unbounded; AQE
+    electing one from runtime stats at toy scale is fine)."""
+    import re as _re
+
+    # \bntile( -- must not match the percentile() aggregate's substring
+    assert not _re.search(r"(?<![a-z])ntile\(", _plan(spark, "q_lm_quality").lower())
+    fn, _ = Q.REGISTRY["q_lm_quality"]
+    logical = fn(spark, SF_DIR)._jdf.queryExecution().analyzed().toString()
+    import re
+
+    # the ONLY intended hints are on the tiny cutpoint/total relations
+    # (percentile/total aggregates); none may sit on the term-keyed model
+    for m in re.finditer(r"ResolvedHint.*", logical):
+        assert "c_term" not in m.group(0), m.group(0)
+
+
+def test_timeseries_fill_is_single_window_pass(spark):
+    """Gap interpolation + moving average must share ONE per-user window
+    (no self-join resample, no second shuffle for the frame aggregate)."""
+    plan = _plan(spark, "q_timeseries_fill")
+    assert "SortMergeJoin" not in plan and "HashJoin" not in plan
+    # one hash-partitioning exchange on user_id (plus the output range sort)
+    import re
+
+    hashes = re.findall(r"Exchange hashpartitioning\(user_id", plan)
+    assert len(hashes) == 1, plan
+
+
+def test_grouping_sets_is_one_expand_pass(spark):
+    plan = _plan(spark, "q_grouping_sets")
+    assert plan.count("Expand") == 1
+
+
+def test_ivf_recall_contract_broadcasts_the_one_row_stats(spark):
+    """The recall_ok column joins a ONE-ROW aggregate onto the exhaustive
+    top-k rows: that cross join must be broadcast, never a shuffle."""
+    plan = _plan(spark, "q_ivf_ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
