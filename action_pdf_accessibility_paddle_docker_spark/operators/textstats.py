@@ -462,3 +462,54 @@ def stratified_sample(
     rate = (rate.otherwise(F.lit(int(round(default_rate * 10000))))
             if rate is not None else F.lit(int(round(default_rate * 10000))))
     return df.where(h < rate)
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    cap: int,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+    method: str = "rate",
+) -> DataFrame:
+    """Per-domain/source document caps (the RefinedWeb/Gopher-style
+    anti-dominance step: no single site may contribute more than ``cap``
+    documents to the training mix). Two forms, both deterministic and
+    content-independent (membership = f(md5(id), stratum)):
+
+    * ``method='rate'`` (default, the 100 TB path): two passes -- a
+      map-side-combined count per stratum, joined back as a keep RATE
+      (``cap/count``), membership by the same md5 bucket draw as
+      ``stratified_sample``. Keeps ~cap docs per stratum (binomial jitter,
+      exact in expectation), touches every row exactly once, and has NO
+      per-key window -- a mega-domain cannot serialize a partition (AQE
+      cannot split a skewed window partition; it CAN split this join).
+      The stratum-count side is tiny (one row per domain) and broadcasts.
+    * ``method='exact'`` -- row_number over (md5(id), id) per stratum,
+      keep rank <= cap. Exactly cap, deterministic order, but the window
+      sorts each domain inside one partition: fine up to ~10M docs per
+      domain, a skew hazard beyond; use at validation scale or after the
+      rate pass has knocked giants down.
+
+    Both orders are partition-layout-independent, so a re-shard or
+    backfill keeps the same survivors."""
+    from pyspark.sql import Window
+
+    h = F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string"))
+    if method == "exact":
+        w = Window.partitionBy(stratum_col).orderBy(F.md5(h), F.col(id_col))
+        return (
+            df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= cap)
+            .drop("_rk")
+        )
+    if method != "rate":
+        raise ValueError(f"unknown cap method: {method!r}")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
+    bucket = (
+        F.conv(F.substring(F.md5(h), 1, 8), 16, 10).cast("bigint") % 1_000_000
+    )
+    keep = bucket < F.least(
+        F.lit(1_000_000),
+        F.ceil(F.lit(cap) * F.lit(1_000_000) / F.col("_n")).cast("bigint"),
+    )
+    return df.join(F.broadcast(counts), stratum_col).where(keep).drop("_n")

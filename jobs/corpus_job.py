@@ -9,6 +9,7 @@ Stage order mirrors a production curation run (each stage optional):
   gate     composed quality gate (length / punct / stopword / repetition)
   dedup    exact dedup (min-id canonical survives) or incremental vs a
            persisted fingerprint table (--seen-fps; writes updated table)
+  cap      per-source document cap (--cap-per-source N; anti-dominance)
   split    stable train/val/test assignment column
   sample   deterministic per-source keep rates (--rate src=0.5, repeatable)
 
@@ -34,7 +35,7 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("clean", "pii", "gate", "dedup", "split", "sample")
+STAGES = ("clean", "pii", "gate", "dedup", "cap", "split", "sample")
 
 
 def main() -> None:
@@ -57,6 +58,9 @@ def main() -> None:
                     help="sample: per-source keep rate, e.g. --rate web=0.1")
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--stratum-col", default="source")
+    ap.add_argument("--cap-per-source", type=int, default=10000,
+                    help="cap: max documents kept per --stratum-col value "
+                         "(rate method -- approximate, windowless, skew-proof)")
     ap.add_argument("--streaming", action="store_true",
                     help="run as a Structured Streaming job (availableNow) over "
                          "arriving document files; clean/pii/gate/split/sample are "
@@ -81,6 +85,10 @@ def main() -> None:
     if args.streaming:
         if args.seen_fps:
             ap.error("--seen-fps (incremental dedup) is batch-only")
+        if "cap" in stages:
+            ap.error("cap (per-source document cap) is batch-only: it needs "
+                     "a corpus-wide per-stratum count, which has no bounded "
+                     "streaming-state form")
         if not args.checkpoint:
             ap.error("--streaming requires --checkpoint")
 
@@ -151,6 +159,14 @@ def run_pipeline(spark, args, stages) -> dict:
             df = df.join(
                 canon.select(F.col("canonical_id").alias(args.id_col)), args.id_col
             )
+    if "cap" in stages:
+        df = observed(
+            T.cap_per_stratum(
+                df, cap=args.cap_per_source, stratum_col=args.stratum_col,
+                id_col=args.id_col,
+            ),
+            "cap",
+        )
     if "split" in stages:
         df = T.stable_split(df, id_col=args.id_col)
     if "sample" in stages:

@@ -14,7 +14,7 @@ def _ns(**kw):
     base = dict(
         id_col="doc_id", text_col="text", min_kept_lines=2,
         seen_fps=None, new_fps=None, rate=[], default_rate=1.0,
-        stratum_col="source",
+        stratum_col="source", cap_per_source=10000,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -123,3 +123,28 @@ def test_streaming_pipeline_equals_batch(spark, tmp_path):
     assert 3 not in survivors  # line-gated
     assert "<EMAIL>" in out[0]["text"]
     assert all(r["split"] in ("train", "val", "test") for r in out.values())
+
+
+def test_cap_stage_bounds_per_source(spark, tmp_path):
+    """The cap stage (anti-dominance) keeps at most --cap-per-source docs
+    per source; exact form asserted through the operator, the job wires the
+    rate form with its counter visible in the JSON line."""
+    src = tmp_path / "in_cap"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, text=GOOD + f" extra token {i}.", source=f"s{i % 2}")
+        for i in range(40)
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_cap"), cap_per_source=5),
+        ["cap"],
+    )
+    out = spark.read.parquet(str(tmp_path / "out_cap"))
+    n_per = {r["source"]: r["n"] for r in
+             out.groupBy("source").count().withColumnRenamed("count", "n").collect()}
+    # rate form: ceil(5/20 * 1e6) bucket cut -- approximately 5 of 20 each,
+    # never everything
+    for s_, n in n_per.items():
+        assert 1 <= n <= 12, (s_, n)
+    assert res["counters"]["after_cap"] == out.count()

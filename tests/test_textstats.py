@@ -2,6 +2,7 @@
 documents, plus degenerate shapes (single word, all-one-phrase)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 from action_pdf_accessibility_paddle_docker_spark.operators import textstats as T
 
@@ -72,3 +73,74 @@ def test_concat_chunk_packing_spans_boundary(spark):
     assert (out[2].start_pack, out[2].end_pack, out[2].pack_offset) == (0, 1, 6)
     assert (out[3].start_pack, out[3].end_pack, out[3].pack_offset) == (1, 1, 1)
     assert (out[4].start_pack, out[4].end_pack, out[4].pack_offset) == (1, 2, 5)
+
+
+def test_cap_per_stratum_exact_and_rate(spark):
+    """Per-domain caps: the exact form keeps exactly min(cap, n) per
+    stratum with a deterministic membership DuckDB reproduces from the same
+    md5 recipe; the rate form (the windowless 100 TB path) keeps ~cap in
+    expectation and is also engine-independent. Both must be re-shard
+    stable (membership unchanged under a different partition layout)."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        cap_per_stratum,
+    )
+
+    docs = [(i, f"src{i % 3}") for i in range(300)]
+    df = spark.createDataFrame(docs, "doc_id long, source string")
+
+    # -- exact: per-stratum counts hit the cap exactly
+    exact = cap_per_stratum(df, cap=7, method="exact")
+    counts = {r["source"]: r["n"] for r in
+              exact.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {"src0": 7, "src1": 7, "src2": 7}
+    got = sorted((r["source"], r["doc_id"]) for r in exact.collect())
+    oracle = duckdb.sql("""
+        WITH d AS (SELECT unnest(range(300)) AS doc_id),
+        s AS (SELECT doc_id, 'src' || (doc_id % 3) AS source FROM d),
+        r AS (
+          SELECT source, doc_id,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY md5(source || ':' || doc_id), doc_id) AS rk
+          FROM s
+        )
+        SELECT source, doc_id FROM r WHERE rk <= 7 ORDER BY source, doc_id
+    """).fetchall()
+    assert got == [(s, i) for s, i in oracle]
+
+    # -- rate: approximately cap per stratum, never an empty stratum at
+    # this cap/n ratio; cap >= n keeps everything
+    rate = cap_per_stratum(df, cap=50, method="rate")
+    rcounts = {r["source"]: r["n"] for r in
+               rate.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for s, n in rcounts.items():
+        assert 25 <= n <= 75, (s, n)  # ~50 expected of 100, binomial jitter
+    assert cap_per_stratum(df, cap=100, method="rate").count() == 300
+    assert cap_per_stratum(df, cap=1000, method="rate").count() == 300
+
+    # -- re-shard stability: same survivors under a different layout
+    reshard = cap_per_stratum(df.repartition(13), cap=7, method="exact")
+    assert sorted((r["source"], r["doc_id"]) for r in reshard.collect()) == got
+    rate_a = {r["doc_id"] for r in cap_per_stratum(df, 50).collect()}
+    rate_b = {r["doc_id"] for r in cap_per_stratum(df.repartition(13), 50).collect()}
+    assert rate_a == rate_b
+
+
+def test_cap_per_stratum_rate_form_has_no_window(spark):
+    """The rate form is the scale path precisely because it has NO per-key
+    window (AQE cannot split a skewed window partition) -- the stratum
+    count side must ride a broadcast join."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        cap_per_stratum,
+    )
+
+    df = spark.createDataFrame([(i, "web") for i in range(10)],
+                               "doc_id long, source string")
+    plan = (
+        cap_per_stratum(df, cap=3, method="rate")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
