@@ -144,3 +144,47 @@ def test_cap_per_stratum_rate_form_has_no_window(spark):
     assert "Window" not in plan
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_top_phrases_and_stable_split_vs_duckdb(spark):
+    """Direct value checks for the two operators whose registry entries
+    were consolidated away in round 4 (top_phrases dropped as a redundant
+    certification; stable_split certified transitively via q_training_mix):
+    the pytest oracle keeps their exact semantics pinned."""
+    import duckdb
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "'/root/testdata/sf0.001/documents.parquet'"
+    )
+
+    got = [(r["phrase"], r["n_occurrences"], r["n_docs"])
+           for r in T.top_phrases(docs, k=20).collect()]
+    want = con.sql("""
+        WITH toks AS (
+          SELECT doc_id,
+                 regexp_split_to_array(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS t
+          FROM documents
+        ), phrases AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS phrase
+          FROM toks WHERE len(t) >= 2
+        )
+        SELECT phrase, count(*)::BIGINT AS n_occurrences,
+               count(DISTINCT doc_id)::BIGINT AS n_docs
+        FROM phrases WHERE length(phrase) > 0
+        GROUP BY phrase ORDER BY n_occurrences DESC, phrase ASC LIMIT 20
+    """).fetchall()
+    assert got == want
+
+    got_split = sorted((r["doc_id"], r["split"])
+                       for r in T.stable_split(docs).select("doc_id", "split").collect())
+    want_split = con.sql("""
+        SELECT doc_id,
+               CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val' ELSE 'train' END AS split
+        FROM (SELECT doc_id,
+                     (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 100 AS b
+              FROM documents) ORDER BY doc_id
+    """).fetchall()
+    assert got_split == [(i, s) for i, s in want_split]
