@@ -188,3 +188,40 @@ def test_top_phrases_and_stable_split_vs_duckdb(spark):
               FROM documents) ORDER BY doc_id
     """).fetchall()
     assert got_split == [(i, s) for i, s in want_split]
+
+
+@pytest.mark.parametrize("n_docs", [4, 7, 10])
+def test_lm_quality_bucket_knot_cases_match_duckdb(spark, n_docs):
+    """Tercile cutpoints where (n-1)/3 is an integer land EXACTLY on a
+    score (no interpolation) -- the <= bucketing must then agree across
+    engines on the boundary document itself. n=4 and n=7 are knot cases
+    ((n-1)*1/3 and (n-1)*2/3 integral); n=10 is the interpolated case."""
+    import duckdb
+
+    from action_pdf_accessibility_paddle_docker_spark.plans.queries import REGISTRY
+
+    # distinct word-soup docs with strictly increasing rarity profiles
+    rows = [(i, " ".join(["common"] * (n_docs - i) + [f"rare{i}"] * (i + 1)))
+            for i in range(n_docs)]
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        pq.write_table(
+            pa.table({"doc_id": [r[0] for r in rows],
+                      "text": [r[1] for r in rows],
+                      "lang": ["en"] * n_docs, "source": ["web"] * n_docs,
+                      "n_chars": [len(r[1]) for r in rows]}),
+            f"{d}/documents.parquet",
+        )
+        fn, sql = REGISTRY["q_lm_quality"]
+        got = [(r["doc_id"], r["bucket"], r["mean_nll"])
+               for r in fn(spark, d).collect()]
+        con = duckdb.connect()
+        con.execute(
+            f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'"
+        )
+        want = [(r[0], r[5], r[4]) for r in con.sql(sql).fetchall()]
+    assert got == want
