@@ -299,25 +299,43 @@ class PaddleXDetector(BatchHooks):
         Binary-in-string contract: the transcripts table carries payloads in
         a STRING ``text`` column, so raw PDF bytes must have been decoded at
         ingest with either latin-1 (lossless for all 256 byte values -- the
-        recommended convention) or utf-8+surrogateescape. Both are inverted
-        here: latin-1 encode first, and when the string contains codepoints
-        >U+00FF (possible only if ingest decoded multi-byte UTF-8 runs),
-        fall back to utf-8+surrogateescape, which round-trips that decode
-        exactly. Callers that still hold real ``bytes`` should pass them
-        directly -- they are used as-is."""
+        recommended convention) or utf-8+surrogateescape. The two are not
+        distinguishable in-band (a 2-byte UTF-8 run like C2 A9 decodes to
+        U+00A9, which latin-1 would happily re-encode as the WRONG single
+        byte), so the inversion is parse-validated: try the latin-1 bytes
+        first, and if pdfium cannot open them, retry with the
+        utf-8+surrogateescape encoding before giving up. A mis-encode that
+        still happens to parse is not detectable in-band -- pipelines that
+        ingest with utf-8 should say so by passing bytes; callers that
+        still hold real ``bytes`` should pass them directly (used as-is,
+        no candidates)."""
         from ..config import PAYLOAD_KIND_PDF_BYTES
         from .payload import _plan_batch, extract_pages
         from .rasterize import open_pdf_pages
 
         if isinstance(text, (bytes, bytearray)):
-            data = bytes(text)
+            candidates = [bytes(text)]
         else:
+            candidates = []
             try:
-                data = text.encode("latin-1", "surrogateescape")
+                candidates.append(text.encode("latin-1", "surrogateescape"))
             except UnicodeEncodeError:
-                # ingest used utf-8+surrogateescape; invert that decode
-                data = text.encode("utf-8", "surrogateescape")
-        pages, close = open_pdf_pages(data, scale=self.zoom)
+                pass  # codepoints > U+00FF: ingest must have used utf-8
+            utf8 = text.encode("utf-8", "surrogateescape")
+            if utf8 not in candidates:
+                candidates.append(utf8)
+
+        pages = close = None
+        for i, data in enumerate(candidates):
+            try:
+                pages, close = open_pdf_pages(data, scale=self.zoom)
+                break
+            except NotImplementedError:
+                raise  # pypdfium2 absent: same error regardless of bytes
+            except Exception:
+                if i == len(candidates) - 1:
+                    raise
+        assert pages is not None and close is not None
         try:
             planned = _plan_batch(self, pages, process_table, process_formula)
             res = extract_pages(

@@ -268,6 +268,15 @@ def _gate_frame(df: DataFrame, text_col: str, p: dict):
     return base, reasons, cols
 
 
+def _md5_bucket(key: Column, mod: int) -> Column:
+    """The engine-independent membership draw shared by ``stable_split`` /
+    ``stratified_sample`` / ``cap_per_stratum``: first 8 hex chars of
+    md5(key) as an integer, modulo ``mod``. Mirrored literally in the
+    DuckDB oracles (('0x' || substr(md5(key),1,8))::UBIGINT % mod) --
+    change both or neither."""
+    return F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % mod
+
+
 def stable_split(
     df, id_col: str = "doc_id", test_pct: int = 5, val_pct: int = 5,
 ):
@@ -278,10 +287,7 @@ def stable_split(
     DuckDB oracle reproduces it exactly (same recipe as the dedup hashes)."""
     from pyspark.sql import functions as F
 
-    h = (
-        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
-        .cast("bigint") % 100
-    )
+    h = _md5_bucket(F.col(id_col).cast("string"), 100)
     label = (
         F.when(h < test_pct, F.lit("test"))
         .when(h < test_pct + val_pct, F.lit("val"))
@@ -377,11 +383,14 @@ def unigram_logprob_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     combine. The unigram model joins back on ``term`` WITHOUT a broadcast
     hint: on a real web corpus the distinct-term table is unbounded
     (hundreds of millions of terms incl. typos/urls) and would blow the
-    broadcast limit -- both sides are already hash-partitioned on ``term``
-    from their groupBys, so AQE picks a cheap (often exchange-reusing)
-    shuffle join, and may still elect a broadcast when runtime stats show
-    the vocab is genuinely small. ln(count/total) is exact integer-ratio
-    math so DuckDB agrees bit-for-bit."""
+    broadcast limit / OOM the executors. The honest cost: ``tf`` is
+    partitioned on (doc_id, term) from its groupBy, which does NOT satisfy
+    a join on ``term`` alone, so the corpus-side tf table re-shuffles on
+    term for the join -- but unlike a forced broadcast that shuffle is
+    survivable (AQE can skew-split a hot term, and elects a broadcast
+    anyway when runtime stats show the vocab is genuinely small).
+    ln(count/total) is exact integer-ratio math so DuckDB agrees
+    bit-for-bit."""
     from .dedup import normalized
 
     toks = F.split(normalized(F.col(text_col)), " ")
@@ -443,14 +452,9 @@ def stratified_sample(
     filter over the scan."""
     from pyspark.sql import functions as F
 
-    h = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string"))),
-                1, 8,
-            ),
-            16, 10,
-        ).cast("bigint") % 10000
+    h = _md5_bucket(
+        F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string")),
+        10000,
     )
     # int(round(...)) not int(...): bare truncation lands one-below for
     # ~5.6% of 3-decimal rates (0.051*10000 = 509.999... -> 509), so the
@@ -491,10 +495,16 @@ def cap_per_stratum(
       rate pass has knocked giants down.
 
     Both orders are partition-layout-independent, so a re-shard or
-    backfill keeps the same survivors."""
+    backfill keeps the same survivors. A NULL stratum is one stratum (the
+    window form groups NULL naturally; the rate form keys its count join
+    on a coalesced sentinel so NULL-stratum rows are capped, not silently
+    dropped by a never-matching NULL equi-join)."""
     from pyspark.sql import Window
 
-    h = F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string"))
+    h = F.concat(
+        F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00<null>")),
+        F.lit(":"), F.col(id_col).cast("string"),
+    )
     if method == "exact":
         w = Window.partitionBy(stratum_col).orderBy(F.md5(h), F.col(id_col))
         return (
@@ -504,12 +514,19 @@ def cap_per_stratum(
         )
     if method != "rate":
         raise ValueError(f"unknown cap method: {method!r}")
-    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("_n"))
-    bucket = (
-        F.conv(F.substring(F.md5(h), 1, 8), 16, 10).cast("bigint") % 1_000_000
+    skey = F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00<null>"))
+    counts = (
+        df.select(skey.alias("_s"))
+        .groupBy("_s")
+        .agg(F.count(F.lit(1)).alias("_n"))
     )
-    keep = bucket < F.least(
+    keep = _md5_bucket(h, 1_000_000) < F.least(
         F.lit(1_000_000),
         F.ceil(F.lit(cap) * F.lit(1_000_000) / F.col("_n")).cast("bigint"),
     )
-    return df.join(F.broadcast(counts), stratum_col).where(keep).drop("_n")
+    return (
+        df.withColumn("_s", skey)
+        .join(F.broadcast(counts), "_s")
+        .where(keep)
+        .drop("_s", "_n")
+    )

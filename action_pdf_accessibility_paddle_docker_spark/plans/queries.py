@@ -1418,14 +1418,25 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       flip it: the bound sits far below observed recall."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    exhaustive = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8)
+    # cache: the exhaustive top-k is referenced by the recall aggregate AND
+    # the output -- without it the whole IVF subtree (KMeans assignment,
+    # probe explode, re-rank) re-executes per reference, and recall would
+    # lean on the fit being bit-identical across recomputations. The cached
+    # relation is tiny (n_queries x k rows).
+    exhaustive = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).cache()
     approx = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
-    pairs = exhaustive.select("query_id", "neighbor_id")
+    # one aggregate: total = exhaustive pair count, hits = pairs the
+    # approximate probe also found (left join + flag, no second pass)
     recall = (
-        pairs.join(approx.select("query_id", "neighbor_id"),
-                   ["query_id", "neighbor_id"], "left_semi")
-        .agg(F.count(F.lit(1)).alias("hits"))
-        .crossJoin(pairs.agg(F.count(F.lit(1)).alias("total")))
+        exhaustive.select("query_id", "neighbor_id")
+        .join(
+            approx.select("query_id", "neighbor_id", F.lit(1).alias("_hit")),
+            ["query_id", "neighbor_id"], "left",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("total"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("hits"),
+        )
         .select((F.col("hits") / F.col("total") >= 0.3).alias("recall_ok"))
     )
     return (

@@ -152,10 +152,14 @@ def main() -> None:
         if not args.checkpoint:
             sys.exit("--streaming requires --checkpoint")
         run_stream_to_parquet(spark, args.input, args.output, args.checkpoint, thresholds)
-        print(json.dumps({
-            "mode": "streaming",
-            "rows": spark.read.parquet(args.output).count(),
-        }))
+        # an availableNow run over an empty/no-match input commits zero
+        # batches; the sink dir then has no data files to infer a schema
+        # from -- report 0 rows instead of crashing after a clean stream
+        try:
+            n_rows = spark.read.parquet(args.output).count()
+        except Exception:  # noqa: BLE001 -- empty sink, schema not inferable
+            n_rows = 0
+        print(json.dumps({"mode": "streaming", "rows": n_rows}))
         return
 
     if args.resumable:

@@ -16,8 +16,12 @@ cardinality-preserving transforms:
 * orders: o_orderkey / o_custkey offset per replica -- distinct-count
   cardinality grows 10x for the sketch probe.
 
-Timing protocol matches bench.py: warm pass, then min-of-2 per query per
-scale. Prints one JSON line; results recorded in BASELINE.md.
+Timing: warm pass, then min-of-2 per query per scale, both scales in ONE
+session. (bench.py's per-query protocol is interleaved min-of-rounds
+across the whole list; here the quantity of interest is the intra-session
+sf1/sf0.1 RATIO, which is paired per query by construction -- a contention
+window inflates both numerators and denominators together.) Prints one
+JSON line; results recorded in BASELINE.md.
 
 Run:  python scripts/scale_probe.py   (SPARK_GRAFT_CPUS to override cores)
 """

@@ -375,3 +375,38 @@ def test_runtime_import_surface_manifest():
     for call in (".render(scale=", ".to_numpy()", ".get_textpage()",
                  ".get_height()", ".get_text_bounded(", ".close()"):
         assert call in ras_src, f"expected pypdfium2 call {call} in rasterize.py"
+
+
+def test_detect_pdf_bytes_retries_utf8_decode_convention(fake_paddlex, monkeypatch):
+    """A PDF ingested via utf-8+surrogateescape whose multi-byte runs all
+    land <= U+00FF (e.g. C2 A9 -> U+00A9) latin-1-encodes WITHOUT error to
+    the WRONG bytes; the inversion must be parse-validated -- when pdfium
+    rejects the latin-1 candidate, the utf-8 encoding is retried and the
+    original bytes round-trip exactly."""
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        rasterize as R,
+    )
+
+    orig = b"%PDF-1.4 stream \xc2\xa9 2024 \x80\xff endstream"
+    s = orig.decode("utf-8", "surrogateescape")
+    # the ambiguity under test: the latin-1 encode succeeds but differs
+    assert s.encode("latin-1", "surrogateescape") != orig
+
+    seen = []
+
+    def fake_open(data, scale=2.0):
+        seen.append(bytes(data))
+        if bytes(data) != orig:
+            raise ValueError("xref offsets broken")
+        return [], (lambda: None)
+
+    monkeypatch.setattr(R, "open_pdf_pages", fake_open)
+    det = PaddleXDetector("PP-DocLayout-L", effective_thresholds(), "/models")
+    res = det.detect_pdf_bytes(s)
+    assert res.get("error") is None
+    assert seen == [s.encode("latin-1", "surrogateescape"), orig]
+
+    # real bytes are used as-is, single candidate
+    seen.clear()
+    res = det.detect_pdf_bytes(orig)
+    assert seen == [orig]

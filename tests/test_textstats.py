@@ -225,3 +225,24 @@ def test_lm_quality_bucket_knot_cases_match_duckdb(spark, n_docs):
         )
         want = [(r[0], r[5], r[4]) for r in con.sql(sql).fetchall()]
     assert got == want
+
+
+def test_cap_per_stratum_null_stratum_is_capped_not_dropped(spark):
+    """NULL is one stratum: the rate form's count join keys on a coalesced
+    sentinel, so NULL-source docs are capped like any other source instead
+    of vanishing through a never-matching NULL equi-join; the exact form's
+    window groups NULL naturally. cap >= n keeps every NULL row."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        cap_per_stratum,
+    )
+
+    rows = [(i, "web" if i % 2 == 0 else None) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept_all = cap_per_stratum(df, cap=100, method="rate")
+    assert kept_all.count() == 60
+    assert kept_all.where(F.col("source").isNull()).count() == 30
+    capped = cap_per_stratum(df, cap=10, method="rate")
+    n_null = capped.where(F.col("source").isNull()).count()
+    assert 2 <= n_null <= 20  # ~10 expected of 30
+    exact = cap_per_stratum(df, cap=7, method="exact")
+    assert exact.where(F.col("source").isNull()).count() == 7
