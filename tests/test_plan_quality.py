@@ -221,3 +221,34 @@ def test_ivf_recall_contract_broadcasts_the_one_row_stats(spark):
     top-k rows: that cross join must be broadcast, never a shuffle."""
     plan = _plan(spark, "q_ivf_ann_topk")
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_stats_operators_widen_single_split_inputs(spark):
+    """The widen-before-projection invariant (round 4): every batch
+    stats/report operator must spread a too-narrow scan across the cluster
+    BEFORE its heavy per-row projection -- a single-row-group parquet file
+    otherwise runs the whole stack in one task. Pinned as a plan property:
+    on a 1-partition input each operator's plan contains a round-robin
+    repartition below the projection."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        chunk_dedup_stats,
+        dup_ngram_stats,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.linefilter import (
+        line_filter_stats,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.pii import pii_stats
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        document_stats,
+        quality_gate,
+        repetition_signals,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "hello world one"), (2, "two words here")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    for op in (document_stats, pii_stats, line_filter_stats, quality_gate,
+               repetition_signals, chunk_dedup_stats, dup_ngram_stats):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "roundrobin" in plan.lower(), (op.__name__, plan[:800])
