@@ -520,9 +520,12 @@ def cap_per_stratum(
         .groupBy("_s")
         .agg(F.count(F.lit(1)).alias("_n"))
     )
+    # cap * 1e6 computed in PYTHON (a plain int literal is LongType): the
+    # column-side product of two int literals overflows IntegerType under
+    # ANSI mode for any cap > 2147 -- incl. the corpus_job default 10000
     keep = _md5_bucket(h, 1_000_000) < F.least(
-        F.lit(1_000_000),
-        F.ceil(F.lit(cap) * F.lit(1_000_000) / F.col("_n")).cast("bigint"),
+        F.lit(1_000_000).cast("bigint"),
+        F.ceil(F.lit(int(cap) * 1_000_000) / F.col("_n")).cast("bigint"),
     )
     return (
         df.withColumn("_s", skey)

@@ -118,6 +118,9 @@ def test_cap_per_stratum_exact_and_rate(spark):
         assert 25 <= n <= 75, (s, n)  # ~50 expected of 100, binomial jitter
     assert cap_per_stratum(df, cap=100, method="rate").count() == 300
     assert cap_per_stratum(df, cap=1000, method="rate").count() == 300
+    # cap > 2147: the cap*1e6 product must be a long, not an ANSI int
+    # overflow (the corpus_job default cap is 10000)
+    assert cap_per_stratum(df, cap=10000, method="rate").count() == 300
 
     # -- re-shard stability: same survivors under a different layout
     reshard = cap_per_stratum(df.repartition(13), cap=7, method="exact")
