@@ -176,16 +176,62 @@ def mathml_from_image_fixture() -> str:
     return _write("mathml_from_image_oracle", pa.table(cols, schema=schema))
 
 
+def _walk_template_independent(template: dict) -> list[tuple]:
+    """INDEPENDENT re-derivation of the pre-order tag-tree flattening (the
+    engine's twin lives in functions/tagtree.tag_tree_rows; this one is
+    iterative with an explicit stack instead of recursive, written from the
+    same contract: depth-first pre-order ordinals per turn, page wrappers
+    are not nodes, children come from element_template.template
+    .element_create[*].elements in order)."""
+    out: list[tuple] = []
+    counter = 0
+    for page_entry in template["template"]["element_create"]:
+        page = int(page_entry["query"]["$and"][0]["$page_num"])
+        # stack of (element, parent_node_id, depth, child_index); pushed in
+        # reverse so pops preserve document order
+        stack = [
+            (el, None, 0, ci)
+            for ci, el in reversed(list(enumerate(page_entry.get("elements", []))))
+        ]
+        while stack:
+            el, parent, depth, child_index = stack.pop()
+            node_id = counter
+            counter += 1
+            bbox = [float(b) for b in el.get("bbox", [])] or None
+            out.append((
+                node_id, parent, depth, child_index, page,
+                el.get("tag"), el.get("type"), el.get("flag"),
+                el.get("heading"),
+                int(el["id"]) if "id" in el else None,
+                int(el["cell_row"]) if "cell_row" in el else None,
+                int(el["cell_column"]) if "cell_column" in el else None,
+                bbox,
+            ))
+            tmpl = el.get("element_template")
+            if tmpl:
+                kids = [
+                    child
+                    for create in tmpl["template"]["element_create"]
+                    for child in create.get("elements", [])
+                ]
+                stack.extend(
+                    (child, node_id, depth + 1, ci)
+                    for ci, child in reversed(list(enumerate(kids)))
+                )
+    return out
+
+
 def tag_tree_fixture() -> str:
     """Mirror of q_tag_tree (n_convs=30, median_turns=6, seed=42): scalar
     oracle extraction -> reference-shaped template (oracle/extract.py
-    template_for_turn) -> flattened pre-order tag-tree rows
-    (functions/tagtree.tag_tree_rows -- the flattening is a trivial shared
-    walk; the semantic content under test is the template, which the
-    scalar side derives independently of the Spark kernel). Nullable ints
-    are scalarized to -1 and the bbox to four rounded doubles (-1.0 when
-    absent) because the driver's value-hash canonicalizer handles neither
-    mixed None/int columns nor list columns."""
+    template_for_turn) -> flattened pre-order tag-tree rows via the
+    INDEPENDENT walk above (the engine's recursive twin is
+    functions/tagtree.tag_tree_rows; both flattenings of every template are
+    additionally asserted equal here, so a quiet divergence in either walk
+    fails fixture generation/freshness before the driver sees it).
+    Nullable ints are scalarized to -1 and the bbox to four rounded doubles
+    (-1.0 when absent) because the driver's value-hash canonicalizer
+    handles neither mixed None/int columns nor list columns."""
     from action_pdf_accessibility_paddle_docker_spark.functions.tagtree import (
         tag_tree_rows,
     )
@@ -202,7 +248,12 @@ def tag_tree_fixture() -> str:
     cols = {k: [] for k in names}
     for row in iter_rows(30, 6, seed=42):
         res = extract_turn(row["text"])
-        for node in tag_tree_rows(template_for_turn(res)):
+        template = template_for_turn(res)
+        nodes = _walk_template_independent(template)
+        assert nodes == tag_tree_rows(template), (
+            f"independent walk != engine walk for {row['conv_id']}#{row['turn_idx']}"
+        )
+        for node in nodes:
             (node_id, parent, depth, child_index, page, tag, type_, flag,
              heading, fid, crow, ccol, bbox) = node
             cols["conv_id"].append(row["conv_id"])
