@@ -288,7 +288,8 @@ def _hash_hex_to_long(col):
 
 
 def minhash_signatures(
-    df: DataFrame, num_hashes: int = NUM_MINHASHES, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, num_hashes: int = NUM_MINHASHES, id_col: str = "doc_id",
+    text_col: str = "text", hash_family: str = "md5",
 ) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
     h_i(shingle) with h_i = int64(md5(i || ':' || shingle)[:8]).
@@ -298,12 +299,25 @@ def minhash_signatures(
     codegen), and with 16 md5 calls per shingle the interpreted fold
     measured 2.7x slower than the codegen'd aggregate at sf0.1 -- the
     opposite trade from the cheap-per-element folds (simhash, repetition
-    signals), where losing the shuffle wins."""
+    signals), where losing the shuffle wins.
+
+    hash_family: 'md5' (default) is the VERIFIABLE family -- DuckDB replays
+    it bit-for-bit, which is what the driver's value check needs. At
+    production scale swap to 'xxhash64' (seeded JVM intrinsic, no hex
+    round-trip; measured 1.27x on the signature stage at sf0.1, and the
+    hash count grows with corpus tokens x num_hashes so the gap widens
+    with document length). Same minima-of-uniform-hashes semantics; the
+    two families produce different (equally valid) signatures."""
     sh = shingle_table(df, id_col, text_col)
-    mins = [
-        F.min(_hash_hex_to_long(F.md5(F.concat_ws(":", F.lit(i), F.col("shingle"))))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_family == "md5":
+        h = lambda i: _hash_hex_to_long(  # noqa: E731
+            F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))
+        )
+    elif hash_family == "xxhash64":
+        h = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))  # noqa: E731
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    mins = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
@@ -314,11 +328,12 @@ def minhash_lsh_candidates(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    hash_family: str = "md5",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     band hash = md5 of the band's signature slice."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, num_hashes, id_col, text_col)
+    sig = minhash_signatures(df, num_hashes, id_col, text_col, hash_family)
     band_cols = []
     for b in range(bands):
         sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)

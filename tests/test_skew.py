@@ -180,3 +180,31 @@ def test_chunk_dedup_hot_hash_never_joins_on_the_hash(spark):
     total_dups = sum(r["n_dup_chunks"] for r in rows)
     assert total_dups == 10800 - 1
     assert all(r["n_chunks"] == 1 for r in rows)
+
+
+def test_minhash_xxhash64_family_pairs_exact_duplicates(spark):
+    """The production hash family (xxhash64, measured 1.27x on the
+    signature stage vs the DuckDB-replayable md5 default) must preserve
+    the core MinHash guarantee: documents with IDENTICAL normalized
+    shingle sets have identical signatures in EVERY family, land in the
+    same band buckets, and always pair."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "ALPHA   beta GAMMA delta epsilon zeta"),   # same normalized set
+        (3, "one two three four five six seven"),
+        (4, "totally different content words here now"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for family in ("md5", "xxhash64"):
+        sigs = {r["doc_id"]: list(r["sig"])
+                for r in minhash_signatures(df, hash_family=family).collect()}
+        assert sigs[1] == sigs[2], family
+        assert sigs[1] != sigs[3], family
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in minhash_lsh_candidates(df, hash_family=family).collect()}
+        assert (1, 2) in pairs, family
