@@ -498,10 +498,22 @@ def cap_per_stratum(
     backfill keeps the same survivors. A NULL stratum is one stratum (the
     window form groups NULL naturally; the rate form keys its count join
     on a coalesced sentinel so NULL-stratum rows are capped, not silently
-    dropped by a never-matching NULL equi-join)."""
+    dropped by a never-matching NULL equi-join).
+
+    The membership draw is salted with a ``cap:`` prefix so it is
+    INDEPENDENT of ``stratified_sample``'s draw on the same
+    (stratum, id) key. Unsalted, both read md5('stratum:id') -- and since
+    10^4 divides 10^6, a binding cap (threshold t < 10^4, i.e. keep rate
+    under ~1%, exactly the mega-domain case) would leave every survivor
+    with sample-hash < t, so a downstream sample at rate r keeps
+    min(1, r*10^4/t) of them instead of r (e.g. 100% instead of 50%).
+    The exact form's order key is salted identically: at extreme binding
+    (keep fraction < 10^4/2^32) the smallest-md5 survivors also pin the
+    sample-hash residue."""
     from pyspark.sql import Window
 
     h = F.concat(
+        F.lit("cap:"),
         F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00<null>")),
         F.lit(":"), F.col(id_col).cast("string"),
     )

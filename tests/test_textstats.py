@@ -102,7 +102,7 @@ def test_cap_per_stratum_exact_and_rate(spark):
         r AS (
           SELECT source, doc_id,
                  row_number() OVER (PARTITION BY source
-                                    ORDER BY md5(source || ':' || doc_id), doc_id) AS rk
+                                    ORDER BY md5('cap:' || source || ':' || doc_id), doc_id) AS rk
           FROM s
         )
         SELECT source, doc_id FROM r WHERE rk <= 7 ORDER BY source, doc_id
@@ -249,3 +249,31 @@ def test_cap_per_stratum_null_stratum_is_capped_not_dropped(spark):
     assert 2 <= n_null <= 20  # ~10 expected of 30
     exact = cap_per_stratum(df, cap=7, method="exact")
     assert exact.where(F.col("source").isNull()).count() == 7
+
+
+def test_cap_then_sample_realized_rate_is_unbiased(spark):
+    """Composing cap -> stratified_sample (the corpus_job stage order) must
+    realize the sample rate ON THE CAP SURVIVORS. The cap draw is salted
+    ('cap:' prefix) precisely so it is independent of the sampling draw on
+    the same (stratum, id) key: unsalted, a binding cap with threshold
+    t < 10^4 (here t = ceil(50/10000*1e6) = 5000) leaves every survivor
+    with sample-hash = cap-hash < t, so a 0.5 sample would keep 100% of
+    them (threshold 5000 > every survivor's residue) instead of ~50%."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        cap_per_stratum,
+        stratified_sample,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "web") for i in range(10_000)], "doc_id long, source string"
+    )
+    capped = cap_per_stratum(df, cap=50, stratum_col="source", method="rate")
+    n_cap = capped.count()
+    assert 25 <= n_cap <= 80, n_cap  # ~50 expected, binomial jitter
+    sampled = stratified_sample(
+        capped, rates={"web": 0.5}, stratum_col="source"
+    )
+    n_s = sampled.count()
+    # binomial(n_cap, 0.5): w.h.p. well inside [0.2, 0.8]*n_cap; the
+    # correlated (unsalted) draw keeps ALL n_cap rows
+    assert 0.2 * n_cap <= n_s <= 0.8 * n_cap, (n_cap, n_s)
