@@ -729,39 +729,60 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         AND coalesce(round(w.n_distinct / w.n_words, 6), 0.0) >= 0.35
         AND coalesce(round(b.top_c / b.n_bigrams, 6), 0.0) <= 0.10
     ), canon AS (
-      SELECT min(doc_id) AS doc_id, any_value(n_tokens) AS n_tokens
+      SELECT min(f.doc_id) AS doc_id, any_value(f.n_tokens) AS n_tokens,
+             arg_min(d.source, f.doc_id) AS source
       FROM (SELECT doc_id, n_tokens,
                    md5({_NORM_SQL}) AS fingerprint FROM kept) f
+      JOIN documents d ON d.doc_id = f.doc_id
       GROUP BY fingerprint
+    ), src_counts AS (
+      SELECT source, count(*)::BIGINT AS n FROM canon GROUP BY source
+    ), capped AS (
+      SELECT c.doc_id, c.n_tokens FROM canon c JOIN src_counts s USING (source)
+      WHERE (('0x' || substr(md5('cap:' || c.source || ':' || c.doc_id), 1, 8))::UBIGINT)::BIGINT
+              % 1000000
+            < least(1000000, ceil(10 * 1000000.0 / s.n)::BIGINT)
     )
     SELECT CASE WHEN b < 5 THEN 'test' WHEN b < 10 THEN 'val' ELSE 'train' END AS split,
            count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
     FROM (
       SELECT n_tokens,
              (('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::UBIGINT)::BIGINT % 100 AS b
-      FROM canon
+      FROM capped
     ) s GROUP BY split ORDER BY split
     """,
 )
 def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full training-data funnel composed end-to-end: quality gate ->
-    exact dedup (canonical = min doc_id per fingerprint) -> deterministic
-    split -> per-split doc/token totals. Every stage is an already-verified
-    operator; this entry pins their composition across engines."""
+    """The full training-data funnel composed end-to-end, in corpus_job's
+    stage order: quality gate -> exact dedup (canonical = min doc_id per
+    fingerprint, carrying the canonical doc's source) -> per-source cap
+    (``cap_per_stratum`` rate form, cap=10 -- BINDING at sf0.01 where every
+    source holds >10 canonical docs, so the driver hash certifies the cap's
+    count-join + salted-md5 membership) -> deterministic split -> per-split
+    doc/token totals. Every stage is an already-verified operator; this
+    entry pins their composition across engines."""
     from ..operators.dedup import normalized
 
     docs = _read(spark, sf_dir, "documents")
     gate = T.quality_gate(docs).where("keep").select("doc_id", "n_tokens")
-    kept = docs.join(gate, "doc_id").select("doc_id", "text", "n_tokens")
+    kept = docs.join(gate, "doc_id").select("doc_id", "text", "n_tokens", "source")
     canon = (
         kept.select(
-            "doc_id", "n_tokens", F.md5(normalized(F.col("text"))).alias("fingerprint")
+            "doc_id", "n_tokens", "source",
+            F.md5(normalized(F.col("text"))).alias("fingerprint"),
         )
         .groupBy("fingerprint")
-        .agg(F.min("doc_id").alias("doc_id"), F.first("n_tokens").alias("n_tokens"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.first("n_tokens").alias("n_tokens"),
+            F.min_by("source", "doc_id").alias("source"),
+        )
+    )
+    capped = T.cap_per_stratum(
+        canon, cap=10, stratum_col="source", id_col="doc_id", method="rate"
     )
     return (
-        T.stable_split(canon)
+        T.stable_split(capped)
         .groupBy("split")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
