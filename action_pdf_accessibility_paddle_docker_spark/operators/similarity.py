@@ -103,9 +103,12 @@ def signature_udf(plane_sets: list[np.ndarray]):
     because matmul summation order differs -- fixture-checked empirically).
 
     Null or shape-mismatched vectors yield a NULL bucket array for that ROW
-    (dropped by the downstream bucket join / caught by _assert_dim) instead
-    of np.stack failing the whole Arrow batch before the per-row error
-    could fire."""
+    instead of np.stack failing the whole Arrow batch. CONTRACT: a NULL
+    bucket row is silently dropped by downstream bucket joins / posexplode,
+    so every public entry point MUST pair this UDF with ``_assert_dim``
+    (which raises per-row on null/ragged input, executor-side) -- the
+    per-row tolerance here exists only so the assert, not a batch-level
+    numpy error, is what the user sees."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
@@ -144,15 +147,23 @@ def signature_udf(plane_sets: list[np.ndarray]):
 
 
 def _assert_dim(df: DataFrame, vec_alias: str, dim: int) -> DataFrame:
-    """Fail loudly on a dimension mismatch: zip_with null-pads the shorter
-    side, which would silently zero every signature bit (all rows collapse
-    into bucket 0 -> the bucket equi-join degenerates to a cross join).
-    assert_true raises at execution time, per row, executor-side."""
+    """Fail loudly on a NULL vector or a dimension mismatch: zip_with
+    null-pads the shorter side, which would silently zero every signature
+    bit (all rows collapse into bucket 0 -> the bucket equi-join
+    degenerates to a cross join), and ``signature_udf`` maps invalid rows
+    to NULL buckets that downstream joins/explodes would silently drop.
+    Every public LSH entry point routes through this guard, so a corpus
+    with null/ragged embeddings errors instead of under-reporting
+    near-duplicates; callers that want to tolerate them must filter
+    explicitly BEFORE the operator (visible in their own plan).
+    assert_true raises at execution time, per row, executor-side (a NULL
+    condition raises too -- the message coalesces so it stays readable)."""
     return df.where(
         F.assert_true(
-            F.size(vec_alias) == dim,
-            F.concat(F.lit(f"embedding dimension != {dim}: got "),
-                     F.size(vec_alias).cast("string")),
+            F.col(vec_alias).isNotNull() & (F.size(vec_alias) == dim),
+            F.concat(F.lit(f"embedding NULL or dimension != {dim}: got "),
+                     F.coalesce(F.size(vec_alias).cast("string"),
+                                F.lit("NULL"))),
         ).isNull()
     )
 

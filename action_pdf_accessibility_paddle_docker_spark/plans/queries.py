@@ -1439,12 +1439,20 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       flip it: the bound sits far below observed recall."""
     emb = _read(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < 20)
-    # cache: the exhaustive top-k is referenced by the recall aggregate AND
-    # the output -- without it the whole IVF subtree (KMeans assignment,
-    # probe explode, re-rank) re-executes per reference, and recall would
-    # lean on the fit being bit-identical across recomputations. The cached
-    # relation is tiny (n_queries x k rows).
-    exhaustive = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=8).cache()
+    # lazy localCheckpoint: the exhaustive top-k is referenced by the
+    # recall aggregate AND the output -- without materializing it once, the
+    # whole IVF subtree (KMeans assignment, probe explode, re-rank)
+    # re-executes per reference, and recall would lean on the fit being
+    # bit-identical across recomputations. localCheckpoint instead of
+    # .cache(): a cached relation registered in the CacheManager lives
+    # until an explicit unpersist (every driver/bench build would leak one
+    # into the long-lived session), while checkpoint blocks are dropped by
+    # the ContextCleaner as soon as the result DataFrame is garbage
+    # collected. eager=False keeps the builder side-effect-free; the blocks
+    # are tiny (n_queries x k rows).
+    exhaustive = S.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=8
+    ).localCheckpoint(eager=False)
     approx = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
     # one aggregate: total = exhaustive pair count, hits = pairs the
     # approximate probe also found (left join + flag, no second pass)
@@ -2007,6 +2015,14 @@ def q_tag_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup under the driver's VALUE check (round-3
     verdict item: the streaming surface was pytest-only): the documents
+
+    NOTE this builder is EAGER (listed in ``EAGER_BUILDERS``): obtaining
+    the result DataFrame runs the availableNow stream (stops any active
+    same-named query, starts a memory-sink stream, awaits termination).
+    Plan-dump / explain tooling that iterates the REGISTRY must skip or
+    special-case entries in ``EAGER_BUILDERS`` -- building "just the plan"
+    executes the stream. The driver harness and bench are fine: they build
+    exactly to execute.
     table is consumed through ``readStream`` (file source) and reduced by a
     streaming aggregation in an availableNow run; the final complete-mode
     result must equal the batch exact-dedup oracle -- the batch==stream
@@ -2041,6 +2057,13 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     query.awaitTermination()
     return spark.table(name).orderBy("fingerprint")
+
+
+# Builders whose invocation EXECUTES work (streaming start/await, model
+# fit) rather than just declaring a lazy plan. Tools that iterate the
+# REGISTRY only to dump/inspect plans must skip these; the driver harness
+# and bench build precisely in order to execute, so they ignore this set.
+EAGER_BUILDERS = frozenset({"q_stream_dedup"})
 
 
 def queries() -> dict[str, Builder]:

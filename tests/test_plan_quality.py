@@ -252,3 +252,17 @@ def test_stats_operators_widen_single_split_inputs(spark):
                repetition_signals, chunk_dedup_stats, dup_ngram_stats):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
         assert "roundrobin" in plan.lower(), (op.__name__, plan[:800])
+
+
+def test_eager_builders_marked():
+    """Side-effectful registry builders (building them EXECUTES work, e.g.
+    starts an availableNow stream) must be listed in EAGER_BUILDERS so
+    plan-dump tooling knows to skip them; dump_plans.py consumes the set."""
+    import inspect
+
+    from action_pdf_accessibility_paddle_docker_spark.plans import queries as Q
+
+    assert "q_stream_dedup" in Q.EAGER_BUILDERS
+    assert Q.EAGER_BUILDERS <= set(Q.REGISTRY)
+    src = inspect.getsource(Q.REGISTRY["q_stream_dedup"][0])
+    assert "EAGER" in src  # the builder documents its own eagerness

@@ -172,3 +172,35 @@ def test_ivf_partitioned_layout_prunes_probe_scan(spark, tmp_path):
     assert cids <= {0, 3}
     full = spark.read.parquet(str(out)).count()
     assert 0 < probed.count() < full
+
+
+def test_null_or_ragged_embedding_fails_loudly(spark):
+    """The LSH entry points must ERROR on null/ragged embeddings, not
+    silently drop them: signature_udf maps invalid rows to NULL buckets
+    that the bucket join / posexplode would swallow, quietly
+    under-reporting near-duplicates. _assert_dim raises per-row on both
+    the NULL and the wrong-dim case (with a readable message)."""
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+        lsh_bucketed_topk,
+    )
+
+    good = [(i, [float(i), 1.0, 0.5, -0.25]) for i in range(6)]
+    for bad_vec in (None, [1.0, 2.0]):  # NULL and ragged
+        df = spark.createDataFrame(
+            good + [(99, bad_vec)], "vec_id long, embedding array<double>"
+        )
+        with pytest.raises(Exception, match="NULL or dimension"):
+            embedding_near_dup_pairs(df, threshold=0.5, dim=4).collect()
+        with pytest.raises(Exception, match="NULL or dimension"):
+            lsh_bucketed_topk(df, df.where("vec_id < 2"), k=2, dim=4).collect()
+    # pre-filtered input (the documented caller-side contract) works
+    df = spark.createDataFrame(
+        good + [(99, None)], "vec_id long, embedding array<double>"
+    )
+    pairs = embedding_near_dup_pairs(
+        df.where("embedding IS NOT NULL"), threshold=0.5, dim=4
+    )
+    assert pairs.count() >= 0
