@@ -287,12 +287,36 @@ def _hash_hex_to_long(col):
     return F.conv(F.substring(col, 1, 8), 16, 10).cast("bigint")
 
 
+# Mersenne prime for the md5mix universal-hash family: every intermediate
+# stays under 2^63, so the arithmetic is exact signed-64-bit on BOTH
+# engines (no ANSI overflow on Spark, no BIGINT overflow on DuckDB).
+MINHASH_MIX_PRIME = (1 << 61) - 1
+
+
+def minhash_mix_constants(num_hashes: int = NUM_MINHASHES) -> list[tuple[int, int, int]]:
+    """Deterministic (a_i, b_i, c_i) coefficient triples for the md5mix
+    family, derived from md5 of a fixed label (no RNG state, reproducible
+    everywhere): a_i, b_i odd and < 2^31 so a_i * x (x < 2^32) < 2^63;
+    c_i < 2^31. Shared by the Spark expressions and the DuckDB oracle SQL
+    (embedded as plain integer literals on both sides)."""
+    import hashlib
+
+    out = []
+    for i in range(num_hashes):
+        d = hashlib.md5(f"minhash-mix:{i}".encode()).digest()
+        a = (int.from_bytes(d[0:4], "big") & 0x7FFFFFFF) | 1
+        b = (int.from_bytes(d[4:8], "big") & 0x7FFFFFFF) | 1
+        c = int.from_bytes(d[8:12], "big") & 0x7FFFFFFF
+        out.append((a, b, c))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame, num_hashes: int = NUM_MINHASHES, id_col: str = "doc_id",
-    text_col: str = "text", hash_family: str = "md5",
+    text_col: str = "text", hash_family: str = "md5mix",
 ) -> DataFrame:
     """(doc_id, sig array<bigint>): sig[i] = min over shingles of
-    h_i(shingle) with h_i = int64(md5(i || ':' || shingle)[:8]).
+    h_i(shingle), where the hash family h_i is selectable (below).
 
     Deliberately explode+groupBy, NOT a row-wise nested-transform fold:
     higher-order functions evaluate interpreted (outside whole-stage
@@ -301,15 +325,49 @@ def minhash_signatures(
     opposite trade from the cheap-per-element folds (simhash, repetition
     signals), where losing the shuffle wins.
 
-    hash_family: 'md5' (default) is the VERIFIABLE family -- DuckDB replays
-    it bit-for-bit, which is what the driver's value check needs. At
-    production scale swap to 'xxhash64' (seeded JVM intrinsic, no hex
-    round-trip; measured 1.27x on the signature stage at sf0.1, and the
-    hash count grows with corpus tokens x num_hashes so the gap widens
-    with document length). Same minima-of-uniform-hashes semantics; the
-    two families produce different (equally valid) signatures."""
+    hash_family -- all three produce equally valid (but different)
+    minima-of-uniform-hashes signatures:
+
+    * 'md5mix' (default): ONE md5 per shingle; h_i mixes its two 32-bit
+      halves with a degree-1 universal hash, h_i = (a_i*x1 % p + b_i*x2 % p
+      + c_i) % p over the Mersenne prime p = 2^61-1 (Kirsch-Mitzenmacher-
+      style double hashing). Cuts the string-hash count 16x vs 'md5' while
+      staying exactly DuckDB-replayable (plain 64-bit integer arithmetic,
+      every intermediate < 2^63 on both engines). Measured signature-stage
+      wall: ~1.1x over 'md5' at sf0.1 (explode/shuffle-bound) but 2.0x at
+      the sf1 probe (2.81 -> 1.39 s; xxhash64 0.96 s) -- the hash count is
+      the dominant cost exactly where scale makes it matter, which is why
+      this replayable family is the default. The caveat at corpus
+      scale: two shingles colliding in the full 64-bit (x1,x2) collide in
+      EVERY h_i (birthday at ~2^32 distinct shingles) -- same 64-bit
+      bucketing-hash posture as 'xxhash64', reasoned in SCALE.md; it
+      perturbs similarity estimates, never identity (fingerprints stay
+      128-bit).
+    * 'md5': the round-2..4 family, one fresh md5 per (i, shingle) --
+      per-hash independence, 16x the string-hash cost; kept for
+      reproducing historical signatures.
+    * 'xxhash64': seeded JVM intrinsic, no hex round-trip (measured 1.27x
+      over 'md5' on the signature stage at sf0.1) -- fastest, but not
+      DuckDB-replayable; production option when replay doesn't matter."""
     sh = shingle_table(df, id_col, text_col)
-    if hash_family == "md5":
+    if hash_family == "md5mix":
+        hexsig = F.md5(F.col("shingle"))
+        # project x1/x2 BEFORE the aggregate: one md5 + two convs per
+        # shingle row, guaranteed (not left to subexpression elimination
+        # across 16 aggregate expressions)
+        p = MINHASH_MIX_PRIME
+        sh = sh.select(
+            "doc_id",
+            _hash_hex_to_long(hexsig).alias("x1"),
+            F.conv(F.substring(hexsig, 9, 8), 16, 10).cast("bigint").alias("x2"),
+        )
+        mix = minhash_mix_constants(num_hashes)
+        h = lambda i: (  # noqa: E731
+            (F.lit(mix[i][0]) * F.col("x1")) % p
+            + (F.lit(mix[i][1]) * F.col("x2")) % p
+            + F.lit(mix[i][2])
+        ) % p
+    elif hash_family == "md5":
         h = lambda i: _hash_hex_to_long(  # noqa: E731
             F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))
         )
@@ -328,7 +386,7 @@ def minhash_lsh_candidates(
     bands: int = LSH_BANDS,
     id_col: str = "doc_id",
     text_col: str = "text",
-    hash_family: str = "md5",
+    hash_family: str = "md5mix",
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
     band hash = md5 of the band's signature slice."""

@@ -404,15 +404,29 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _minhash_sql(num_hashes: int) -> str:
+    """Replays the engine's default 'md5mix' family: ONE md5 per shingle,
+    its two 32-bit halves mixed per hash index by a degree-1 universal
+    hash over the Mersenne prime 2^61-1. The (a, b, c) coefficient triples
+    are the same deterministic literals the Spark side embeds
+    (dedup.minhash_mix_constants); all intermediates < 2^63, so plain
+    BIGINT arithmetic is exact on both engines."""
+    p = D.MINHASH_MIX_PRIME
+    mix = D.minhash_mix_constants(num_hashes)
     mins = ",\n      ".join(
-        f"min((('0x' || substr(md5({i} || ':' || shingle), 1, 8))::UBIGINT)::BIGINT) AS h{i}"
-        for i in range(num_hashes)
+        f"min((({a} * x1) % {p} + ({b} * x2) % {p} + {c}) % {p}) AS h{i}"
+        for i, (a, b, c) in enumerate(mix)
     )
     return _SHINGLES_SQL + f""",
+    shx AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(shingle), 1, 8))::UBIGINT)::BIGINT AS x1,
+             (('0x' || substr(md5(shingle), 9, 8))::UBIGINT)::BIGINT AS x2
+      FROM sh
+    ),
     sig AS (
       SELECT doc_id,
       {mins}
-      FROM sh GROUP BY doc_id
+      FROM shx GROUP BY doc_id
     )"""
 
 

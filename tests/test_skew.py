@@ -200,7 +200,7 @@ def test_minhash_xxhash64_family_pairs_exact_duplicates(spark):
         (4, "totally different content words here now"),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
-    for family in ("md5", "xxhash64"):
+    for family in ("md5mix", "md5", "xxhash64"):
         sigs = {r["doc_id"]: list(r["sig"])
                 for r in minhash_signatures(df, hash_family=family).collect()}
         assert sigs[1] == sigs[2], family
