@@ -504,6 +504,7 @@ def dedup_clusters(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_iter: int = 20,
+    hash_family: str = "md5mix",
 ) -> DataFrame:
     """Near-duplicate CLUSTER assignment: connected components over the
     MinHash-LSH candidate graph, canonical id = min doc_id per component.
@@ -512,7 +513,9 @@ def dedup_clusters(
     pipeline runs after candidate generation. LSH near-dup components are
     shallow (dupes of a common original), so the propagation rounds stay in
     single digits."""
-    pairs = minhash_lsh_candidates(df, id_col=id_col, text_col=text_col)
+    pairs = minhash_lsh_candidates(
+        df, id_col=id_col, text_col=text_col, hash_family=hash_family
+    )
     nodes = df.select(F.col(id_col).alias("doc_id"))
     return connected_component_labels(nodes, pairs, max_iter=max_iter)
 

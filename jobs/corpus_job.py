@@ -9,6 +9,9 @@ Stage order mirrors a production curation run (each stage optional):
   gate     composed quality gate (length / punct / stopword / repetition)
   dedup    exact dedup (min-id canonical survives) or incremental vs a
            persisted fingerprint table (--seen-fps; writes updated table)
+  neardup  MinHash-LSH near-duplicate removal: connected components over
+           the candidate graph, keep the min-id canonical per cluster
+           (--hash-family md5mix|md5|xxhash64 picks the signature family)
   cap      per-source document cap (--cap-per-source N; anti-dominance)
   split    stable train/val/test assignment column
   sample   deterministic per-source keep rates (--rate src=0.5, repeatable)
@@ -35,7 +38,7 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("clean", "pii", "gate", "dedup", "cap", "split", "sample")
+STAGES = ("clean", "pii", "gate", "dedup", "neardup", "cap", "split", "sample")
 
 
 def main() -> None:
@@ -61,6 +64,12 @@ def main() -> None:
     ap.add_argument("--cap-per-source", type=int, default=10000,
                     help="cap: max documents kept per --stratum-col value "
                          "(rate method -- approximate, windowless, skew-proof)")
+    ap.add_argument("--hash-family", default="md5mix",
+                    choices=("md5mix", "md5", "xxhash64"),
+                    help="neardup: MinHash signature family -- md5mix "
+                         "(default; one md5 per shingle + universal mixes, "
+                         "DuckDB-replayable), md5 (historical, 16 md5s per "
+                         "shingle), xxhash64 (fastest, not replayable)")
     ap.add_argument("--streaming", action="store_true",
                     help="run as a Structured Streaming job (availableNow) over "
                          "arriving document files; clean/pii/gate/split/sample are "
@@ -89,6 +98,11 @@ def main() -> None:
             ap.error("cap (per-source document cap) is batch-only: it needs "
                      "a corpus-wide per-stratum count, which has no bounded "
                      "streaming-state form")
+        if "neardup" in stages:
+            ap.error("neardup (LSH connected components) is batch-only: the "
+                     "iterative label propagation has no streaming form; the "
+                     "streaming near-dup path is the simhash "
+                     "dropDuplicatesWithinWatermark in streaming/stream.py")
         if not args.checkpoint:
             ap.error("--streaming requires --checkpoint")
 
@@ -159,6 +173,22 @@ def run_pipeline(spark, args, stages) -> dict:
             df = df.join(
                 canon.select(F.col("canonical_id").alias(args.id_col)), args.id_col
             )
+    if "neardup" in stages:
+        # keep the min-id canonical of each LSH connected component; the
+        # cluster table is (doc_id, cluster_id) for EVERY doc, so the
+        # survivor filter is a doc_id equi-join, never a text re-hash
+        clusters = D.dedup_clusters(
+            df, id_col=args.id_col, text_col=args.text_col,
+            hash_family=args.hash_family,
+        )
+        df = observed(
+            df.join(
+                clusters.where(F.col("doc_id") == F.col("cluster_id"))
+                .select(F.col("doc_id").alias(args.id_col)),
+                args.id_col,
+            ),
+            "neardup",
+        )
     if "cap" in stages:
         df = observed(
             T.cap_per_stratum(

@@ -69,6 +69,14 @@ def main() -> None:
                     help="paddlex predict batch size (pages/crops per model "
                          "call; the whole Arrow batch is planned up front "
                          "either way)")
+    ap.add_argument("--plan-chunk-pages", type=int, default=0,
+                    help="max structured pages pinned per planner chunk "
+                         "(bounds worker memory on giant payloads; 0 keeps "
+                         "the SPARK_GRAFT_PLAN_CHUNK_PAGES env default, "
+                         "512). The pair (--infer-batch-size, "
+                         "--plan-chunk-pages) is the memory/throughput "
+                         "surface: chunk bounds what is pinned, batch sizes "
+                         "the model calls within it")
     ap.add_argument("--tag-tree", action="store_true",
                     help="also write the flattened tag-tree row table to "
                          "<output>_tag_tree (the reference `tag` subcommand's "
@@ -127,7 +135,22 @@ def main() -> None:
         }, indent=2))
         return
 
-    spark = SparkSession.builder.appName("transcript-extraction").getOrCreate()
+    builder = SparkSession.builder.appName("transcript-extraction")
+    if args.plan_chunk_pages:
+        # the kernel reads the knob from the env at worker import: set it
+        # in this process (local mode: python workers inherit the driver
+        # env) AND as executorEnv (cluster mode: ships to executors); also
+        # patch the already-imported module constant for the driver-side
+        # code path
+        val = str(args.plan_chunk_pages)
+        os.environ["SPARK_GRAFT_PLAN_CHUNK_PAGES"] = val
+        builder = builder.config("spark.executorEnv.SPARK_GRAFT_PLAN_CHUNK_PAGES", val)
+        from action_pdf_accessibility_paddle_docker_spark.operators import (
+            payload as _payload,
+        )
+
+        _payload.PLAN_CHUNK_PAGES = args.plan_chunk_pages
+    spark = builder.getOrCreate()
 
     if args.mathml_images:
         from action_pdf_accessibility_paddle_docker_spark.operators.multimodal import (
