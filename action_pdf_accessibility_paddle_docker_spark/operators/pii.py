@@ -2,7 +2,8 @@
 
 Standard training-data-pipeline scrub (the C4 / Dolma / RedPajama
 pipelines all carry an analogous pass): count and mask emails, IPv4
-addresses, and dashed phone numbers. Everything stays JVM-side --
+addresses, payment-card numbers, SSNs, and phone numbers (dashed US +
+international formats). Everything stays JVM-side --
 `regexp_count` / `regexp_replace` run inside whole-stage codegen, so the
 pass is a single projection over the scan with no shuffle and no Python.
 
@@ -22,21 +23,69 @@ EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
 IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
 SSN_RE = r"\b\d{3}-\d{2}-\d{4}\b"
 PHONE_RE = r"\+?\d{1,3}-\d{3}-\d{4}"
+# Payment cards, the shapes that actually appear in text: 4-4-4-4
+# (Visa/MC/Discover, 16 digits), 4-6-5 (Amex, 15), and contiguous 15-16
+# digit runs. Redaction is REGEX-ONLY by design: a per-match Luhn test
+# cannot be expressed inside regexp_replace, and for a scrub the safe
+# error is over-redaction (a 16-digit order id becomes <CARD>; no card
+# survives). `luhn_check` below is the JVM-expression validator for
+# pipelines that need to score candidates rather than blanket-mask.
+CARD_RE = (
+    r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b"
+    r"|\b\d{4}[ -]\d{6}[ -]\d{5}\b"
+    r"|\b\d{15,16}\b"
+)
+# International phones: +CC then 1-3 separated groups, parenthesized area
+# code allowed (+44 20 7946 0958, +1 (555) 123-4567, +91-98765-43210).
+# Greedy bounded quantifiers only -- identical leftmost-first behavior on
+# Java regex and RE2, same contract as the BPE pretokenizer pattern.
+INTL_PHONE_RE = r"\+\d{1,3}[ -]\(?\d{1,5}\)?(?:[ -]\d{2,5}){1,3}\b"
 
 EMAIL_TOKEN = "<EMAIL>"
 IPV4_TOKEN = "<IP>"
 SSN_TOKEN = "<SSN>"
 PHONE_TOKEN = "<PHONE>"
+CARD_TOKEN = "<CARD>"
 
 
 def scrub_pii(text: Column) -> Column:
-    """Mask all PII spans, fixed order email -> IPv4 -> SSN -> phone (SSN
-    before phone: the 3-2-4 dash shape must not be half-eaten by a later
-    pattern; the phone's 3-3-4 shape cannot match inside an SSN)."""
+    """Mask all PII spans, fixed order email -> IPv4 -> card -> SSN ->
+    intl phone -> dashed phone. Cards go before the phone/SSN shapes so a
+    grouped card number is consumed whole, never half-eaten; SSN before
+    the dashed phone (the 3-2-4 shape must not be split); the intl
+    pattern eats '+CC-...' forms first and the dashed phone mops up the
+    bare N-NNN-NNNN leftovers (both emit <PHONE>, so the overlap is
+    harmless and deterministic)."""
     out = F.regexp_replace(text, EMAIL_RE, EMAIL_TOKEN)
     out = F.regexp_replace(out, IPV4_RE, IPV4_TOKEN)
+    out = F.regexp_replace(out, CARD_RE, CARD_TOKEN)
     out = F.regexp_replace(out, SSN_RE, SSN_TOKEN)
+    out = F.regexp_replace(out, INTL_PHONE_RE, PHONE_TOKEN)
     return F.regexp_replace(out, PHONE_RE, PHONE_TOKEN)
+
+
+def luhn_check(card: Column) -> Column:
+    """Luhn validity of a (possibly separator-grouped) card candidate, as
+    a pure JVM expression: strip non-digits, double every second digit
+    from the right (minus 9 on overflow), sum mod 10. Higher-order
+    functions run interpreted, so this belongs on EXTRACTED CANDIDATES
+    (bounded rows), not in the corpus-wide scrub projection -- the scrub
+    stays regex-only (see CARD_RE)."""
+    digits = F.regexp_replace(card, r"[^0-9]", "")
+    chars = F.filter(F.split(F.reverse(digits), ""), lambda c: c != F.lit(""))
+    contrib = F.zip_with(
+        chars,
+        F.sequence(F.lit(1), F.greatest(F.size(chars), F.lit(1))),
+        lambda c, i: F.when(i % 2 == 1, c.cast("int")).otherwise(
+            c.cast("int") * 2 - F.when(c.cast("int") >= 5, F.lit(9)).otherwise(F.lit(0))
+        ),
+    )
+    total = F.aggregate(contrib, F.lit(0), lambda a, x: a + x)
+    return (
+        (F.length(digits) >= 13)
+        & (F.length(digits) <= 19)
+        & (total % 10 == 0)
+    )
 
 
 def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -56,7 +105,12 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
         F.col(id_col),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
+        F.regexp_count(t, F.lit(CARD_RE)).cast("bigint").alias("n_cards"),
         F.regexp_count(t, F.lit(SSN_RE)).cast("bigint").alias("n_ssns"),
+        # independent signals on the ORIGINAL text: a +CC-prefixed dashed
+        # number counts in both phone columns (redaction order still
+        # yields exactly one <PHONE>)
+        F.regexp_count(t, F.lit(INTL_PHONE_RE)).cast("bigint").alias("n_intl_phones"),
         F.regexp_count(t, F.lit(PHONE_RE)).cast("bigint").alias("n_phones"),
         F.md5(scrub_pii(t)).alias("redacted_fp"),
     )

@@ -1564,7 +1564,9 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # PII injection recipe shared by both engines: two-thirds of the documents
 # get a deterministic synthetic email + IPv4 + phone appended (the corpus
 # itself is PII-free word soup), so counts exercise 0 and >0 paths.
+from ..operators.pii import CARD_RE as _CARD_RE  # noqa: E402
 from ..operators.pii import EMAIL_RE as _EMAIL_RE  # noqa: E402
+from ..operators.pii import INTL_PHONE_RE as _INTL_PHONE_RE  # noqa: E402
 from ..operators.pii import IPV4_RE as _IPV4_RE  # noqa: E402
 from ..operators.pii import PHONE_RE as _PHONE_RE  # noqa: E402
 from ..operators.pii import SSN_RE as _SSN_RE  # noqa: E402
@@ -1583,28 +1585,43 @@ from ..operators.pii import SSN_RE as _SSN_RE  # noqa: E402
                     || CASE WHEN doc_id % 5 = 0
                        THEN ' ssn 123-45-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
                        ELSE '' END
+                    || CASE WHEN doc_id % 4 = 1
+                       THEN ' card 4111-1111-1111-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END
+                    || CASE WHEN doc_id % 7 = 2
+                       THEN ' intl +44 20 7946 ' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                       ELSE '' END
              ELSE text END AS text
       FROM documents
     )
     SELECT doc_id,
            len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
            len(regexp_extract_all(text, '{_IPV4_RE}'))::BIGINT AS n_ips,
+           len(regexp_extract_all(text, '{_CARD_RE}'))::BIGINT AS n_cards,
            len(regexp_extract_all(text, '{_SSN_RE}'))::BIGINT AS n_ssns,
+           len(regexp_extract_all(text, '{_INTL_PHONE_RE}'))::BIGINT AS n_intl_phones,
            len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
            md5(regexp_replace(
                  regexp_replace(
                    regexp_replace(
-                     regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
-                     '{_IPV4_RE}', '<IP>', 'g'),
-                   '{_SSN_RE}', '<SSN>', 'g'),
+                     regexp_replace(
+                       regexp_replace(
+                         regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                         '{_IPV4_RE}', '<IP>', 'g'),
+                       '{_CARD_RE}', '<CARD>', 'g'),
+                     '{_SSN_RE}', '<SSN>', 'g'),
+                   '{_INTL_PHONE_RE}', '<PHONE>', 'g'),
                  '{_PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
     FROM p ORDER BY doc_id
     """,
 )
 def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PII scrub (emails / IPv4 / SSNs / dashed phones): counts on the original
-    text + md5 of the redacted text. RE2-compatible patterns so DuckDB
-    evaluates the identical regexes; whole pass is one JVM projection."""
+    """PII scrub (emails / IPv4 / payment cards / SSNs / intl + dashed
+    phones): counts on the original text + md5 of the redacted text.
+    RE2-compatible patterns so DuckDB evaluates the identical regexes;
+    whole pass is one JVM projection. Card redaction is regex-only
+    (over-redaction is the safe direction; `pii.luhn_check` is the
+    JVM-expression validator for candidate scoring)."""
     from ..operators import pii as P
 
     d = F.col("doc_id")
@@ -1620,6 +1637,16 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(
                 d % 5 == 0,
                 F.concat(F.lit(" ssn 123-45-"),
+                         F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 4 == 1,
+                F.concat(F.lit(" card 4111-1111-1111-"),
+                         F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 7 == 2,
+                F.concat(F.lit(" intl +44 20 7946 "),
                          F.lpad((d % 10000).cast("string"), 4, "0")),
             ).otherwise(F.lit("")),
         ),

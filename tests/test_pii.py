@@ -65,7 +65,9 @@ def test_cross_engine_regex_fuzz(spark):
     import duckdb
 
     from action_pdf_accessibility_paddle_docker_spark.operators.pii import (
+        CARD_RE,
         EMAIL_RE,
+        INTL_PHONE_RE,
         IPV4_RE,
         PHONE_RE,
         SSN_RE,
@@ -84,6 +86,11 @@ def test_cross_engine_regex_fuzz(spark):
         "a123-45-6789", "123-45-67890",
         "word", "über", "naïve@café.fr", "日本語", "a.b", "...", "@",
         "+", "-", "()", "a_b%c@d-e.fg", "5.5", "tel:+1-555-1234.",
+        "4111-1111-1111-1111", "4111 1111 1111 1111", "3782-822463-10005",
+        "4111111111111111", "12345678901234567890", "1234-5678-9012",
+        "4111-1111-1111-111", "card4111111111111111x",
+        "+44 20 7946 0958", "+1 (555) 123-4567", "+91-98765-43210",
+        "+999 (12345) 99-99-99", "+1 ()", "+44  20", "(555) 123-4567",
     ]
     texts = [
         " ".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
@@ -107,21 +114,66 @@ def test_cross_engine_regex_fuzz(spark):
         SELECT doc_id,
                len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
                len(regexp_extract_all(text, '{IPV4_RE}')) AS n_ips,
+               len(regexp_extract_all(text, '{CARD_RE}')) AS n_cards,
                len(regexp_extract_all(text, '{SSN_RE}')) AS n_ssns,
+               len(regexp_extract_all(text, '{INTL_PHONE_RE}')) AS n_intl_phones,
                len(regexp_extract_all(text, '{PHONE_RE}')) AS n_phones,
                md5(regexp_replace(
                      regexp_replace(
                        regexp_replace(
-                         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
-                         '{IPV4_RE}', '<IP>', 'g'),
-                       '{SSN_RE}', '<SSN>', 'g'),
+                         regexp_replace(
+                           regexp_replace(
+                             regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                             '{IPV4_RE}', '<IP>', 'g'),
+                           '{CARD_RE}', '<CARD>', 'g'),
+                         '{SSN_RE}', '<SSN>', 'g'),
+                       '{INTL_PHONE_RE}', '<PHONE>', 'g'),
                      '{PHONE_RE}', '<PHONE>', 'g')) AS redacted_fp
         FROM t ORDER BY doc_id
         """
     ).fetchall()
-    for doc_id, n_emails, n_ips, n_ssns, n_phones, fp in drows:
+    for doc_id, n_emails, n_ips, n_cards, n_ssns, n_intl, n_phones, fp in drows:
         s = srows[doc_id]
-        got = (s["n_emails"], s["n_ips"], s["n_ssns"], s["n_phones"],
-               s["redacted_fp"])
-        assert got == (n_emails, n_ips, n_ssns, n_phones, fp), (
-            doc_id, texts[doc_id], got)
+        got = (s["n_emails"], s["n_ips"], s["n_cards"], s["n_ssns"],
+               s["n_intl_phones"], s["n_phones"], s["redacted_fp"])
+        assert got == (n_emails, n_ips, n_cards, n_ssns, n_intl, n_phones,
+                       fp), (doc_id, texts[doc_id], got)
+
+
+def test_card_and_intl_phone_redaction(spark):
+    out = _scrub(spark, [
+        "pay 4111-1111-1111-1111 or 4111 1111 1111 1111 or 378282246310005",
+        "amex grouped 3782-822463-10005 ok",
+        "ring +44 20 7946 0958 or +1 (555) 123-4567 or +91-98765-43210",
+        "a 20-digit id 12345678901234567890 survives the card pattern",
+        "ungrouped 12-digit 123456789012 survives too",
+    ])
+    assert out == [
+        "pay <CARD> or <CARD> or <CARD>",
+        "amex grouped <CARD> ok",
+        "ring <PHONE> or <PHONE> or <PHONE>",
+        "a 20-digit id 12345678901234567890 survives the card pattern",
+        "ungrouped 12-digit 123456789012 survives too",
+    ]
+
+
+def test_luhn_check_known_vectors(spark):
+    """luhn_check (JVM-expression validator for extracted candidates):
+    textbook vectors -- Visa/Amex test numbers valid, off-by-one invalid,
+    too-short invalid even when the checksum happens to pass."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.pii import luhn_check
+
+    rows = [
+        (1, "4111-1111-1111-1111", True),
+        (2, "4111 1111 1111 1111", True),
+        (3, "378282246310005", True),       # Amex
+        (4, "5555555555554444", True),      # MC
+        (5, "4111111111111112", False),     # checksum off by one
+        (6, "0000000000000", True),         # 13 zeros: sum 0, valid length
+        (7, "59", False),                   # Luhn-valid pair but too short
+        (8, "12345678901234567890", False), # 20 digits: too long
+    ]
+    df = spark.createDataFrame([(i, c) for i, c, _ in rows], "id long, c string")
+    got = {r["id"]: r["ok"] for r in
+           df.select("id", luhn_check(F.col("c")).alias("ok")).collect()}
+    assert got == {i: want for i, _, want in rows}
