@@ -277,8 +277,11 @@ def test_streaming_near_dedup(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert len(rows) == 3
     texts = sorted(r["text"] for r in rows)
-    assert texts == ["alpha beta gamma delta epsilon",
-                     "fresh new content here", "something else entirely"]
+    # the contract is exactly ONE survivor of the near-dup pair; WHICH one
+    # depends on micro-batch file order (mtime ties under load make it
+    # nondeterministic -- observed flake in a contended full-suite run)
+    assert texts[1:] == ["fresh new content here", "something else entirely"]
+    assert texts[0] in (original, reordered)
     assert len(set(r["simhash"] for r in rows)) == 3
 
 
