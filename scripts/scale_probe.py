@@ -40,7 +40,12 @@ SF01 = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 REPLICAS = 10
 PROBE_DIR = os.path.join(REPO, "_bench_data", f"probe_sf1_x{REPLICAS}")
-QUERIES = ["q_sketch_accuracy", "q_chunk_dedup", "q_dup_ngrams", "q_lm_quality"]
+QUERIES = [
+    "q_sketch_accuracy", "q_chunk_dedup", "q_dup_ngrams", "q_lm_quality",
+    # round 5: the md5mix-default MinHash pipeline and the composed
+    # gate->dedup->cap->split funnel under 10x rows AND 10x key cardinality
+    "q_minhash_lsh", "q_training_mix",
+]
 
 
 def make_spark():
