@@ -266,3 +266,18 @@ def test_eager_builders_marked():
     assert Q.EAGER_BUILDERS <= set(Q.REGISTRY)
     src = inspect.getsource(Q.REGISTRY["q_stream_dedup"][0])
     assert "EAGER" in src  # the builder documents its own eagerness
+
+
+def test_training_mix_funnel_has_no_window_and_broadcasts_cap_counts(spark):
+    """The composed funnel (gate -> dedup -> cap -> split) at scale: the
+    cap stage's per-stratum count table is one row per source, so it must
+    come back as a BroadcastHashJoin keep-rate -- and the whole plan must
+    contain NO Window (AQE cannot split a skewed window partition; the
+    rate-form cap exists precisely to avoid one on a mega-domain)."""
+    from action_pdf_accessibility_paddle_docker_spark.plans.queries import REGISTRY
+
+    df = REGISTRY["q_training_mix"][0](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
