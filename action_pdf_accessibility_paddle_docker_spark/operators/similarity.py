@@ -390,3 +390,73 @@ def embedding_near_dup_pairs(
         .where(F.col("sim_exact") >= threshold)
         .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 7,
+    max_iter: int = 20,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings are coarse-clustered (the same MLlib
+    KMeans quantizer as the IVF path), near-duplicate pairs are searched
+    only WITHIN a cluster (the paper's core trick: cross-cluster pairs are
+    below threshold by construction of the clustering, so the O(n^2) pair
+    space shrinks to sum of per-cluster squares), and connected components
+    keep the min-id representative per semantic group.
+
+    Returns (id_col, cid, rep_id) for EVERY row; survivors are the rows
+    with ``rep_id == id_col`` (same keep-one-per-cluster contract as
+    ``dedup.dedup_clusters``). Compose with
+    ``textstats.cap_per_stratum(stratum_col='cid')`` for cluster-balanced
+    diversity sampling -- the other half of the SemDeDup recipe.
+
+    Scale shape: the assignment table is lazily localCheckpointed so the
+    self-join does not run the KMeans assignment UDF twice (AQE compiles
+    the two sides independently; same pattern as q_lm_quality's tf).
+    The pair join is a cid equi-join -- never a cross product -- and the
+    per-cluster pair count is the documented cost: size n_clusters so
+    clusters stay bounded (~n/k rows); a skewed cluster is an AQE
+    skew-join split, not a window stall. Within-cluster candidates are
+    exact-cosine checked, so precision is exact given the clustering;
+    recall misses only near-dups straddling a cluster boundary (the
+    paper accepts the same tradeoff). The rep assignment is stable under
+    a re-shard (pinned by test); the cid LABELS are not canonical -- a
+    different input partitioning can renumber the KMeans cells -- so
+    persist reps, not cids, across runs."""
+    from .dedup import connected_component_labels
+
+    assigned = ivf_assignments(
+        df, n_centroids=n_clusters, seed=seed, max_iter=max_iter,
+        id_col=id_col, vec_col=vec_col,
+    ).select(
+        F.col(id_col).alias("vid"), F.col("cid"),
+        _as_double(F.col(vec_col)).alias("v"),
+    ).localCheckpoint(eager=False)
+    a = assigned.select(
+        F.col("vid").alias("id_a"), "cid", F.col("v").alias("va")
+    )
+    b = assigned.select(
+        F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["cid"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .where(F.col("sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+    nodes = assigned.select(F.col("vid").alias("doc_id"))
+    labels = connected_component_labels(nodes, pairs)
+    return (
+        assigned.select("vid", "cid")
+        .join(labels, F.col("vid") == F.col("doc_id"))
+        .select(
+            F.col("vid").alias(id_col), "cid",
+            F.col("cluster_id").alias("rep_id"),
+        )
+    )

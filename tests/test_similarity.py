@@ -204,3 +204,62 @@ def test_null_or_ragged_embedding_fails_loudly(spark):
         df.where("embedding IS NOT NULL"), threshold=0.5, dim=4
     )
     assert pairs.count() >= 0
+
+
+def test_semantic_dedup_collapses_within_cluster_groups(spark):
+    """SemDeDup-style semantic dedup: identical (and near-identical)
+    embeddings collapse to their min-id representative inside a KMeans
+    cluster; distinct directions survive; assignments are stable under a
+    re-shard. Composing the survivors with cap_per_stratum on cid gives
+    the paper's cluster-balanced diversity sampling."""
+    import numpy as np
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        cap_per_stratum,
+    )
+
+    rng = np.random.default_rng(3)
+    e = np.eye(8)
+    rows = []
+    # group A: ids 0-3 around +x, group B: ids 10-12 around +y
+    for i in range(4):
+        rows.append((i, (e[0] + 0.01 * rng.standard_normal(8)).tolist()))
+    for i in range(10, 13):
+        rows.append((i, (e[1] + 0.01 * rng.standard_normal(8)).tolist()))
+    # five mutually-distant singletons
+    for j, i in enumerate(range(20, 25)):
+        rows.append((i, e[2 + j].tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = semantic_dedup(df, threshold=0.95, n_clusters=3)
+    got = {r["vec_id"]: (r["cid"], r["rep_id"]) for r in out.collect()}
+    assert len(got) == len(rows)
+    # groups collapse to min id
+    assert all(got[i][1] == 0 for i in range(4))
+    assert all(got[i][1] == 10 for i in range(10, 13))
+    # singletons survive as their own rep (they may share a KMeans cell,
+    # but their cosine ~0 keeps them apart)
+    assert all(got[i][1] == i for i in range(20, 25))
+    survivors = {i for i, (_, rep) in got.items() if rep == i}
+    assert survivors == {0, 10, 20, 21, 22, 23, 24}
+
+    # re-shard stability of the SEMANTIC grouping: rep assignment is
+    # stable; cid labels are not canonical (the KMeans fit can number its
+    # cells differently on a different partitioning), so only reps compare
+    out2 = semantic_dedup(df.repartition(7), threshold=0.95, n_clusters=3)
+    assert {r["vec_id"]: r["rep_id"] for r in out2.collect()} == {
+        i: rep for i, (_, rep) in got.items()
+    }
+
+    # cluster-balanced sampling: at most 2 survivors per KMeans cell
+    surv = out.where(F.col("rep_id") == F.col("vec_id"))
+    capped = cap_per_stratum(
+        surv, cap=2, stratum_col="cid", id_col="vec_id", method="exact"
+    )
+    per_cell = {r["cid"]: r["n"] for r in
+                capped.groupBy("cid").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n <= 2 for n in per_cell.values())
+    assert capped.count() >= 3  # every non-empty cell keeps something
