@@ -208,3 +208,52 @@ def test_minhash_xxhash64_family_pairs_exact_duplicates(spark):
         pairs = {(r["id_a"], r["id_b"])
                  for r in minhash_lsh_candidates(df, hash_family=family).collect()}
         assert (1, 2) in pairs, family
+
+
+def test_md5mix_signatures_match_independent_python_reference(spark):
+    """The md5mix family's Spark expressions vs a from-scratch Python
+    implementation of the same published recipe (one md5 per shingle, two
+    32-bit halves, h_i = (a_i*x1 % p + b_i*x2 % p + c_i) % p over
+    p = 2^61-1): bit-equal minima per document. Independent of the DuckDB
+    oracle (a third engine, scalar loops instead of SQL)."""
+    import hashlib
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        MINHASH_MIX_PRIME,
+        minhash_mix_constants,
+        minhash_signatures,
+        normalized as _norm_col,  # noqa: F401  (spark-side; python twin below)
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "The   QUICK brown fox, jumps over the lazy dog!"),
+        (3, "one two one two one two repeated tokens here"),
+    ]
+
+    def py_normalize(t):
+        # the python twin of dedup.normalized: trim, collapse whitespace,
+        # lowercase (punctuation is KEPT -- tokens carry it)
+        import re
+        return re.sub(r"\s+", " ", t.strip()).lower()
+
+    def py_signature(text, num_hashes=16):
+        toks = py_normalize(text).split(" ")
+        shingles = {f"{a} {b}" for a, b in zip(toks, toks[1:])} - {""}
+        p = MINHASH_MIX_PRIME
+        mix = minhash_mix_constants(num_hashes)
+        sig = []
+        for a, b, c in mix:
+            best = None
+            for sh in shingles:
+                hx = hashlib.md5(sh.encode()).hexdigest()
+                x1, x2 = int(hx[:8], 16), int(hx[8:16], 16)
+                h = ((a * x1) % p + (b * x2) % p + c) % p
+                best = h if best is None or h < best else best
+            sig.append(best)
+        return sig
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df).collect()}
+    for doc_id, text in docs:
+        assert got[doc_id] == py_signature(text), doc_id
