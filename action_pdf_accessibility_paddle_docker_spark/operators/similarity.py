@@ -357,8 +357,17 @@ def embedding_near_dup_pairs(
         else:
             planes_per_band, n_bands = 8, 12   # recall ~0.98 at s=0.9
     if method == "exact":
-        a = df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va"))
-        b = df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb"))
+        # same fail-loud guard as the LSH path: zip_with null-pads a
+        # null/ragged vector into a NULL sim that the threshold filter
+        # would silently drop -- the baseline must error, not under-report
+        a = _assert_dim(
+            df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")),
+            "va", dim,
+        )
+        b = _assert_dim(
+            df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")),
+            "vb", dim,
+        )
         return (
             a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
             .withColumn("sim_exact", cosine(F.col("va"), F.col("vb")))
@@ -443,13 +452,16 @@ def semantic_dedup(
     b = assigned.select(
         F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb")
     )
+    # checkpoint the pair table too: connected_component_labels is
+    # iterative, and each propagation round would otherwise re-run the
+    # O(sum per-cluster n^2) cosine join from scratch
     pairs = (
         a.join(b, ["cid"])
         .where(F.col("id_a") < F.col("id_b"))
         .withColumn("sim", cosine(F.col("va"), F.col("vb")))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b")
-    )
+    ).localCheckpoint(eager=False)
     nodes = assigned.select(F.col("vid").alias("doc_id"))
     labels = connected_component_labels(nodes, pairs)
     return (

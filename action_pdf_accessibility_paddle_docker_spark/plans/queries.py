@@ -2117,7 +2117,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fit) rather than just declaring a lazy plan. Tools that iterate the
 # REGISTRY only to dump/inspect plans must skip these; the driver harness
 # and bench build precisely in order to execute, so they ignore this set.
-EAGER_BUILDERS = frozenset({"q_stream_dedup"})
+# q_ivf_ann_topk is here because building it FITS the MLlib KMeans coarse
+# quantizer (full embedding scans + iterative jobs, twice).
+EAGER_BUILDERS = frozenset({"q_stream_dedup", "q_ivf_ann_topk"})
 
 
 def queries() -> dict[str, Builder]:

@@ -5,7 +5,8 @@ spark-submit surface over a documents table (doc_id, text, ...).
 Stage order mirrors a production curation run (each stage optional):
 
   clean    C4-style line filter (drop boilerplate lines + gated docs)
-  pii      redact emails / IPv4 / dashed phones in place
+  pii      redact emails / IPv4 / payment cards / SSNs / intl + dashed
+           phones in place
   gate     composed quality gate (length / punct / stopword / repetition)
   dedup    exact dedup (min-id canonical survives) or incremental vs a
            persisted fingerprint table (--seen-fps; writes updated table)
@@ -176,7 +177,13 @@ def run_pipeline(spark, args, stages) -> dict:
     if "neardup" in stages:
         # keep the min-id canonical of each LSH connected component; the
         # cluster table is (doc_id, cluster_id) for EVERY doc, so the
-        # survivor filter is a doc_id equi-join, never a text re-hash
+        # survivor filter is a doc_id equi-join, never a text re-hash.
+        # Materialize the pipeline-so-far first: the iterative label
+        # propagation (and both sides of the survivor join) would
+        # otherwise re-execute the whole clean/pii/gate/dedup chain from
+        # the source once per round -- the per-stage re-execution the
+        # counters comment below calls wrong at curation scale
+        df = df.localCheckpoint(eager=False)
         clusters = D.dedup_clusters(
             df, id_col=args.id_col, text_col=args.text_col,
             hash_family=args.hash_family,

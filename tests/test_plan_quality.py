@@ -262,7 +262,8 @@ def test_eager_builders_marked():
 
     from action_pdf_accessibility_paddle_docker_spark.plans import queries as Q
 
-    assert "q_stream_dedup" in Q.EAGER_BUILDERS
+    assert "q_stream_dedup" in Q.EAGER_BUILDERS      # starts a stream
+    assert "q_ivf_ann_topk" in Q.EAGER_BUILDERS      # fits KMeans (twice)
     assert Q.EAGER_BUILDERS <= set(Q.REGISTRY)
     src = inspect.getsource(Q.REGISTRY["q_stream_dedup"][0])
     assert "EAGER" in src  # the builder documents its own eagerness

@@ -195,6 +195,10 @@ def test_null_or_ragged_embedding_fails_loudly(spark):
         with pytest.raises(Exception, match="NULL or dimension"):
             embedding_near_dup_pairs(df, threshold=0.5, dim=4).collect()
         with pytest.raises(Exception, match="NULL or dimension"):
+            embedding_near_dup_pairs(
+                df, threshold=0.5, dim=4, method="exact"
+            ).collect()
+        with pytest.raises(Exception, match="NULL or dimension"):
             lsh_bucketed_topk(df, df.where("vec_id < 2"), k=2, dim=4).collect()
     # pre-filtered input (the documented caller-side contract) works
     df = spark.createDataFrame(
