@@ -65,6 +65,18 @@ def main() -> None:
     ap.add_argument("--cap-per-source", type=int, default=10000,
                     help="cap: max documents kept per --stratum-col value "
                          "(rate method -- approximate, windowless, skew-proof)")
+    ap.add_argument("--partition-output-by", default=None, metavar="COL",
+                    help="write the curated output partitioned by this "
+                         "column (e.g. source): downstream per-domain reads "
+                         "become partition-pruned scans instead of full "
+                         "corpus reads")
+    ap.add_argument("--output-files", type=int, default=0,
+                    help="repartition to N output files per partition-dir "
+                         "before the write (0 = leave the plan's "
+                         "partitioning). At warehouse scale this is the "
+                         "small-files control: a 32-task shuffle writing "
+                         "per-source dirs otherwise emits up to 32 tiny "
+                         "files per source")
     ap.add_argument("--hash-family", default="md5mix",
                     choices=("md5mix", "md5", "xxhash64"),
                     help="neardup: MinHash signature family -- md5mix "
@@ -216,7 +228,20 @@ def run_pipeline(spark, args, stages) -> dict:
             id_col=args.id_col, default_rate=args.default_rate,
         )
 
-    df.write.mode("overwrite").parquet(args.output)
+    writer = df
+    part_col = getattr(args, "partition_output_by", None)
+    n_files = int(getattr(args, "output_files", 0) or 0)
+    if n_files > 0:
+        # repartition on the layout column when partitioning (each
+        # partition-dir then gets files only from tasks holding that key)
+        writer = (
+            writer.repartition(n_files, part_col)
+            if part_col else writer.repartition(n_files)
+        )
+    w = writer.write.mode("overwrite")
+    if part_col:
+        w = w.partitionBy(part_col)
+    w.parquet(args.output)
     for stage, obs, frame in observations:
         # When a stage empties the corpus, AQE empty-relation propagation
         # can replace the downstream subtree (incl. the CollectMetrics

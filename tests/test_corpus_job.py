@@ -179,3 +179,36 @@ def test_neardup_stage_all_hash_families(spark, tmp_path):
                 for r in spark.read.parquet(str(tmp_path / f"out_{fam}")).collect()}
         assert kept == {0, 2}, (fam, kept)
         assert res["counters"]["after_neardup"] == 2, fam
+
+
+def test_partitioned_output_prunes_and_bounds_files(spark, tmp_path):
+    """--partition-output-by source writes a hive layout whose per-source
+    reads are PARTITION-PRUNED scans (the 100 TB reason to have the flag);
+    --output-files bounds the file count per partition dir (the
+    small-files control)."""
+    src = tmp_path / "in_part"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, text=GOOD + f" tail {i}.", source=f"s{i % 3}")
+        for i in range(60)
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_part"),
+            partition_output_by="source", output_files=2),
+        ["split"],
+    )
+    assert res["counters"]["output"] == 60
+    out = tmp_path / "out_part"
+    dirs = sorted(p.name for p in out.iterdir() if p.name.startswith("source="))
+    assert dirs == ["source=s0", "source=s1", "source=s2"]
+    for d in dirs:
+        files = [p for p in (out / d).iterdir() if p.suffix == ".parquet"]
+        assert 1 <= len(files) <= 2, (d, files)
+    from pyspark.sql import functions as F
+
+    pruned = spark.read.parquet(str(out)).where(F.col("source") == "s1")
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "source" in plan.split("PartitionFilters")[1][:120]
+    assert pruned.count() == 20
