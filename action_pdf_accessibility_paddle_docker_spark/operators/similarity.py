@@ -220,20 +220,39 @@ def lsh_bucketed_topk(
     )
 
 
-def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col):
-    """Fit the coarse quantizer and build the Arrow-batched assignment /
-    probe UDFs (centroid matrix in the closure). Shared by ivf_topk and
-    ivf_assignments."""
-    import pandas as pd
+def fit_quantizer(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 7,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Fit the MLlib KMeans coarse quantizer ONCE and return its centroid
+    matrix. An EAGER operation (full corpus scans + iterative jobs); pass
+    the result as ``centers=`` to ivf_topk / ivf_assignments when several
+    probes share one quantizer (e.g. an exhaustive and an approximate
+    probe of the same index) -- re-fitting is deterministic at a fixed
+    seed but doubles the most expensive step."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
-    from pyspark.sql.functions import pandas_udf
 
     train = corpus.select(
         array_to_vector(_as_double(F.col(vec_col))).alias("features")
     )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
-    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    return np.stack([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col,
+              centers=None):
+    """Build the Arrow-batched assignment / probe UDFs (centroid matrix in
+    the closure), fitting the quantizer unless prefitted ``centers`` are
+    given. Shared by ivf_topk and ivf_assignments."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if centers is None:
+        centers = fit_quantizer(corpus, n_centroids, seed, max_iter, vec_col)
     half_sq = 0.5 * (centers * centers).sum(axis=1)  # (C,)
 
     def _nearest(vecs):
@@ -276,6 +295,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 10,
+    centers: "np.ndarray | None" = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k -- the coarse-quantizer scale
     path, complementary to LSH:
@@ -295,7 +315,7 @@ def ivf_topk(
     Assignment uses argmin ||v-c||^2 == argmax(v.c - ||c||^2/2), exactly
     KMeans's own metric, so step 2 reproduces the model's clustering."""
     nearest_cid, probe_cids, _ = _ivf_udfs(
-        corpus, n_centroids, n_probe, seed, max_iter, vec_col
+        corpus, n_centroids, n_probe, seed, max_iter, vec_col, centers=centers
     )
 
     c = corpus.select(

@@ -1464,10 +1464,16 @@ def q_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the ContextCleaner as soon as the result DataFrame is garbage
     # collected. eager=False keeps the builder side-effect-free; the blocks
     # are tiny (n_queries x k rows).
+    # fit the coarse quantizer ONCE and share it across both probes:
+    # re-fitting is deterministic at the fixed seed but doubles the most
+    # expensive step (full embedding scans + iterative KMeans jobs)
+    centers = S.fit_quantizer(emb, n_centroids=8)
     exhaustive = S.ivf_topk(
-        emb, queries, k=5, n_centroids=8, n_probe=8
+        emb, queries, k=5, n_centroids=8, n_probe=8, centers=centers
     ).localCheckpoint(eager=False)
-    approx = S.ivf_topk(emb, queries, k=5, n_centroids=8, n_probe=3)
+    approx = S.ivf_topk(
+        emb, queries, k=5, n_centroids=8, n_probe=3, centers=centers
+    )
     # one aggregate: total = exhaustive pair count, hits = pairs the
     # approximate probe also found (left join + flag, no second pass)
     recall = (
