@@ -276,12 +276,15 @@ def ivf_assignments(
     max_iter: int = 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centers: np.ndarray | None = None,
 ) -> DataFrame:
     """The corpus with its coarse-quantizer cell id attached -- the column
     a production layout partitions on (``write.partitionBy('cid')``), so an
     IVF probe becomes a PARTITION-PRUNED scan of n_probe/n_centroids of the
     data instead of a full-corpus read (drilled in test_similarity)."""
-    nearest_cid, _, _ = _ivf_udfs(corpus, n_centroids, 1, seed, max_iter, vec_col)
+    nearest_cid, _, _ = _ivf_udfs(
+        corpus, n_centroids, 1, seed, max_iter, vec_col, centers=centers
+    )
     return corpus.withColumn("cid", nearest_cid(_as_double(F.col(vec_col))))
 
 
