@@ -449,6 +449,50 @@ def bpe_ish_token_count(text_col) -> "Column":
     return F.regexp_count(normalized(text_col), F.lit(BPE_ISH_RE))
 
 
+def temperature_mix_rates(
+    df: DataFrame,
+    stratum_col: str = "source",
+    temperature: float = 1.0,
+    keep_fraction: float = 1.0,
+    weight_col: str | None = None,
+) -> dict[str, float]:
+    """Derive per-source keep RATES from temperature-flattened source
+    shares -- the mT5-style mixing recipe (Xue et al. 2021: sample
+    probability proportional to p_s^(1/T)): T=1 keeps natural proportions,
+    T->inf approaches uniform across sources, T<1 sharpens toward the
+    head. Feed the result straight into ``stratified_sample``.
+
+    With per-source weights w_s (row counts, or token sums when
+    ``weight_col`` is given) and p_s = w_s / W: target share
+    q_s propto p_s^(1/T); rate_s = keep_fraction * W * q_s / w_s, clamped
+    to 1. When the clamp binds (a tiny source cannot supply its flattened
+    share), the surplus is NOT redistributed -- the realized total comes
+    out slightly under keep_fraction rather than silently re-skewing the
+    other sources; callers that need the exact total can re-run with a
+    higher keep_fraction. One aggregate over the corpus; the returned
+    dict is driver-side metadata bounded by the number of sources (the
+    same cardinality class as a rates config file)."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be > 0, got {temperature}")
+    w = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).alias("_w")
+    counts = {
+        r["_s"]: float(r["_w"])
+        for r in df.groupBy(F.col(stratum_col).alias("_s")).agg(w).collect()
+        if r["_s"] is not None and r["_w"]
+    }
+    total = sum(counts.values())
+    if not total:
+        return {}
+    flat = {s: (c / total) ** (1.0 / temperature) for s, c in counts.items()}
+    z = sum(flat.values())
+    return {
+        s: min(1.0, keep_fraction * total * (flat[s] / z) / counts[s])
+        for s in counts
+    }
+
+
 def stratified_sample(
     df: DataFrame,
     rates: dict[str, float],

@@ -60,6 +60,16 @@ def main() -> None:
                          "adds (required with --seen-fps)")
     ap.add_argument("--rate", action="append", default=[], metavar="SOURCE=RATE",
                     help="sample: per-source keep rate, e.g. --rate web=0.1")
+    ap.add_argument("--mix-temperature", type=float, default=None, metavar="T",
+                    help="sample: derive per-source rates from "
+                         "temperature-flattened source shares (mT5-style "
+                         "p^(1/T) mixing; T=1 natural, larger T -> more "
+                         "uniform across sources) instead of explicit "
+                         "--rate flags; batch-only (needs a corpus-wide "
+                         "per-source aggregate)")
+    ap.add_argument("--mix-keep-frac", type=float, default=1.0,
+                    help="sample: overall keep fraction the temperature "
+                         "mix targets (default 1.0)")
     ap.add_argument("--default-rate", type=float, default=1.0)
     ap.add_argument("--stratum-col", default="source")
     ap.add_argument("--cap-per-source", type=int, default=10000,
@@ -111,6 +121,10 @@ def main() -> None:
             ap.error("cap (per-source document cap) is batch-only: it needs "
                      "a corpus-wide per-stratum count, which has no bounded "
                      "streaming-state form")
+        if args.mix_temperature:
+            ap.error("--mix-temperature is batch-only: deriving the rates "
+                     "needs a corpus-wide per-source aggregate; pass "
+                     "explicit --rate flags when streaming")
         if "neardup" in stages:
             ap.error("neardup (LSH connected components) is batch-only: the "
                      "iterative label propagation has no streaming form; the "
@@ -219,10 +233,23 @@ def run_pipeline(spark, args, stages) -> dict:
     if "split" in stages:
         df = T.stable_split(df, id_col=args.id_col)
     if "sample" in stages:
-        rates = {}
-        for spec in args.rate:
-            k, _, v = spec.partition("=")
-            rates[k] = float(v)
+        if getattr(args, "mix_temperature", None):
+            if args.rate:
+                raise SystemExit("--mix-temperature and --rate are exclusive")
+            # materialize the pipeline-so-far once: the rate derivation is
+            # an eager aggregate over it, and the sample filter reads it
+            # again for the write
+            df = df.localCheckpoint(eager=False)
+            rates = T.temperature_mix_rates(
+                df, stratum_col=args.stratum_col,
+                temperature=args.mix_temperature,
+                keep_fraction=getattr(args, "mix_keep_frac", 1.0),
+            )
+        else:
+            rates = {}
+            for spec in args.rate:
+                k, _, v = spec.partition("=")
+                rates[k] = float(v)
         df = T.stratified_sample(
             df, rates=rates, stratum_col=args.stratum_col,
             id_col=args.id_col, default_rate=args.default_rate,

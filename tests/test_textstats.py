@@ -277,3 +277,54 @@ def test_cap_then_sample_realized_rate_is_unbiased(spark):
     # binomial(n_cap, 0.5): w.h.p. well inside [0.2, 0.8]*n_cap; the
     # correlated (unsalted) draw keeps ALL n_cap rows
     assert 0.2 * n_cap <= n_s <= 0.8 * n_cap, (n_cap, n_s)
+
+
+def test_temperature_mix_rates(spark):
+    """mT5-style temperature mixing: T=1 reproduces natural proportions
+    (all rates equal to keep_fraction), large T flattens toward uniform
+    (tail sources keep proportionally more), rates match the closed form,
+    and composing with stratified_sample realizes the flattened shares."""
+    import numpy as np
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        stratified_sample,
+        temperature_mix_rates,
+    )
+
+    counts = {"head": 8000, "mid": 1500, "tail": 500}
+    rows = [(f"{s}_{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+
+    # T=1: natural proportions -- every source keeps exactly keep_fraction
+    r1 = temperature_mix_rates(df, temperature=1.0, keep_fraction=0.5)
+    assert all(abs(v - 0.5) < 1e-9 for v in r1.values()), r1
+
+    # T=2: closed form sqrt-flattening
+    r2 = temperature_mix_rates(df, temperature=2.0, keep_fraction=0.5)
+    n = np.array([counts["head"], counts["mid"], counts["tail"]], float)
+    p = n / n.sum()
+    q = np.sqrt(p) / np.sqrt(p).sum()
+    want = np.minimum(1.0, 0.5 * n.sum() * q / n)
+    got = np.array([r2["head"], r2["mid"], r2["tail"]])
+    assert np.allclose(got, want, atol=1e-9), (got, want)
+    # flattening direction: tail keeps a HIGHER rate than head
+    assert r2["tail"] > r2["mid"] > r2["head"]
+
+    # composition: realized counts land near the flattened expectation
+    kept = stratified_sample(df, rates=r2, stratum_col="source",
+                             id_col="doc_id")
+    per = {r["source"]: r["n"] for r in
+           kept.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for i, s in enumerate(["head", "mid", "tail"]):
+        expect = counts[s] * want[i]
+        assert abs(per[s] - expect) < 4 * (expect ** 0.5) + 20, (s, per[s], expect)
+
+    # clamp: a tiny source cannot oversupply -- rate caps at 1.0
+    rbig = temperature_mix_rates(df, temperature=100.0, keep_fraction=0.9)
+    assert rbig["tail"] == 1.0
+    # degenerate inputs
+    assert temperature_mix_rates(df.where("1=0")) == {}
+    import pytest
+
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix_rates(df, temperature=0.0)
