@@ -471,7 +471,12 @@ def temperature_mix_rates(
     other sources; callers that need the exact total can re-run with a
     higher keep_fraction. One aggregate over the corpus; the returned
     dict is driver-side metadata bounded by the number of sources (the
-    same cardinality class as a rates config file)."""
+    same cardinality class as a rates config file).
+
+    A NULL stratum is one stratum: it participates in the mix under the
+    ``None`` key, which ``stratified_sample`` understands -- NULL-source
+    rows are flattened like any other source, never silently kept or
+    dropped."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     w = (
@@ -480,7 +485,7 @@ def temperature_mix_rates(
     counts = {
         r["_s"]: float(r["_w"])
         for r in df.groupBy(F.col(stratum_col).alias("_s")).agg(w).collect()
-        if r["_s"] is not None and r["_w"]
+        if r["_w"]
     }
     total = sum(counts.values())
     if not total:
@@ -506,20 +511,33 @@ def stratified_sample(
     and exactly reproducible by the oracle (same md5 recipe as
     ``stable_split``; the stratum is salted into the hash so the same
     document id draws independently per stratum). No shuffle -- one
-    filter over the scan."""
+    filter over the scan.
+
+    A NULL stratum is ONE stratum, governed by ``default_rate`` (or by an
+    explicit ``rates[None]`` entry): the hash key coalesces NULL to a
+    sentinel, the same contract as ``cap_per_stratum``. Before round 5 a
+    NULL stratum made the membership hash NULL, so those rows were
+    silently dropped at EVERY rate including default_rate=1.0."""
     from pyspark.sql import functions as F
 
     h = _md5_bucket(
-        F.concat(F.col(stratum_col), F.lit(":"), F.col(id_col).cast("string")),
+        F.concat(
+            F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00<null>")),
+            F.lit(":"), F.col(id_col).cast("string"),
+        ),
         10000,
     )
     # int(round(...)) not int(...): bare truncation lands one-below for
     # ~5.6% of 3-decimal rates (0.051*10000 = 509.999... -> 509), so the
     # realized keep rate and any oracle computing round(rate*10000) disagree
     rate = None
-    for stratum, r in sorted(rates.items()):
-        c = F.when(F.col(stratum_col) == stratum, F.lit(int(round(r * 10000))))
-        rate = c if rate is None else rate.when(F.col(stratum_col) == stratum, F.lit(int(round(r * 10000))))
+    for stratum, r in sorted(rates.items(), key=lambda kv: (kv[0] is None, kv[0] or "")):
+        cond = (
+            F.col(stratum_col).isNull() if stratum is None
+            else F.col(stratum_col) == stratum
+        )
+        c = F.when(cond, F.lit(int(round(r * 10000))))
+        rate = c if rate is None else rate.when(cond, F.lit(int(round(r * 10000))))
     rate = (rate.otherwise(F.lit(int(round(default_rate * 10000))))
             if rate is not None else F.lit(int(round(default_rate * 10000))))
     return df.where(h < rate)

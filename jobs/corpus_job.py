@@ -114,6 +114,15 @@ def main() -> None:
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
 
+    if args.mix_temperature is not None and args.rate:
+        ap.error("--mix-temperature and --rate are exclusive")
+    if args.mix_temperature is not None and args.mix_temperature <= 0:
+        ap.error("--mix-temperature must be > 0")
+    if args.mix_keep_frac != 1.0 and args.mix_temperature is None:
+        ap.error("--mix-keep-frac only applies with --mix-temperature "
+                 "(explicit --rate flags carry their own rates)")
+    if not (0.0 < args.mix_keep_frac <= 1.0):
+        ap.error("--mix-keep-frac must be in (0, 1]")
     if args.streaming:
         if args.seen_fps:
             ap.error("--seen-fps (incremental dedup) is batch-only")
@@ -121,7 +130,7 @@ def main() -> None:
             ap.error("cap (per-source document cap) is batch-only: it needs "
                      "a corpus-wide per-stratum count, which has no bounded "
                      "streaming-state form")
-        if args.mix_temperature:
+        if args.mix_temperature is not None:
             ap.error("--mix-temperature is batch-only: deriving the rates "
                      "needs a corpus-wide per-source aggregate; pass "
                      "explicit --rate flags when streaming")
@@ -233,8 +242,10 @@ def run_pipeline(spark, args, stages) -> dict:
     if "split" in stages:
         df = T.stable_split(df, id_col=args.id_col)
     if "sample" in stages:
-        if getattr(args, "mix_temperature", None):
+        if getattr(args, "mix_temperature", None) is not None:
             if args.rate:
+                # argparse validates this in main(); defensive for direct
+                # run_pipeline callers (tests, notebooks)
                 raise SystemExit("--mix-temperature and --rate are exclusive")
             # materialize the pipeline-so-far once: the rate derivation is
             # an eager aggregate over it, and the sample filter reads it
@@ -259,12 +270,24 @@ def run_pipeline(spark, args, stages) -> dict:
     part_col = getattr(args, "partition_output_by", None)
     n_files = int(getattr(args, "output_files", 0) or 0)
     if n_files > 0:
-        # repartition on the layout column when partitioning (each
-        # partition-dir then gets files only from tasks holding that key)
-        writer = (
-            writer.repartition(n_files, part_col)
-            if part_col else writer.repartition(n_files)
-        )
+        if part_col:
+            # salt WITHIN the layout column: repartition(n, part_col)
+            # alone would hash each source to exactly one task -- one
+            # giant file per dir and the dominant source's write
+            # serialized through a single straggler. Hashing (part_col,
+            # salt) bounds each dir at <= n_files files (a source spans
+            # at most n_files distinct salt combos) while the EXPLICIT
+            # partition count keeps the write wide; keys-only
+            # repartition would let AQE coalesce the tiny-looking
+            # shuffle back into one task.
+            salt = F.pmod(
+                F.xxhash64(F.col(args.id_col).cast("string")), F.lit(n_files)
+            )
+            writer = writer.repartition(
+                max(64, n_files * 8), F.col(part_col), salt
+            )
+        else:
+            writer = writer.repartition(n_files)
     w = writer.write.mode("overwrite")
     if part_col:
         w = w.partitionBy(part_col)

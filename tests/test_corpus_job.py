@@ -202,9 +202,17 @@ def test_partitioned_output_prunes_and_bounds_files(spark, tmp_path):
     out = tmp_path / "out_part"
     dirs = sorted(p.name for p in out.iterdir() if p.name.startswith("source="))
     assert dirs == ["source=s0", "source=s1", "source=s2"]
+    n_per_dir = []
     for d in dirs:
         files = [p for p in (out / d).iterdir() if p.suffix == ".parquet"]
+        # the salted repartition bounds every dir at <= --output-files
+        # files (a source spans at most that many salt combos)...
         assert 1 <= len(files) <= 2, (d, files)
+        n_per_dir.append(len(files))
+    # ...and actually spreads the write: most sources' two salt combos
+    # land in different tasks (repartitioning on the layout column alone
+    # would serialize each source through one task = one file per dir)
+    assert sum(n_per_dir) >= len(dirs) + 1, n_per_dir
     from pyspark.sql import functions as F
 
     pruned = spark.read.parquet(str(out)).where(F.col("source") == "s1")

@@ -328,3 +328,37 @@ def test_temperature_mix_rates(spark):
 
     with pytest.raises(ValueError, match="temperature"):
         temperature_mix_rates(df, temperature=0.0)
+
+
+def test_stratified_sample_null_stratum_is_governed_not_dropped(spark):
+    """NULL is one stratum: before round 5 the membership hash went NULL
+    for NULL-source rows and the filter silently dropped them at every
+    rate (even default_rate=1.0). Now the key coalesces to a sentinel
+    (same contract as cap_per_stratum): default_rate governs NULL, an
+    explicit rates[None] entry overrides, and temperature_mix_rates
+    includes the NULL stratum in the mix under the None key."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        stratified_sample,
+        temperature_mix_rates,
+    )
+
+    rows = [(i, "web" if i % 2 == 0 else None) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+
+    kept_all = stratified_sample(df, rates={"web": 1.0}, stratum_col="source",
+                                 default_rate=1.0)
+    assert kept_all.count() == 200  # NULL rows kept under default_rate
+    dropped = stratified_sample(df, rates={"web": 1.0}, stratum_col="source",
+                                default_rate=0.0)
+    assert dropped.count() == 100  # NULL rows governed, web untouched
+    half_null = stratified_sample(
+        df, rates={"web": 1.0, None: 0.5}, stratum_col="source",
+        default_rate=0.0,
+    )
+    n = half_null.where(F.col("source").isNull()).count()
+    assert 25 <= n <= 75, n  # ~50 of 100, binomial jitter
+    assert half_null.where(F.col("source").isNotNull()).count() == 100
+
+    rates = temperature_mix_rates(df, temperature=1.0, keep_fraction=0.5)
+    assert set(rates) == {"web", None}
+    assert all(abs(v - 0.5) < 1e-9 for v in rates.values())
