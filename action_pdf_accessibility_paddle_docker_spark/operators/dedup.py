@@ -380,7 +380,7 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(
+def minhash_band_buckets(
     df: DataFrame,
     num_hashes: int = NUM_MINHASHES,
     bands: int = LSH_BANDS,
@@ -388,8 +388,10 @@ def minhash_lsh_candidates(
     text_col: str = "text",
     hash_family: str = "md5mix",
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    band hash = md5 of the band's signature slice."""
+    """(doc_id, band, bucket) LSH membership rows: band hash = md5 of the
+    band's signature slice. The exploded form both the batch candidate
+    pairing and the incremental (persisted bucket table) near-dedup key
+    on."""
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, id_col, text_col, hash_family)
     band_cols = []
@@ -400,8 +402,23 @@ def minhash_lsh_candidates(
                 F.element_at(sl, i + 1).cast("string") for i in range(rows_per_band)
             ])).alias("bucket"))
         )
-    buckets = sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    hash_family: str = "md5mix",
+) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing any LSH band bucket.
+    band hash = md5 of the band's signature slice."""
+    buckets = minhash_band_buckets(
+        df, num_hashes, bands, id_col, text_col, hash_family
     )
     # Bucket-local pair expansion instead of a self-join: a self-join would
     # recompute the whole signature pipeline on both sides (Spark does not
@@ -518,6 +535,72 @@ def dedup_clusters(
     )
     nodes = df.select(F.col(id_col).alias("doc_id"))
     return connected_component_labels(nodes, pairs, max_iter=max_iter)
+
+
+def incremental_near_dedup(
+    new_df: DataFrame,
+    seen_buckets: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+    hash_family: str = "md5mix",
+    max_iter: int = 20,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental NEAR-dup dedup for an arriving shard against the
+    corpus's persisted MinHash band-bucket table -- the CDC shape of
+    ``dedup_clusters``, mirroring ``incremental_dedup``: a 100 TB corpus
+    is never re-signatured, only its (band, bucket) membership rows are
+    kept (bands x one md5 per doc -- the same cardinality class as the
+    fingerprint table).
+
+    Returns (survivors, new_buckets):
+      survivors   = shard rows that (1) are the min-id canonical of their
+                    WITHIN-shard near-dup cluster (connected components
+                    over the shard's own LSH candidates -- transitive,
+                    like the batch form), and (2) share NO band bucket
+                    with the seen table. Collapsing the shard first means
+                    a cross-corpus hit removes the whole shard cluster
+                    through its canonical, matching the batch semantics
+                    as closely as an incremental pass can;
+      new_buckets = the (doc_id, band, bucket) rows of the survivors --
+                    append to the bucket table for the next shard.
+
+    Scale shape: the within-shard pass is shard-sized (the reason this
+    operator exists); the cross-corpus check is a bucket equi-join
+    LeftAnti against the seen table -- no signature recompute for the
+    corpus, no pair expansion across it, and a hot bucket is a skew-split
+    join partition, never a window. The shard's bucket table is computed
+    once (lazy localCheckpoint) and reused for the candidate pairing, the
+    anti-join, and the returned appendix."""
+    buckets = minhash_band_buckets(
+        new_df, num_hashes, bands, id_col, text_col, hash_family
+    ).localCheckpoint(eager=False)
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    pairs = _pairs_from_sorted_ids(grouped).select("id_a", "id_b").distinct()
+    nodes = new_df.select(F.col(id_col).alias("doc_id"))
+    labels = connected_component_labels(nodes, pairs, max_iter=max_iter)
+    canon = labels.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
+    hit = (
+        buckets.join(canon, "doc_id", "left_semi")
+        .join(
+            seen_buckets.select("band", "bucket").distinct(),
+            ["band", "bucket"], "left_semi",
+        )
+        .select("doc_id").distinct()
+    )
+    surviving_ids = canon.join(hit, "doc_id", "left_anti")
+    survivors = new_df.join(
+        surviving_ids.select(F.col("doc_id").alias(id_col)), id_col
+    )
+    new_buckets = buckets.join(
+        surviving_ids, "doc_id", "left_semi"
+    ).select(F.col("doc_id").alias(id_col), "band", "bucket")
+    return survivors, new_buckets
 
 
 def simhash_col(text_col, bits: int = SIMHASH_BITS):

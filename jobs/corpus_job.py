@@ -87,6 +87,15 @@ def main() -> None:
                          "small-files control: a 32-task shuffle writing "
                          "per-source dirs otherwise emits up to 32 tiny "
                          "files per source")
+    ap.add_argument("--seen-buckets", default=None,
+                    help="neardup: persisted MinHash band-bucket table "
+                         "(parquet); when set, neardup is INCREMENTAL -- "
+                         "the arriving shard is collapsed within itself, "
+                         "then its canonicals are dropped on any bucket "
+                         "hit against the corpus (never re-signatured)")
+    ap.add_argument("--new-buckets", default=None,
+                    help="neardup: where to write the bucket rows this "
+                         "shard adds (required with --seen-buckets)")
     ap.add_argument("--hash-family", default="md5mix",
                     choices=("md5mix", "md5", "xxhash64"),
                     help="neardup: MinHash signature family -- md5mix "
@@ -113,6 +122,8 @@ def main() -> None:
         ap.error(f"unknown stages: {unknown}")
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
+    if ("neardup" in stages) and args.seen_buckets and not args.new_buckets:
+        ap.error("--seen-buckets requires --new-buckets")
 
     if args.mix_temperature is not None and args.rate:
         ap.error("--mix-temperature and --rate are exclusive")
@@ -219,18 +230,27 @@ def run_pipeline(spark, args, stages) -> dict:
         # the source once per round -- the per-stage re-execution the
         # counters comment below calls wrong at curation scale
         df = df.localCheckpoint(eager=False)
-        clusters = D.dedup_clusters(
-            df, id_col=args.id_col, text_col=args.text_col,
-            hash_family=args.hash_family,
-        )
-        df = observed(
-            df.join(
-                clusters.where(F.col("doc_id") == F.col("cluster_id"))
-                .select(F.col("doc_id").alias(args.id_col)),
-                args.id_col,
-            ),
-            "neardup",
-        )
+        if getattr(args, "seen_buckets", None):
+            seen = spark.read.parquet(args.seen_buckets)
+            survivors, new_buckets = D.incremental_near_dedup(
+                df, seen, id_col=args.id_col, text_col=args.text_col,
+                hash_family=args.hash_family,
+            )
+            new_buckets.write.mode("overwrite").parquet(args.new_buckets)
+            df = observed(survivors, "neardup")
+        else:
+            clusters = D.dedup_clusters(
+                df, id_col=args.id_col, text_col=args.text_col,
+                hash_family=args.hash_family,
+            )
+            df = observed(
+                df.join(
+                    clusters.where(F.col("doc_id") == F.col("cluster_id"))
+                    .select(F.col("doc_id").alias(args.id_col)),
+                    args.id_col,
+                ),
+                "neardup",
+            )
     if "cap" in stages:
         df = observed(
             T.cap_per_stratum(

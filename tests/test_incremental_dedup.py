@@ -52,3 +52,50 @@ def test_anti_join_streams_corpus_side(spark):
     assert "LeftAnti" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_near_dedup_shard_loop(spark):
+    """Near-dup CDC: shard B checked against shard A's persisted band
+    buckets. A case/whitespace variant of an already-seen doc (identical
+    normalized shingles -> identical signature -> bucket hit) is dropped
+    without re-signaturing the corpus; a fresh doc survives; a within-
+    shard variant pair collapses to its min id. Re-running the shard
+    against its own updated bucket table yields zero survivors
+    (idempotence -- same contract as the exact incremental loop)."""
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_band_buckets,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "one two three four five six seven eight nine ten"
+    shard_a = spark.createDataFrame(
+        [(1, base), (2, "completely different words live here okay")],
+        "doc_id long, text string",
+    )
+    seen = minhash_band_buckets(shard_a)
+
+    shard_b = spark.createDataFrame(
+        [
+            (10, base.upper().replace(" ", "   ")),  # seen via bucket hit
+            (11, fresh),                             # genuinely new
+            (12, fresh.upper()),                     # within-shard variant of 11
+        ],
+        "doc_id long, text string",
+    )
+    survivors, new_buckets = incremental_near_dedup(shard_b, seen)
+    assert [r["doc_id"] for r in survivors.collect()] == [11]
+    nb = new_buckets.collect()
+    assert {r["doc_id"] for r in nb} == {11}
+    assert len(nb) == 4  # one row per band
+
+    # idempotence: the same shard against seen + its own appendix drains
+    seen2 = seen.select("doc_id", "band", "bucket").union(new_buckets)
+    again, more = incremental_near_dedup(shard_b, seen2)
+    assert again.count() == 0
+    assert more.count() == 0
+    # determinism under a re-shard of the arriving data
+    survivors2, _ = incremental_near_dedup(shard_b.repartition(7), seen)
+    assert [r["doc_id"] for r in survivors2.collect()] == [11]
