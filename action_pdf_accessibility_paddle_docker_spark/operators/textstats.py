@@ -531,7 +531,9 @@ def stratified_sample(
     # ~5.6% of 3-decimal rates (0.051*10000 = 509.999... -> 509), so the
     # realized keep rate and any oracle computing round(rate*10000) disagree
     rate = None
-    for stratum, r in sorted(rates.items(), key=lambda kv: (kv[0] is None, kv[0] or "")):
+    # str() in the sort key: stratum keys may be ints (shard ids, years)
+    # or None -- mixed-type tuples must still order deterministically
+    for stratum, r in sorted(rates.items(), key=lambda kv: (kv[0] is None, str(kv[0]))):
         cond = (
             F.col(stratum_col).isNull() if stratum is None
             else F.col(stratum_col) == stratum

@@ -132,8 +132,11 @@ def main() -> None:
     if args.mix_keep_frac != 1.0 and args.mix_temperature is None:
         ap.error("--mix-keep-frac only applies with --mix-temperature "
                  "(explicit --rate flags carry their own rates)")
-    if not (0.0 < args.mix_keep_frac <= 1.0):
-        ap.error("--mix-keep-frac must be in (0, 1]")
+    if args.mix_keep_frac <= 0.0:
+        # values > 1 are deliberately allowed: per-source rates clamp to 1
+        # regardless, and over-asking is the documented recovery when a
+        # tiny source cannot supply its flattened share
+        ap.error("--mix-keep-frac must be > 0")
     if args.streaming:
         if args.seen_fps:
             ap.error("--seen-fps (incremental dedup) is batch-only")

