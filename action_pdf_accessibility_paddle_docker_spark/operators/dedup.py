@@ -111,10 +111,24 @@ def dup_ngram_stats(
     aggregate (exact for singletons). Every aggregate gets map-side combine
     (a hot gram reaches its reducer as one partial per mapper); every join
     is on doc_id. Documents shorter than n tokens have no n-grams and are
-    absent from the output (same on the oracle side)."""
+    absent from the output (same on the oracle side).
+
+    Grams are md5-hashed INSIDE the transform, before the explode: the
+    shuffle then carries 32-hex keys instead of n-word strings (measured
+    1.07x at sf0.1, 1.16x at the sf1 probe -- the win grows with gram
+    width and scale). Counts are identical to grouping on the strings
+    (the oracle keeps the string form): md5 is 128-bit, the same
+    birthday-safe class as the identity fingerprints (SCALE.md) -- a
+    gram-hash collision that could miscount a singleton needs ~2^64
+    distinct grams."""
     grams = _widen(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
-    ).select("doc_id", F.explode(word_ngrams(F.col("text"), n)).alias("gram"))
+    ).select(
+        "doc_id",
+        F.explode(
+            F.transform(word_ngrams(F.col("text"), n), F.md5)
+        ).alias("gram"),
+    )
     local = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c_local"))
     per_doc = local.groupBy("doc_id").agg(F.sum("c_local").alias("n_ngrams"))
     singles_per_doc = (
