@@ -606,16 +606,18 @@ def incremental_near_dedup(
     (lazy localCheckpoint) and reused for the candidate pairing, the
     cross-corpus probe, and the returned appendix."""
     if "hash_family" in seen_buckets.columns:
-        fams = [
-            r["hash_family"]
-            for r in seen_buckets.select("hash_family").distinct().collect()
-        ]
-        if fams and (len(fams) > 1 or fams[0] != hash_family):
+        # one row suffices: the operator only ever writes a uniform stamp,
+        # so a full-table distinct would pay a corpus-scale aggregate per
+        # shard to detect hand-made mixed unions the error message already
+        # tells the user to rebuild
+        first = seen_buckets.select("hash_family").head(1)
+        if first and first[0]["hash_family"] != hash_family:
             raise ValueError(
-                f"seen bucket table carries hash_family={sorted(fams)} but "
-                f"this run uses {hash_family!r}; bucket values never match "
-                "across families -- re-run with the table's family or "
-                "rebuild the table"
+                f"seen bucket table carries hash_family="
+                f"{first[0]['hash_family']!r} but this run uses "
+                f"{hash_family!r}; bucket values never match across "
+                "families -- re-run with the table's family or rebuild "
+                "the table"
             )
     buckets = minhash_band_buckets(
         new_df, num_hashes, bands, id_col, text_col, hash_family
@@ -625,12 +627,14 @@ def incremental_near_dedup(
     labels = connected_component_labels(nodes, pairs, max_iter=max_iter)
     # cross-corpus probe over ALL members' buckets, then lift member hits
     # to their cluster: a hit on a non-canonical member must still remove
-    # the cluster's canonical
+    # the cluster's canonical. JOIN DIRECTION matters at corpus scale:
+    # broadcast the SHARD side (tiny by construction -- the operator's
+    # whole premise) so the persisted table streams map-only; a left_semi
+    # with the corpus on the right would shuffle the full bucket table
+    # per shard
     hit_members = (
-        buckets.join(
-            seen_buckets.select("band", "bucket").distinct(),
-            ["band", "bucket"], "left_semi",
-        )
+        seen_buckets.select("band", "bucket")
+        .join(F.broadcast(buckets), ["band", "bucket"])
         .select("doc_id").distinct()
     )
     hit_clusters = (

@@ -220,9 +220,12 @@ def lsh_bucketed_topk(
     )
 
 
+DEFAULT_IVF_CELLS = 16
+
+
 def fit_quantizer(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int = DEFAULT_IVF_CELLS,
     seed: int = 7,
     max_iter: int = 10,
     vec_col: str = "embedding",
@@ -252,13 +255,22 @@ def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col,
     from pyspark.sql.functions import pandas_udf
 
     if centers is None:
-        centers = fit_quantizer(corpus, n_centroids, seed, max_iter, vec_col)
+        centers = fit_quantizer(
+            corpus, n_centroids or DEFAULT_IVF_CELLS, seed, max_iter, vec_col
+        )
+        n_centroids = int(centers.shape[0])
+    elif n_centroids is not None and n_centroids != centers.shape[0]:
+        # loud, not silent: honoring the prefitted matrix while quietly
+        # clipping n_probe to a different cell count would invalidate
+        # every n_probe/n_centroids recall and pruning claim; callers
+        # holding prefitted centers should omit n_centroids (None) and
+        # let the matrix be the single source of truth
+        raise ValueError(
+            f"prefitted centers have {centers.shape[0]} cells but "
+            f"n_centroids={n_centroids}; omit n_centroids or pass the "
+            "matching value"
+        )
     else:
-        # prefitted centers are the single source of truth for the cell
-        # count: deriving n_centroids (rather than demanding the caller
-        # redundantly pass a matching value) keeps the n_probe <=
-        # n_centroids invariant true by construction -- the earlier
-        # silent-clip concern cannot arise
         n_centroids = int(centers.shape[0])
     n_probe = min(n_probe, n_centroids)
     half_sq = 0.5 * (centers * centers).sum(axis=1)  # (C,)
@@ -279,7 +291,7 @@ def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col,
 
 def ivf_assignments(
     corpus: DataFrame,
-    n_centroids: int = 16,
+    n_centroids: int | None = DEFAULT_IVF_CELLS,
     seed: int = 7,
     max_iter: int = 20,
     id_col: str = "vec_id",
@@ -300,7 +312,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int = 16,
+    n_centroids: int | None = DEFAULT_IVF_CELLS,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

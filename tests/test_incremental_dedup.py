@@ -103,23 +103,17 @@ def test_incremental_near_dedup_shard_loop(spark):
     survivors2, _ = incremental_near_dedup(shard_b.repartition(7), seen)
     assert [r["doc_id"] for r in survivors2.collect()] == [11]
 
-    # a hit on a NON-canonical member must drop the whole cluster: 20 is
-    # the canonical of {20, 21}, and only 21's text matches the corpus
+    # direct shape: a singleton canonical whose own buckets hit seen is
+    # dropped while an unrelated doc survives
     shard_c = spark.createDataFrame(
         [(20, fresh + " extra tail words here"), (21, base)],
         "doc_id long, text string",
     )
-    # make 20 and 21 one cluster by giving 21 a bridge... instead pin the
-    # direct shape: 21 (non-canonical of nothing) hits seen -> dropped;
-    # then a genuine cluster where the corpus-matching member is NOT the
-    # min id: {30: variant of base, 31: same variant} -- 30 canonical,
-    # 31 identical so both hit or neither; use distinct-normalized pair
     surv_c, _ = incremental_near_dedup(shard_c, seen)
     assert {r["doc_id"] for r in surv_c.collect()} == {20}
 
-    # cluster {40, 41}: identical normalized text (one cluster, 40
-    # canonical); 41's buckets == 40's buckets == base's buckets -> the
-    # member hit removes the canonical too
+    # identical-pair shape: one cluster whose canonical hits seen
+    # directly -- both members gone
     shard_d = spark.createDataFrame(
         [(40, base.upper()), (41, base + " ")],
         "doc_id long, text string",
@@ -127,8 +121,49 @@ def test_incremental_near_dedup_shard_loop(spark):
     surv_d, nb_d = incremental_near_dedup(shard_d, seen)
     assert surv_d.count() == 0 and nb_d.count() == 0
 
+
+def test_incremental_near_dedup_member_hit_drops_canonical(spark):
+    """The DISCRIMINATING case for the member-hit lift (a canonical-only
+    probe passes every other test in this file): cluster {X, Y} where X
+    (the min-id canonical) shares a band bucket with Y but NONE with the
+    corpus, while Y shares a bucket with seen doc S. X ~ Y ~ S, so the
+    whole cluster must go -- under canonical-only probing X would survive
+    and the output corpus would hold two docs of one near-dup class. The
+    texts were searched offline against the md5mix banding so the three
+    precondition assertions are deterministic."""
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_band_buckets,
+    )
+
+    S = "red orange yellow green blue indigo violet pink brown black white gray"
+    Y = "red w2 yellow green blue indigo violet pink brown black white gray"
+    X = "red w2 yellow green v2_0 indigo violet pink brown black white gray"
+
+    seen = minhash_band_buckets(
+        spark.createDataFrame([(1, S)], "doc_id long, text string")
+    )
+    shard = spark.createDataFrame(
+        [(100, X), (200, Y)], "doc_id long, text string"  # X = canonical
+    )
+    sb = minhash_band_buckets(shard)
+    # preconditions that make this case discriminating
+    bb = {r["doc_id"]: set() for r in sb.collect()}
+    for r in sb.collect():
+        bb[r["doc_id"]].add((r["band"], r["bucket"]))
+    sB = {(r["band"], r["bucket"]) for r in seen.collect()}
+    assert bb[100] & bb[200], "X and Y must pair within the shard"
+    assert not (bb[100] & sB), "X (canonical) must NOT hit the corpus"
+    assert bb[200] & sB, "Y (member) must hit the corpus"
+
+    survivors, new_buckets = incremental_near_dedup(shard, seen)
+    assert survivors.count() == 0, "member hit must drop the whole cluster"
+    assert new_buckets.count() == 0
+
     # hash-family mismatch against a stamped table fails loudly
     import pytest
 
     with pytest.raises(ValueError, match="hash_family"):
-        incremental_near_dedup(shard_b, seen, hash_family="xxhash64")
+        incremental_near_dedup(shard, seen, hash_family="xxhash64")
