@@ -262,13 +262,14 @@ def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col,
     elif n_centroids is not None and n_centroids != centers.shape[0]:
         # loud, not silent: honoring the prefitted matrix while quietly
         # clipping n_probe to a different cell count would invalidate
-        # every n_probe/n_centroids recall and pruning claim; callers
-        # holding prefitted centers should omit n_centroids (None) and
-        # let the matrix be the single source of truth
+        # every n_probe/n_centroids recall and pruning claim. The public
+        # signatures default n_centroids to None precisely so callers
+        # holding prefitted centers can leave it unset and let the matrix
+        # be the single source of truth.
         raise ValueError(
             f"prefitted centers have {centers.shape[0]} cells but "
-            f"n_centroids={n_centroids}; omit n_centroids or pass the "
-            "matching value"
+            f"n_centroids={n_centroids}; leave n_centroids unset (None) or "
+            "pass the matching value"
         )
     else:
         n_centroids = int(centers.shape[0])
@@ -291,7 +292,7 @@ def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col,
 
 def ivf_assignments(
     corpus: DataFrame,
-    n_centroids: int | None = DEFAULT_IVF_CELLS,
+    n_centroids: int | None = None,
     seed: int = 7,
     max_iter: int = 20,
     id_col: str = "vec_id",
@@ -312,7 +313,7 @@ def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 5,
-    n_centroids: int | None = DEFAULT_IVF_CELLS,
+    n_centroids: int | None = None,
     n_probe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -336,7 +337,12 @@ def ivf_topk(
 
     Recall rises with n_probe (n_probe == n_centroids is exhaustive).
     Assignment uses argmin ||v-c||^2 == argmax(v.c - ||c||^2/2), exactly
-    KMeans's own metric, so step 2 reproduces the model's clustering."""
+    KMeans's own metric, so step 2 reproduces the model's clustering.
+
+    ``n_centroids=None`` (the default) means DEFAULT_IVF_CELLS when
+    fitting, or the prefitted matrix's cell count when ``centers=`` is
+    given -- so a caller holding prefitted centers never has to repeat
+    (or guess) the count; an explicit mismatching value raises."""
     nearest_cid, probe_cids, _ = _ivf_udfs(
         corpus, n_centroids, n_probe, seed, max_iter, vec_col, centers=centers
     )

@@ -551,6 +551,7 @@ def cap_per_stratum(
     stratum_col: str = "source",
     id_col: str = "doc_id",
     method: str = "rate",
+    checkpoint: bool = False,
 ) -> DataFrame:
     """Per-domain/source document caps (the RefinedWeb/Gopher-style
     anti-dominance step: no single site may contribute more than ``cap``
@@ -586,9 +587,21 @@ def cap_per_stratum(
     min(1, r*10^4/t) of them instead of r (e.g. 100% instead of 50%).
     The exact form's order key is salted identically: at extreme binding
     (keep fraction < 10^4/2^32) the smallest-md5 survivors also pin the
-    sample-hash residue."""
+    sample-hash residue.
+
+    ``checkpoint=True`` lazily localCheckpoints the input before the rate
+    form's two references (the count aggregate and the keep filter): AQE
+    compiles the two subplans independently, so WITHOUT it whatever
+    pipeline feeds this operator executes twice -- measurable when the
+    input is itself a gate->dedup funnel (q_training_mix read the corpus
+    4x instead of 2x). Off by default to keep the operator a pure lazy
+    plan; at warehouse scale write the funnel to a table instead of
+    executor blocks (same contract as unigram_logprob_score's
+    ``checkpoint_tf``). Values are unchanged either way."""
     from pyspark.sql import Window
 
+    if checkpoint and method == "rate":
+        df = df.localCheckpoint(eager=False)
     h = F.concat(
         F.lit("cap:"),
         F.coalesce(F.col(stratum_col).cast("string"), F.lit("\x00<null>")),

@@ -750,10 +750,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
       JOIN documents d ON d.doc_id = f.doc_id
       GROUP BY fingerprint
     ), src_counts AS (
-      SELECT source, count(*)::BIGINT AS n FROM canon GROUP BY source
+      -- NULL-source sentinel mirrors cap_per_stratum's coalesced key: a
+      -- NULL stratum is ONE capped stratum on both engines (a bare USING
+      -- (source) join would silently drop NULL-source rows here only)
+      SELECT coalesce(source, chr(0) || '<null>') AS src_key,
+             count(*)::BIGINT AS n FROM canon GROUP BY src_key
     ), capped AS (
-      SELECT c.doc_id, c.n_tokens FROM canon c JOIN src_counts s USING (source)
-      WHERE (('0x' || substr(md5('cap:' || c.source || ':' || c.doc_id), 1, 8))::UBIGINT)::BIGINT
+      SELECT c.doc_id, c.n_tokens FROM canon c JOIN src_counts s
+        ON coalesce(c.source, chr(0) || '<null>') = s.src_key
+      WHERE (('0x' || substr(md5('cap:' || coalesce(c.source, chr(0) || '<null>')
+                                 || ':' || c.doc_id), 1, 8))::UBIGINT)::BIGINT
               % 1000000
             < least(1000000, ceil(10 * 1000000.0 / s.n)::BIGINT)
     )
@@ -792,8 +798,11 @@ def q_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min_by("source", "doc_id").alias("source"),
         )
     )
+    # checkpoint=True: the cap's count aggregate and keep filter otherwise
+    # each re-execute the whole gate->dedup funnel (4 corpus scans -> 2)
     capped = T.cap_per_stratum(
-        canon, cap=10, stratum_col="source", id_col="doc_id", method="rate"
+        canon, cap=10, stratum_col="source", id_col="doc_id", method="rate",
+        checkpoint=True,
     )
     return (
         T.stable_split(capped)

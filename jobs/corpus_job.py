@@ -124,6 +124,18 @@ def main() -> None:
         ap.error("--seen-fps requires --new-fps")
     if ("neardup" in stages) and args.seen_buckets and not args.new_buckets:
         ap.error("--seen-buckets requires --new-buckets")
+    for new_p, seen_p, names in (
+        (args.new_fps, args.seen_fps, "--new-fps/--seen-fps"),
+        (args.new_buckets, args.seen_buckets, "--new-buckets/--seen-buckets"),
+    ):
+        # the natural "update in place" reading is a data-loss hazard: the
+        # overwrite plan reads the seen table LAZILY while deleting the
+        # same parquet dir -- at best a late failure, at worst a destroyed
+        # table; the appendix must go to a fresh path and be unioned later
+        if new_p and seen_p and os.path.abspath(new_p) == os.path.abspath(seen_p):
+            ap.error(f"{names} must be different paths: the appendix is "
+                     "written while the seen table is still being read "
+                     "lazily -- write to a fresh path and union afterwards")
 
     if args.mix_temperature is not None and args.rate:
         ap.error("--mix-temperature and --rate are exclusive")
@@ -255,10 +267,12 @@ def run_pipeline(spark, args, stages) -> dict:
                 "neardup",
             )
     if "cap" in stages:
+        # checkpoint=True: the cap's count aggregate and keep filter would
+        # otherwise each re-execute the whole upstream stage chain
         df = observed(
             T.cap_per_stratum(
                 df, cap=args.cap_per_source, stratum_col=args.stratum_col,
-                id_col=args.id_col,
+                id_col=args.id_col, checkpoint=True,
             ),
             "cap",
         )
