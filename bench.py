@@ -145,6 +145,24 @@ def _control_worker(texts):
     return sum(1 for _ in extract_series(pd.Series(texts)))
 
 
+def _gen_control_texts(n: int) -> list[str]:
+    """Deterministic synthetic turns for the pure-python hardware control
+    (same generator as the bench transcripts)."""
+    from action_pdf_accessibility_paddle_docker_spark.sources.transcripts import (
+        make_row, turns_for_conv,
+    )
+
+    texts: list[str] = []
+    conv = 0
+    while len(texts) < n:
+        for t in range(turns_for_conv(conv, 1 << 30, 8)):
+            texts.append(make_row(42, conv, t)["text"])
+            if len(texts) >= n:
+                break
+        conv += 1
+    return texts
+
+
 def run_control(big: int, small: int, per_core: int = 8000) -> dict:
     """Pure-python multiprocessing of the extraction kernel at `big` and
     `small` process counts (constant work per core). Returns per-core rates
@@ -153,18 +171,7 @@ def run_control(big: int, small: int, per_core: int = 8000) -> dict:
     import multiprocessing as mp
     import time as _t
 
-    from action_pdf_accessibility_paddle_docker_spark.sources.transcripts import (
-        make_row, turns_for_conv,
-    )
-
-    texts: list[str] = []
-    conv = 0
-    while len(texts) < per_core * big:
-        for t in range(turns_for_conv(conv, 1 << 30, 8)):
-            texts.append(make_row(42, conv, t)["text"])
-            if len(texts) >= per_core * big:
-                break
-        conv += 1
+    texts = _gen_control_texts(per_core * big)
 
     def measure(nproc: int) -> float:
         work = texts[: per_core * nproc]
@@ -186,28 +193,64 @@ def run_control(big: int, small: int, per_core: int = 8000) -> dict:
     }
 
 
-def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]]]:
+def run_queries(spark) -> tuple[dict[str, float], dict[str, list[float]], dict]:
     """Paired min-of-rounds (round-3 verdict item 3, same protocol as the
     extraction metric): one warm pass over ALL queries (codegen, parquet
     footers, broadcast builds), then R interleaved rounds each timing every
     query once (A B C, A B C, ...). A multi-minute VM contention window
     then lands on one ROUND of every query instead of on every timing of a
     few queries, and min-of-rounds recovers the steady state per query.
-    Returns (min per query, per-round timings per query)."""
+
+    IN-BAND CONTROL (round-5 verdict item 1): each round opens with a
+    fixed pure-python multiprocessing workload (the same extraction kernel
+    the scaling control uses -- no Spark/JVM/Arrow) timed on the same
+    machine moments before the queries. A contended window inflates the
+    control visibly instead of silently inflating query numbers across
+    rounds (q_minhash_lsh drifted 1.01 -> 2.18 s over four rounds of
+    driver benches with no in-band evidence either way). The control block
+    in the JSON carries the per-round control seconds; per-query
+    ``controlled`` numbers deflate each round's timing by that round's
+    control ratio (t_r * c_min / c_r) before taking the min -- evidence
+    alongside the raw mins, never a replacement for them.
+
+    Returns (min per query, per-round timings per query, control block)."""
+    import multiprocessing as mp
+
     from action_pdf_accessibility_paddle_docker_spark.plans.queries import REGISTRY
 
     rounds = int(os.environ.get("SPARK_GRAFT_QUERY_ROUNDS", "3"))
+    per_core = int(os.environ.get("SPARK_GRAFT_QCTL_TURNS", "2000"))
+    texts = _gen_control_texts(per_core * CPUS)
+    chunks = [texts[i * per_core:(i + 1) * per_core] for i in range(CPUS)]
     for name in HEADLINE_QUERIES:
         fn, _sql = REGISTRY[name]
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
     times: dict[str, list[float]] = {name: [] for name in HEADLINE_QUERIES}
-    for _ in range(rounds):
-        for name in HEADLINE_QUERIES:
-            fn, _sql = REGISTRY[name]
+    ctl_rounds: list[float] = []
+    with mp.Pool(CPUS) as pool:
+        pool.map(_control_worker, [c[:100] for c in chunks])  # warm imports
+        for _ in range(rounds):
             t0 = time.perf_counter()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            times[name].append(round(time.perf_counter() - t0, 3))
-    return {n: min(ts) for n, ts in times.items()}, times
+            pool.map(_control_worker, chunks)
+            ctl_rounds.append(round(time.perf_counter() - t0, 3))
+            for name in HEADLINE_QUERIES:
+                fn, _sql = REGISTRY[name]
+                t0 = time.perf_counter()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                times[name].append(round(time.perf_counter() - t0, 3))
+    c_min = min(ctl_rounds)
+    controlled = {
+        n: round(min(t * c_min / c for t, c in zip(ts, ctl_rounds)), 3)
+        for n, ts in times.items()
+    }
+    control = {
+        "control_rounds_sec": ctl_rounds,
+        "control_sec": c_min,
+        "control_turns_per_proc": per_core,
+        "control_procs": CPUS,
+        "queries_controlled": controlled,
+    }
+    return {n: min(ts) for n, ts in times.items()}, times, control
 
 
 def main() -> None:
@@ -274,7 +317,7 @@ def main() -> None:
 
     spark = make_spark(f"local[{CPUS}]")
     try:
-        queries, query_rounds = run_queries(spark)
+        queries, query_rounds, query_control = run_queries(spark)
     finally:
         spark.stop()
 
@@ -286,6 +329,7 @@ def main() -> None:
                 "unit": "turns/sec",
                 "queries": queries,
                 "query_rounds": query_rounds,
+                "query_control": query_control,
                 "sf": sf,
                 "extraction": extraction,
             }
