@@ -476,7 +476,14 @@ def temperature_mix_rates(
     A NULL stratum is one stratum: it participates in the mix under the
     ``None`` key, which ``stratified_sample`` understands -- NULL-source
     rows are flattened like any other source, never silently kept or
-    dropped."""
+    dropped.
+
+    Floating-point determinism: the normalizer z sums per-source doubles
+    in SORTED stratum order (collect() returns rows in nondeterministic
+    aggregate order, and double addition does not commute across orders),
+    so the derived rates are bit-identical across runs AND replayable by
+    an oracle engine computing ``sum(flat ORDER BY stratum)`` -- the
+    property the driver's hash check of q_stratified_sample leans on."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0, got {temperature}")
     w = (
@@ -487,11 +494,16 @@ def temperature_mix_rates(
         for r in df.groupBy(F.col(stratum_col).alias("_s")).agg(w).collect()
         if r["_w"]
     }
-    total = sum(counts.values())
+    keys = sorted(counts, key=lambda k: (k is None, str(k)))
+    total = 0.0
+    for s in keys:
+        total += counts[s]
     if not total:
         return {}
-    flat = {s: (c / total) ** (1.0 / temperature) for s, c in counts.items()}
-    z = sum(flat.values())
+    flat = {s: (counts[s] / total) ** (1.0 / temperature) for s in counts}
+    z = 0.0
+    for s in keys:
+        z += flat[s]
     return {
         s: min(1.0, keep_fraction * total * (flat[s] / z) / counts[s])
         for s in counts

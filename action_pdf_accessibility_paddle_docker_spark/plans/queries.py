@@ -1928,6 +1928,21 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
+_TEMP_T = 2.0       # temperature leg: exponent 1/T == 0.5 on both engines
+_TEMP_KF = 0.6      # chosen so the tail tier's rate CLAMPS to 1.0 at sf0.01
+
+
+def _rate_bp_col(stratum_col: str, bp: dict[str, int], default_bp: int):
+    """The integer per-stratum threshold (rate * 10^4, rounded) as a column
+    -- exposed in the driver row so the hash covers the DERIVED rates, not
+    just the membership they imply."""
+    c = None
+    for k, v in sorted(bp.items()):
+        c = (F.when(F.col(stratum_col) == k, F.lit(v)) if c is None
+             else c.when(F.col(stratum_col) == k, F.lit(v)))
+    out = c.otherwise(F.lit(default_bp)) if c is not None else F.lit(default_bp)
+    return out.cast("int")
+
 
 @register(
     "q_stratified_sample",
@@ -1938,28 +1953,104 @@ _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
                % 10000 AS hv,
              CASE source
                WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
-               WHEN 'src2' THEN 2000 ELSE 1000 END AS rate
+               WHEN 'src2' THEN 2000 ELSE 1000 END AS rate_bp
       FROM documents
+    ),
+    leg1 AS (
+      SELECT 'fixed' AS leg, source AS stratum, count(*)::BIGINT AS n_kept,
+             min(doc_id) AS min_id, any_value(rate_bp)::INT AS rate_bp
+      FROM h WHERE hv < rate_bp GROUP BY source
+    ),
+    tiers AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 10 < 6 THEN 'head'
+                  WHEN doc_id % 10 < 9 THEN 'mid'
+                  ELSE 'tail' END AS tier
+      FROM documents
+    ),
+    tc AS (SELECT tier, count(*)::BIGINT AS n FROM tiers GROUP BY tier),
+    tot AS (SELECT sum(n)::DOUBLE AS total FROM tc),
+    -- p_s^(1/T) with T=2: pow(_, 0.5), the same libm call CPython makes.
+    -- z sums in tier order, mirroring the operator's sorted-key summation
+    -- (double addition does not commute across orders).
+    fl AS (SELECT tier, n, pow(n / total, 0.5) AS flat FROM tc, tot),
+    zz AS (SELECT sum(flat ORDER BY tier) AS z FROM fl),
+    trb AS (
+      SELECT f.tier,
+             CAST(round(least(1.0, 0.6::DOUBLE * total * (f.flat / z) / f.n)
+                        * 10000) AS INT) AS rate_bp
+      FROM fl f, zz, tot
+    ),
+    leg2 AS (
+      SELECT 'temp' AS leg, t.tier AS stratum, count(*)::BIGINT AS n_kept,
+             min(t.doc_id) AS min_id, any_value(r.rate_bp) AS rate_bp
+      FROM tiers t JOIN trb r USING (tier)
+      WHERE (('0x' || substr(md5(t.tier || ':' || t.doc_id::VARCHAR), 1, 8))::UBIGINT
+             % 10000) < r.rate_bp
+      GROUP BY t.tier
     )
-    SELECT source, count(*)::BIGINT AS n_kept, min(doc_id) AS min_id
-    FROM h WHERE hv < rate GROUP BY source ORDER BY source
+    SELECT leg, stratum, n_kept, min_id, rate_bp FROM leg1
+    UNION ALL
+    SELECT leg, stratum, n_kept, min_id, rate_bp FROM leg2
+    ORDER BY leg, stratum
     """,
 )
 def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic per-source mix sampling (keep 100% of src0, 50% of
-    src1, 20% of src2, 10% elsewhere): membership = f(md5(source:id)),
-    content-independent and re-shard-stable; one filter, no shuffle. The
-    aggregate output keeps the comparison narrow; membership itself is
-    pinned through min_id + counts."""
-    kept = T.stratified_sample(
-        _read(spark, sf_dir, "documents"),
-        rates=_SAMPLE_RATES, stratum_col="source", default_rate=0.1,
+    """Two-leg mix-sampling row (round-5 verdict item 4):
+
+    * leg 'fixed': deterministic per-source sampling under explicit rates
+      (keep 100% of src0, 50% of src1, 20% of src2, 10% elsewhere) --
+      membership = f(md5(source:id)), content-independent, one filter, no
+      shuffle (the round-2..5 semantics, unchanged).
+    * leg 'temp': the rates themselves DERIVED by ``temperature_mix_rates``
+      (mT5-style p_s^(1/T) flattening, T=2, keep_fraction=0.6) over a
+      deliberately skewed 60/30/10 tier column -- sf0.01 sources are
+      uniform (20 x 25 docs), so flattening a synthetic skew is what makes
+      T != 1 observable. The oracle recomputes the rates closed-form in
+      SQL (ordered double summation for z, same libm pow), so the driver
+      hash covers the derivation, the clamp (tail's rate clamps to 1.0 at
+      keep_fraction=0.6), AND the realized membership; ``rate_bp``
+      (rate * 10^4, the operator's own integer threshold) is a column on
+      both legs.
+
+    NOTE: this builder is EAGER (listed in ``EAGER_BUILDERS``) -- deriving
+    the temperature rates is a corpus aggregate collected at build time,
+    exactly like a production run would derive them before sampling."""
+    docs = _read(spark, sf_dir, "documents")
+    kept1 = T.stratified_sample(
+        docs, rates=_SAMPLE_RATES, stratum_col="source", default_rate=0.1,
     )
-    return (
-        kept.groupBy("source")
+    bp1 = {k: int(round(v * 10000)) for k, v in _SAMPLE_RATES.items()}
+    leg1 = (
+        kept1.groupBy(F.col("source").alias("stratum"))
         .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
-        .orderBy("source")
+        .select(
+            F.lit("fixed").alias("leg"), "stratum", "n_kept", "min_id",
+            _rate_bp_col("stratum", bp1, 1000).alias("rate_bp"),
+        )
     )
+    tier = (
+        F.when(F.col("doc_id") % 10 < 6, F.lit("head"))
+        .when(F.col("doc_id") % 10 < 9, F.lit("mid"))
+        .otherwise(F.lit("tail"))
+    )
+    skew = docs.withColumn("tier", tier)
+    rates2 = T.temperature_mix_rates(
+        skew, stratum_col="tier", temperature=_TEMP_T, keep_fraction=_TEMP_KF,
+    )
+    kept2 = T.stratified_sample(
+        skew, rates=rates2, stratum_col="tier", default_rate=0.0,
+    )
+    bp2 = {k: int(round(v * 10000)) for k, v in rates2.items()}
+    leg2 = (
+        kept2.groupBy(F.col("tier").alias("stratum"))
+        .agg(F.count(F.lit(1)).alias("n_kept"), F.min("doc_id").alias("min_id"))
+        .select(
+            F.lit("temp").alias("leg"), "stratum", "n_kept", "min_id",
+            _rate_bp_col("stratum", bp2, 0).alias("rate_bp"),
+        )
+    )
+    return leg1.unionByName(leg2).orderBy("leg", "stratum")
 
 
 @register(
@@ -2134,7 +2225,9 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and bench build precisely in order to execute, so they ignore this set.
 # q_ivf_ann_topk is here because building it FITS the MLlib KMeans coarse
 # quantizer (full embedding scans + iterative jobs, twice).
-EAGER_BUILDERS = frozenset({"q_stream_dedup", "q_ivf_ann_topk"})
+EAGER_BUILDERS = frozenset(
+    {"q_stream_dedup", "q_ivf_ann_topk", "q_stratified_sample"}
+)
 
 
 def queries() -> dict[str, Builder]:

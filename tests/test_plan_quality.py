@@ -264,6 +264,7 @@ def test_eager_builders_marked():
 
     assert "q_stream_dedup" in Q.EAGER_BUILDERS      # starts a stream
     assert "q_ivf_ann_topk" in Q.EAGER_BUILDERS      # fits KMeans (twice)
+    assert "q_stratified_sample" in Q.EAGER_BUILDERS  # collects temp rates
     assert Q.EAGER_BUILDERS <= set(Q.REGISTRY)
     src = inspect.getsource(Q.REGISTRY["q_stream_dedup"][0])
     assert "EAGER" in src  # the builder documents its own eagerness
