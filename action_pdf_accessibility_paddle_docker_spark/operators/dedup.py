@@ -571,6 +571,7 @@ def incremental_near_dedup(
     bands: int = LSH_BANDS,
     hash_family: str = "md5mix",
     max_iter: int = 20,
+    persist_buckets: str = "cluster",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental NEAR-dup dedup for an arriving shard against the
     corpus's persisted MinHash band-bucket table -- the CDC shape of
@@ -588,10 +589,30 @@ def incremental_near_dedup(
                     seen table (a hit on ANY member removes the whole
                     cluster -- the member is near corpus content, and the
                     canonical is near the member);
-      new_buckets = the (doc_id, band, bucket, hash_family) rows of the
-                    survivors -- append to the bucket table for the next
-                    shard (schema-identical to ``minhash_band_buckets``
-                    output, so the running table stays one union).
+      new_buckets = (doc_id, band, bucket, hash_family) rows to append to
+                    the bucket table for the next shard (schema-identical
+                    to ``minhash_band_buckets`` output, so the running
+                    table stays one union). Which docs contribute rows is
+                    ``persist_buckets``:
+
+    * ``'cluster'`` (default): every member of a SURVIVING cluster,
+      dropped within-shard dups included. A dropped member's buckets can
+      differ from its canonical's, and batch connected components would
+      route a future doc near that member into the canonical's component
+      -- so its buckets must stay probe-able or that future near-dup is
+      admitted (a transitive recall loss vs the batch form). Appendix
+      cardinality is bounded by the shard (each doc persists at most
+      once: a re-ingested member hits its own bucket row and its cluster
+      stops surviving, so drain-to-zero still converges).
+    * ``'canonical'``: survivors only -- the smallest table, with the
+      documented recall loss above; use when appendix size dominates.
+
+    Members of corpus-HIT clusters are persisted under NEITHER mode:
+    their buckets partially overlap existing coverage, but persisting
+    them would re-append on every re-ingest of the same data (the rows
+    never enter the corpus, so nothing stops the growth) -- the residual
+    gap vs batch CC is a future doc near such a member's NON-overlapping
+    region, which stays admitted.
 
     The seen table's ``hash_family`` stamp (when present) must match this
     run's family: bucket values are md5 hex strings in EVERY family, so a
@@ -605,6 +626,11 @@ def incremental_near_dedup(
     partition, never a window. The shard's bucket table is computed once
     (lazy localCheckpoint) and reused for the candidate pairing, the
     cross-corpus probe, and the returned appendix."""
+    if persist_buckets not in ("cluster", "canonical"):
+        raise ValueError(
+            f"persist_buckets must be 'cluster' or 'canonical', "
+            f"got {persist_buckets!r}"
+        )
     if "hash_family" in seen_buckets.columns:
         # one row suffices: the operator only ever writes a uniform stamp,
         # so a full-table distinct would pay a corpus-scale aggregate per
@@ -639,19 +665,24 @@ def incremental_near_dedup(
     )
     hit_clusters = (
         labels.join(hit_members, "doc_id", "left_semi")
-        .select(F.col("cluster_id").alias("doc_id")).distinct()
+        .select(F.col("cluster_id")).distinct()
     )
+    # every member of a cluster none of whose members hit the corpus
+    surviving_members = labels.join(hit_clusters, "cluster_id", "left_anti")
     surviving_ids = (
-        labels.where(F.col("doc_id") == F.col("cluster_id"))
+        surviving_members.where(F.col("doc_id") == F.col("cluster_id"))
         .select("doc_id")
-        .join(hit_clusters, "doc_id", "left_anti")
     )
     survivors = new_df.join(
         surviving_ids.select(F.col("doc_id").alias(id_col)), id_col
     )
     # keep the internal 'doc_id' name: the appended table must stay
     # schema-identical to minhash_band_buckets output under any --id-col
-    new_buckets = buckets.join(surviving_ids, "doc_id", "left_semi")
+    persist_ids = (
+        surviving_members.select("doc_id") if persist_buckets == "cluster"
+        else surviving_ids
+    )
+    new_buckets = buckets.join(persist_ids, "doc_id", "left_semi")
     return survivors, new_buckets
 
 

@@ -96,6 +96,15 @@ def main() -> None:
     ap.add_argument("--new-buckets", default=None,
                     help="neardup: where to write the bucket rows this "
                          "shard adds (required with --seen-buckets)")
+    ap.add_argument("--bucket-persist", default="cluster",
+                    choices=("cluster", "canonical"),
+                    help="neardup incremental: which docs' buckets enter "
+                         "the appendix -- 'cluster' (default) persists "
+                         "every member of a surviving cluster so future "
+                         "shards near a dropped within-shard dup are "
+                         "still caught (batch-CC-faithful); 'canonical' "
+                         "persists survivors only (smaller table, "
+                         "documented transitive recall loss)")
     ap.add_argument("--hash-family", default="md5mix",
                     choices=("md5mix", "md5", "xxhash64"),
                     help="neardup: MinHash signature family -- md5mix "
@@ -250,6 +259,7 @@ def run_pipeline(spark, args, stages) -> dict:
             survivors, new_buckets = D.incremental_near_dedup(
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 hash_family=args.hash_family,
+                persist_buckets=getattr(args, "bucket_persist", "cluster"),
             )
             new_buckets.write.mode("overwrite").parquet(args.new_buckets)
             df = observed(survivors, "neardup")

@@ -88,11 +88,18 @@ def test_incremental_near_dedup_shard_loop(spark):
     survivors, new_buckets = incremental_near_dedup(shard_b, seen)
     assert [r["doc_id"] for r in survivors.collect()] == [11]
     nb = new_buckets.collect()
-    assert {r["doc_id"] for r in nb} == {11}
-    assert len(nb) == 4  # one row per band
+    # default persist_buckets='cluster': the dropped within-shard member
+    # 12 persists its buckets too (transitive coverage for future shards)
+    assert {r["doc_id"] for r in nb} == {11, 12}
+    assert len(nb) == 8  # one row per band per persisted doc
     # appendix schema identical to the bootstrap table: one plain union
     # maintains the running bucket table
     assert new_buckets.columns == seen.columns
+    # persist_buckets='canonical': survivors only (the r5 semantics)
+    _, nb_canon = incremental_near_dedup(
+        shard_b, seen, persist_buckets="canonical"
+    )
+    assert {r["doc_id"] for r in nb_canon.collect()} == {11}
 
     # idempotence: the same shard against seen + its own appendix drains
     seen2 = seen.union(new_buckets)
@@ -167,3 +174,41 @@ def test_incremental_near_dedup_member_hit_drops_canonical(spark):
 
     with pytest.raises(ValueError, match="hash_family"):
         incremental_near_dedup(shard, seen, hash_family="xxhash64")
+
+
+def test_cluster_persist_covers_dropped_member_transitively(spark):
+    """The DISCRIMINATING case for persist_buckets='cluster' (the round-5
+    advice item): shard 1 holds cluster {X (canonical), Y} with nothing in
+    the corpus; a later shard brings S where S ~ Y but S shares NO bucket
+    with X. Batch connected components would put S in X's component and
+    drop it. Under 'canonical' persistence only X's buckets survive, so S
+    is admitted -- the recall loss; under 'cluster' (default) Y's buckets
+    persist and S is dropped. Reuses the offline-searched X~Y~S md5mix
+    chain whose bucket preconditions are asserted in
+    test_incremental_near_dedup_member_hit_drops_canonical."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_band_buckets,
+    )
+
+    S = "red orange yellow green blue indigo violet pink brown black white gray"
+    Y = "red w2 yellow green blue indigo violet pink brown black white gray"
+    X = "red w2 yellow green v2_0 indigo violet pink brown black white gray"
+
+    empty_seen = minhash_band_buckets(
+        spark.createDataFrame([], "doc_id long, text string")
+    )
+    shard1 = spark.createDataFrame(
+        [(100, X), (200, Y)], "doc_id long, text string"
+    )
+    shard2 = spark.createDataFrame([(300, S)], "doc_id long, text string")
+
+    for mode, expect_s_admitted in (("cluster", False), ("canonical", True)):
+        surv1, nb1 = incremental_near_dedup(
+            shard1, empty_seen, persist_buckets=mode
+        )
+        assert [r["doc_id"] for r in surv1.collect()] == [100]
+        table = empty_seen.union(nb1)
+        surv2, _ = incremental_near_dedup(shard2, table, persist_buckets=mode)
+        admitted = [r["doc_id"] for r in surv2.collect()]
+        assert (admitted == [300]) == expect_s_admitted, (mode, admitted)
