@@ -1897,34 +1897,106 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "q_incremental_dedup",
-    f"""
-    WITH f AS (
-      SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents
-    ),
-    seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),
+_INC_DEDUP_SQL = (
+    # exact leg: anti-join against the corpus fingerprint set + within-
+    # shard min-id tie-break. near leg: the md5mix signature/band CTEs
+    # (same literals as q_minhash_lsh) computed per doc, split by parity
+    # into the shard's bucket rows and the corpus's persisted table;
+    # within-shard transitive clusters via the recursive closure; a bucket
+    # hit on ANY member lifts to its cluster and removes it whole.
+    "WITH RECURSIVE f AS ("
+    f"  SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents"
+    "), seen AS (SELECT DISTINCT fingerprint FROM f WHERE doc_id % 2 = 0),"
+    """
     fresh AS (
       SELECT doc_id, fingerprint FROM f
       WHERE doc_id % 2 = 1
         AND fingerprint NOT IN (SELECT fingerprint FROM seen)
+    ),
+    exact_surv AS (
+      SELECT fr.doc_id, fr.fingerprint FROM fresh fr
+      JOIN (SELECT fingerprint, min(doc_id) AS m FROM fresh GROUP BY 1) g
+        ON fr.fingerprint = g.fingerprint AND fr.doc_id = g.m
+    ),"""
+    + _minhash_sql(D.NUM_MINHASHES).split("WITH", 1)[1]
+    + f""",
+    allb AS ({_band_sql(D.LSH_BANDS, D.NUM_MINHASHES // D.LSH_BANDS)}),
+    shardb AS (SELECT doc_id, band, bucket FROM allb WHERE doc_id % 2 = 1),
+    seenb AS (SELECT band, bucket FROM allb WHERE doc_id % 2 = 0),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM shardb a JOIN shardb b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+    ),
+    edges AS (
+      SELECT id_a, id_b FROM cand UNION ALL SELECT id_b, id_a FROM cand
+    ),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents WHERE doc_id % 2 = 1
+      UNION
+      SELECT r.a, e.id_b FROM reach r JOIN edges e ON r.b = e.id_a
+    ),
+    labels AS (SELECT a AS doc_id, min(b) AS cluster_id FROM reach GROUP BY a),
+    hit_docs AS (
+      SELECT DISTINCT s.doc_id FROM shardb s
+      JOIN seenb c ON s.band = c.band AND s.bucket = c.bucket
+    ),
+    hit_clusters AS (
+      SELECT DISTINCT l.cluster_id FROM labels l
+      JOIN hit_docs h ON l.doc_id = h.doc_id
+    ),
+    near_surv AS (
+      SELECT l.doc_id FROM labels l
+      WHERE l.doc_id = l.cluster_id
+        AND l.cluster_id NOT IN (SELECT cluster_id FROM hit_clusters)
     )
-    SELECT f.doc_id, f.fingerprint FROM fresh f
-    JOIN (SELECT fingerprint, min(doc_id) AS m FROM fresh GROUP BY 1) g
-      ON f.fingerprint = g.fingerprint AND f.doc_id = g.m
-    ORDER BY f.doc_id
-    """,
+    SELECT 'exact' AS leg, doc_id, fingerprint FROM exact_surv
+    UNION ALL
+    SELECT 'near' AS leg, n.doc_id, f.fingerprint
+    FROM near_surv n JOIN f ON f.doc_id = n.doc_id
+    ORDER BY leg, doc_id
+    """
 )
+
+
+@register("q_incremental_dedup", _INC_DEDUP_SQL)
 def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Incremental exact dedup of an arriving shard (odd doc_ids) against
-    the persisted fingerprint table of the existing corpus (even doc_ids):
-    one anti-join + within-shard min-id tie-break, no corpus rescan."""
+    """Two-leg incremental (CDC) dedup row -- the arriving shard is the
+    odd doc_ids, the existing corpus the even ones:
+
+    * leg 'exact': survivors of ``incremental_dedup`` against the
+      corpus's persisted fingerprint table (anti-join + within-shard
+      min-id tie-break, no corpus rescan) -- the round-4 semantics,
+      unchanged.
+    * leg 'near' (round-5 verdict item 3): survivors of
+      ``incremental_near_dedup`` against the corpus's persisted MinHash
+      band-bucket table. The oracle replays the ENTIRE path in SQL --
+      md5mix signatures (the mix coefficients are plain integer literals
+      on both sides, dedup.minhash_mix_constants), band buckets,
+      within-shard connected components (recursive closure), and the
+      member-hit cluster lift (a bucket hit on any member removes the
+      whole cluster) -- so the driver hash certifies the operator's
+      admit/drop semantics end-to-end. The near leg's fingerprint column
+      is the doc's identity hash (md5 of normalized text), keeping the
+      two legs schema-identical.
+
+    Builder note: the near leg's connected-components loop executes
+    Spark jobs at build time (same as q_dedup_clusters)."""
     doc = _read(spark, sf_dir, "documents")
-    seen_fps = D.exact_dedup(doc.where(F.col("doc_id") % 2 == 0)).select("fingerprint")
-    survivors, _new_fps = D.incremental_dedup(
-        doc.where(F.col("doc_id") % 2 == 1), seen_fps
+    corpus = doc.where(F.col("doc_id") % 2 == 0)
+    shard = doc.where(F.col("doc_id") % 2 == 1)
+    seen_fps = D.exact_dedup(corpus).select("fingerprint")
+    surv_exact, _new_fps = D.incremental_dedup(shard, seen_fps)
+    leg1 = surv_exact.select(
+        F.lit("exact").alias("leg"), "doc_id", "fingerprint"
     )
-    return survivors.select("doc_id", "fingerprint").orderBy("doc_id")
+    seen_buckets = D.minhash_band_buckets(corpus)
+    surv_near, _new_buckets = D.incremental_near_dedup(shard, seen_buckets)
+    leg2 = surv_near.select(
+        F.lit("near").alias("leg"), "doc_id",
+        F.md5(D.normalized(F.col("text"))).alias("fingerprint"),
+    )
+    return leg1.unionByName(leg2).orderBy("leg", "doc_id")
 
 
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}
