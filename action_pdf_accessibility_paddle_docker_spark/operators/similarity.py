@@ -458,6 +458,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     seed: int = 7,
     max_iter: int = 20,
+    centers: "np.ndarray | None" = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): embeddings are coarse-clustered (the same MLlib
@@ -485,12 +486,19 @@ def semantic_dedup(
     paper accepts the same tradeoff). The rep assignment is stable under
     a re-shard (pinned by test); the cid LABELS are not canonical -- a
     different input partitioning can renumber the KMeans cells -- so
-    persist reps, not cids, across runs."""
+    persist reps, not cids, across runs. EXCEPTION: with prefitted
+    ``centers=`` (the fixture-oracle / shared-quantizer path) the cids ARE
+    canonical -- assignment is a pure argmax against a fixed matrix, which
+    is also what makes the whole operator replayable by an external
+    engine (tests/test_similarity.py replays assignment, pair join, and
+    the connected components in DuckDB against the committed centers
+    fixture)."""
     from .dedup import connected_component_labels
 
     assigned = ivf_assignments(
-        df, n_centroids=n_clusters, seed=seed, max_iter=max_iter,
-        id_col=id_col, vec_col=vec_col,
+        df, n_centroids=None if centers is not None else n_clusters,
+        seed=seed, max_iter=max_iter,
+        id_col=id_col, vec_col=vec_col, centers=centers,
     ).select(
         F.col(id_col).alias("vid"), F.col("cid"),
         _as_double(F.col(vec_col)).alias("v"),

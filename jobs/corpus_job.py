@@ -13,6 +13,12 @@ Stage order mirrors a production curation run (each stage optional):
   neardup  MinHash-LSH near-duplicate removal: connected components over
            the candidate graph, keep the min-id canonical per cluster
            (--hash-family md5mix|md5|xxhash64 picks the signature family)
+  semdedup SemDeDup-style semantic dedup over an embedding column
+           (--embeddings side table or --embedding-col on the input):
+           KMeans coarse cells -> within-cell cosine pairs -> keep the
+           min-id representative per semantic group; --semdedup-cap N
+           adds the paper's cluster-balanced diversity cap (at most N
+           survivors per cell)
   cap      per-source document cap (--cap-per-source N; anti-dominance)
   split    stable train/val/test assignment column
   sample   deterministic per-source keep rates (--rate src=0.5, repeatable)
@@ -39,7 +45,8 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("clean", "pii", "gate", "dedup", "neardup", "cap", "split", "sample")
+STAGES = ("clean", "pii", "gate", "dedup", "neardup", "semdedup", "cap",
+          "split", "sample")
 
 
 def main() -> None:
@@ -96,6 +103,26 @@ def main() -> None:
     ap.add_argument("--new-buckets", default=None,
                     help="neardup: where to write the bucket rows this "
                          "shard adds (required with --seen-buckets)")
+    ap.add_argument("--embeddings", default=None,
+                    help="semdedup: parquet side table of (<id-col>, "
+                         "<embedding-col>) rows; omitted = the input "
+                         "table itself carries the embedding column. "
+                         "Rows of the corpus without an embedding row "
+                         "are DROPPED by the stage (no embedding -> no "
+                         "semantic identity)")
+    ap.add_argument("--embedding-col", default="embedding",
+                    help="semdedup: array<float/double> column name")
+    ap.add_argument("--semdedup-threshold", type=float, default=0.9,
+                    help="semdedup: within-cell cosine at or above which "
+                         "two docs are one semantic group")
+    ap.add_argument("--semdedup-clusters", type=int, default=16,
+                    help="semdedup: KMeans coarse-cell count; grow with "
+                         "corpus size to keep cells bounded (the pair "
+                         "join is quadratic IN THE CELL)")
+    ap.add_argument("--semdedup-cap", type=int, default=0,
+                    help="semdedup: keep at most N survivors per coarse "
+                         "cell (cluster-balanced diversity sampling, the "
+                         "other half of the SemDeDup recipe; 0 = off)")
     ap.add_argument("--bucket-persist", default="cluster",
                     choices=("cluster", "canonical"),
                     help="neardup incremental: which docs' buckets enter "
@@ -174,6 +201,10 @@ def main() -> None:
                      "iterative label propagation has no streaming form; the "
                      "streaming near-dup path is the simhash "
                      "dropDuplicatesWithinWatermark in streaming/stream.py")
+        if "semdedup" in stages:
+            ap.error("semdedup is batch-only: the KMeans fit and the "
+                     "iterative component labeling both need the full "
+                     "corpus")
         if not args.checkpoint:
             ap.error("--streaming requires --checkpoint")
 
@@ -276,6 +307,45 @@ def run_pipeline(spark, args, stages) -> dict:
                 ),
                 "neardup",
             )
+    if "semdedup" in stages:
+        from action_pdf_accessibility_paddle_docker_spark.operators import (
+            similarity as S,
+        )
+
+        # materialize the pipeline-so-far: the KMeans fit, the iterative
+        # component labeling, and the survivor join all reference it
+        df = df.localCheckpoint(eager=False)
+        if getattr(args, "embeddings", None):
+            embt = spark.read.parquet(args.embeddings)
+        else:
+            embt = df
+        emb_col = getattr(args, "embedding_col", "embedding")
+        if emb_col not in embt.columns:
+            raise SystemExit(
+                f"semdedup: column {emb_col!r} not found "
+                f"{'in --embeddings' if getattr(args, 'embeddings', None) else 'on the input'}"
+                " -- pass --embedding-col or --embeddings"
+            )
+        if getattr(args, "embeddings", None):
+            # only ids still alive in the pipeline: a semantic rep must
+            # never be a doc an earlier stage already removed
+            embt = embt.join(df.select(args.id_col), args.id_col, "left_semi")
+        sem = S.semantic_dedup(
+            embt,
+            threshold=getattr(args, "semdedup_threshold", 0.9),
+            n_clusters=getattr(args, "semdedup_clusters", 16),
+            id_col=args.id_col, vec_col=emb_col,
+        )
+        keep = sem.where(F.col("rep_id") == F.col(args.id_col))
+        cap_n = int(getattr(args, "semdedup_cap", 0) or 0)
+        if cap_n > 0:
+            keep = T.cap_per_stratum(
+                keep, cap=cap_n, stratum_col="cid", id_col=args.id_col,
+                checkpoint=True,
+            )
+        df = observed(
+            df.join(keep.select(args.id_col), args.id_col), "semdedup"
+        )
     if "cap" in stages:
         # checkpoint=True: the cap's count aggregate and keep filter would
         # otherwise each re-execute the whole upstream stage chain

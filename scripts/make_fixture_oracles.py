@@ -323,8 +323,36 @@ def lsh_band_planes_fixture() -> str:
     return _write("lsh_band_planes", pa.table(rows, schema=schema))
 
 
+def semdedup_centers_fixture() -> str:
+    """Deterministic coarse-quantizer centers for the semantic-dedup
+    fixture oracle: 8 evenly-strided embeddings from the sf0.01 table
+    (data-derived, like a kmeans++ init, so the Voronoi cells are
+    balanced -- md5-seeded Gaussian centers left 5 of 8 cells empty
+    because the ||c||^2/2 term of the Euclidean-argmin score dominates
+    arbitrary-norm centers). No KMeans fit: with FIXED centers,
+    semantic_dedup's entire pipeline is replayable by DuckDB (assignment
+    = argmax of list_dot_product(v, c) - ||c||^2/2, pairs a within-cell
+    cosine join, representatives a recursive-CTE closure) and the cid
+    labels are canonical (no KMeans renumbering). The committed fixture
+    stays valid against ANY input -- both engines read the same matrix --
+    the stride choice only keeps the cells populated at sf0.01."""
+    emb = pq.read_table("/root/testdata/sf0.01/embeddings.parquet")
+    ids = emb.column("vec_id").to_pylist()
+    vecs = emb.column("embedding").to_pylist()
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    stride = len(order) // 8
+    picked = [order[i * stride] for i in range(8)]
+    schema = pa.schema([("cid", pa.int32()),
+                        ("coeffs", pa.list_(pa.float64()))])
+    return _write("semdedup_centers", pa.table({
+        "cid": list(range(8)),
+        "coeffs": [[float(x) for x in vecs[i]] for i in picked],
+    }, schema=schema))
+
+
 if __name__ == "__main__":
     for fn in (extract_transcripts_fixture, pipeline_extract_dedup_fixture,
                multimodal_decode_fixture, mathml_from_image_fixture,
-               tag_tree_fixture, lsh_planes_fixture, lsh_band_planes_fixture):
+               tag_tree_fixture, lsh_planes_fixture, lsh_band_planes_fixture,
+               semdedup_centers_fixture):
         print(fn())

@@ -220,3 +220,58 @@ def test_partitioned_output_prunes_and_bounds_files(spark, tmp_path):
     assert "PartitionFilters" in plan
     assert "source" in plan.split("PartitionFilters")[1][:120]
     assert pruned.count() == 20
+
+
+def test_semdedup_stage_with_side_embeddings_table(spark, tmp_path):
+    """The semdedup stage end-to-end through the pipeline body: a side
+    --embeddings table keyed by doc_id, near-identical embedding groups
+    collapse to their min-id representative, a doc WITHOUT an embedding
+    row is dropped (documented contract), and --semdedup-cap bounds
+    survivors per coarse cell."""
+    import numpy as np
+
+    src = tmp_path / "in_sd"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, text=GOOD + f" tail {i}.", source="web")
+        for i in range(9)                      # 8 has no embedding row
+    ])
+    rng = np.random.default_rng(5)
+    e = np.eye(8)
+    vecs = {}
+    for i in range(3):                         # group A -> rep 0
+        vecs[i] = (e[0] + 0.01 * rng.standard_normal(8)).tolist()
+    for i in (3, 4):                           # group B -> rep 3
+        vecs[i] = (e[1] + 0.01 * rng.standard_normal(8)).tolist()
+    for j, i in enumerate((5, 6, 7)):          # distant singletons
+        vecs[i] = e[2 + j].tolist()
+    embp = tmp_path / "emb_sd"
+    embp.mkdir()
+    pq.write_table(pa.Table.from_pylist(
+        [dict(doc_id=i, embedding=v) for i, v in vecs.items()]
+    ), str(embp / "p.parquet"))
+
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_sd"),
+            embeddings=str(embp), embedding_col="embedding",
+            semdedup_threshold=0.95, semdedup_clusters=3, semdedup_cap=0),
+        ["semdedup"],
+    )
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out_sd")).collect()}
+    assert kept == {0, 3, 5, 6, 7}, kept       # groups collapse; 8 dropped
+    assert res["counters"]["after_semdedup"] == 5
+
+    # cluster-balanced cap: at most 1 survivor per coarse cell
+    res2 = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_sd2"),
+            embeddings=str(embp), embedding_col="embedding",
+            semdedup_threshold=0.95, semdedup_clusters=3, semdedup_cap=1),
+        ["semdedup"],
+    )
+    kept2 = {r["doc_id"]
+             for r in spark.read.parquet(str(tmp_path / "out_sd2")).collect()}
+    assert kept2 <= kept and 1 <= len(kept2) <= 3, kept2
+    assert res2["counters"]["after_semdedup"] == len(kept2)

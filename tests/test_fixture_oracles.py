@@ -18,6 +18,7 @@ from scripts.make_fixture_oracles import (
     mathml_from_image_fixture,
     multimodal_decode_fixture,
     pipeline_extract_dedup_fixture,
+    semdedup_centers_fixture,
     tag_tree_fixture,
 )
 
@@ -32,6 +33,7 @@ _BASENAME = {
     "tag_tree_fixture": "tag_tree_oracle",
     "lsh_planes_fixture": "lsh_planes",
     "lsh_band_planes_fixture": "lsh_band_planes",
+    "semdedup_centers_fixture": "semdedup_centers",
 }
 
 
@@ -45,6 +47,7 @@ _BASENAME = {
         tag_tree_fixture,
         lsh_planes_fixture,
         lsh_band_planes_fixture,
+        semdedup_centers_fixture,
     ],
     ids=lambda f: f.__name__,
 )
