@@ -88,7 +88,32 @@ def luhn_check(card: Column) -> Column:
     )
 
 
-def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def card_candidates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per card-SHAPED span with its Luhn verdict:
+    (id, candidate, luhn_valid) -- the consumable surface for
+    ``luhn_check``. Candidate extraction is the same CARD_RE the scrub
+    masks, so this is exactly the review queue a compliance pass reads:
+    which masked spans were real card numbers vs 16-digit order ids.
+    Rows are bounded by card-shaped occurrences (rare), which is where an
+    interpreted higher-order fold belongs -- NOT in the corpus-wide
+    projection (``pii_stats`` keeps its hot path regex-only unless
+    ``validate_cards=True`` is explicitly requested)."""
+    t = F.col(text_col)
+    return (
+        df.select(
+            F.col(id_col),
+            F.explode(F.regexp_extract_all(t, F.lit(CARD_RE), 0)).alias("candidate"),
+        )
+        .withColumn("luhn_valid", luhn_check(F.col("candidate")))
+    )
+
+
+def pii_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    validate_cards: bool = False,
+) -> DataFrame:
     """Per-document PII counts + the redacted text's fingerprint.
 
     The md5 of the redacted text (rather than the text itself) keeps the
@@ -96,16 +121,32 @@ def pii_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     against the oracle. The input is widened first (no-op when the scan
     already has enough splits) so a single-row-group file doesn't run the
     whole regex stack in one task; ``redact`` (the streaming/filtering
-    form) stays projection-only."""
+    form) stays projection-only.
+
+    ``validate_cards=True`` adds ``n_valid_cards``: how many card-shaped
+    spans pass the Luhn checksum (``luhn_check`` folded over the
+    extracted candidates only -- the interpreted HOF runs on each row's
+    candidate list, which is empty for almost every document; the
+    default keeps the hot projection strictly regex-only)."""
     from .dedup import _widen
 
     df = _widen(df)
     t = F.col(text_col)
+    valid = (
+        [F.size(
+            F.filter(
+                F.regexp_extract_all(t, F.lit(CARD_RE), 0),
+                lambda c: luhn_check(c),
+            )
+        ).cast("bigint").alias("n_valid_cards")]
+        if validate_cards else []
+    )
     return df.select(
         F.col(id_col),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),
         F.regexp_count(t, F.lit(CARD_RE)).cast("bigint").alias("n_cards"),
+        *valid,
         F.regexp_count(t, F.lit(SSN_RE)).cast("bigint").alias("n_ssns"),
         # independent signals on the ORIGINAL text: a +CC-prefixed dashed
         # number counts in both phone columns (redaction order still

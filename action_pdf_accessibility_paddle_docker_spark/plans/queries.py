@@ -1613,6 +1613,16 @@ from ..operators.pii import SSN_RE as _SSN_RE  # noqa: E402
            len(regexp_extract_all(text, '{_EMAIL_RE}'))::BIGINT AS n_emails,
            len(regexp_extract_all(text, '{_IPV4_RE}'))::BIGINT AS n_ips,
            len(regexp_extract_all(text, '{_CARD_RE}'))::BIGINT AS n_cards,
+           len(list_filter(regexp_extract_all(text, '{_CARD_RE}'),
+             c -> length(regexp_replace(c, '[^0-9]', '', 'g')) BETWEEN 13 AND 19
+              AND list_sum(list_transform(
+                    list_zip(string_split(reverse(regexp_replace(c, '[^0-9]', '', 'g')), ''),
+                             range(1, length(regexp_replace(c, '[^0-9]', '', 'g')) + 1)),
+                    z -> CASE WHEN z[2] % 2 = 1 THEN z[1]::INT
+                              ELSE z[1]::INT * 2
+                                   - CASE WHEN z[1]::INT >= 5 THEN 9 ELSE 0 END
+                         END)) % 10 = 0
+           ))::BIGINT AS n_valid_cards,
            len(regexp_extract_all(text, '{_SSN_RE}'))::BIGINT AS n_ssns,
            len(regexp_extract_all(text, '{_INTL_PHONE_RE}'))::BIGINT AS n_intl_phones,
            len(regexp_extract_all(text, '{_PHONE_RE}'))::BIGINT AS n_phones,
@@ -1635,8 +1645,13 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     phones): counts on the original text + md5 of the redacted text.
     RE2-compatible patterns so DuckDB evaluates the identical regexes;
     whole pass is one JVM projection. Card redaction is regex-only
-    (over-redaction is the safe direction; `pii.luhn_check` is the
-    JVM-expression validator for candidate scoring)."""
+    (over-redaction is the safe direction); ``n_valid_cards`` runs
+    ``pii.luhn_check`` over the EXTRACTED candidates (r5 verdict item 7:
+    the validator now has a driver-hash-checked consumer) -- the injected
+    '4111-1111-1111-<doc_id%10000>' cards make the checksum binding, since
+    validity varies with the doc-dependent last group (both verdicts occur
+    at sf0.01). The oracle replays the same Luhn fold with DuckDB list
+    lambdas."""
     from ..operators import pii as P
 
     d = F.col("doc_id")
@@ -1671,7 +1686,7 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc = D._widen(_read(spark, sf_dir, "documents")).select(
         "doc_id", injected.alias("text")
     )
-    return P.pii_stats(doc).orderBy("doc_id")
+    return P.pii_stats(doc, validate_cards=True).orderBy("doc_id")
 
 
 @register(

@@ -177,3 +177,39 @@ def test_luhn_check_known_vectors(spark):
     got = {r["id"]: r["ok"] for r in
            df.select("id", luhn_check(F.col("c")).alias("ok")).collect()}
     assert got == {i: want for i, _, want in rows}
+
+
+def test_card_candidates_surface_and_validated_stats(spark):
+    """luhn_check's consumable surfaces (r5 verdict item 7): the
+    card_candidates review queue (one row per card-shaped span with its
+    Luhn verdict) and pii_stats(validate_cards=True)'s n_valid_cards
+    column, which must count exactly the passing candidates while the
+    default form keeps its hot projection regex-only (no n_valid_cards
+    column at all)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.pii import (
+        card_candidates,
+        pii_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "pay 4111-1111-1111-1111 or 4111 1111 1111 1112 today"),
+            (1, "amex 378282246310005 and order id 1234567890123456"),
+            (2, "no cards at all in this text"),
+        ],
+        "doc_id long, text string",
+    )
+    cands = {(r["doc_id"], r["candidate"]): r["luhn_valid"]
+             for r in card_candidates(df).collect()}
+    assert cands == {
+        (0, "4111-1111-1111-1111"): True,
+        (0, "4111 1111 1111 1112"): False,
+        (1, "378282246310005"): True,
+        (1, "1234567890123456"): False,
+    }
+
+    stats = {r["doc_id"]: r for r in
+             pii_stats(df, validate_cards=True).collect()}
+    assert [(stats[i]["n_cards"], stats[i]["n_valid_cards"])
+            for i in range(3)] == [(2, 1), (2, 1), (0, 0)]
+    assert "n_valid_cards" not in pii_stats(df).columns
