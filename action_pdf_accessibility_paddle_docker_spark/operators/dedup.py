@@ -686,6 +686,75 @@ def incremental_near_dedup(
     return survivors, new_buckets
 
 
+def minhash_buckets_col(
+    text_col,
+    num_hashes: int = NUM_MINHASHES,
+    bands: int = LSH_BANDS,
+    hash_family: str = "md5mix",
+):
+    """Row-wise MinHash LSH band buckets as ONE array column
+    (``array<struct<band int, bucket string>>``) -- value-identical to the
+    exploded ``minhash_band_buckets`` table (pinned by test), computed
+    without any aggregate.
+
+    Like ``simhash_col``, this EXISTS FOR STREAMING: a stream cannot put a
+    stateful explode+groupBy signature under a downstream join, but a
+    stateless column expression composes anywhere -- it is what lets an
+    arriving stream be probed against the corpus's persisted bucket table
+    with plain stream-static anti-joins (streaming/stream.py). The batch
+    path keeps the explode+agg form: higher-order folds run interpreted
+    (the measured simhash/minhash trade), though md5mix's one-md5-per-
+    shingle keeps the interpreted cost bearable at stream rates.
+
+    A document with NO shingles (empty/whitespace/NULL text) yields a
+    NULL array -- mirroring the batch form, where such a doc simply has no
+    bucket rows (a non-NULL placeholder would collapse every empty doc
+    into one shared bucket)."""
+    sh = F.filter(word_bigrams(text_col), lambda s: F.length(s) > 0)
+    if hash_family == "md5mix":
+        p = MINHASH_MIX_PRIME
+        mix = minhash_mix_constants(num_hashes)
+        # ONE md5 per shingle, hoisted: the per-hash transforms fold over
+        # the precomputed (x1, x2) pairs
+        xs = F.transform(
+            F.transform(sh, F.md5),
+            lambda h: F.struct(
+                _hash_hex_to_long(h).alias("x1"),
+                F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("x2"),
+            ),
+        )
+        h_i = lambda i: F.array_min(F.transform(  # noqa: E731
+            xs,
+            lambda x: (
+                (F.lit(mix[i][0]) * x["x1"]) % p
+                + (F.lit(mix[i][1]) * x["x2"]) % p
+                + F.lit(mix[i][2])
+            ) % p,
+        ))
+    elif hash_family == "md5":
+        h_i = lambda i: F.array_min(F.transform(  # noqa: E731
+            sh, lambda s: _hash_hex_to_long(F.md5(F.concat_ws(":", F.lit(i), s)))
+        ))
+    elif hash_family == "xxhash64":
+        h_i = lambda i: F.array_min(F.transform(  # noqa: E731
+            sh, lambda s: F.xxhash64(F.lit(i), s)
+        ))
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    sig = [h_i(i) for i in range(num_hashes)]
+    rows_per_band = num_hashes // bands
+    band_structs = []
+    for b in range(bands):
+        bucket = F.md5(F.concat_ws(",", *[
+            sig[b * rows_per_band + i].cast("string")
+            for i in range(rows_per_band)
+        ]))
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), bucket.alias("bucket"))
+        )
+    return F.when(F.size(sh) > 0, F.array(*band_structs))
+
+
 def simhash_col(text_col, bits: int = SIMHASH_BITS):
     """Row-wise simhash as ONE array expression: per-bit majority vote over
     the (non-distinct) token hashes of the normalized text. Null text ->

@@ -182,6 +182,67 @@ def streaming_near_dedup(stream: DataFrame, watermark: str = "30 minutes") -> Da
     )
 
 
+def streaming_near_dedup_against_corpus(
+    stream: DataFrame,
+    seen_buckets: DataFrame,
+    text_col: str = "text",
+    hash_family: str = "md5mix",
+) -> DataFrame:
+    """Drop arriving documents that share ANY MinHash LSH band bucket with
+    the batch corpus's persisted bucket table -- the STREAMING half of the
+    incremental near-dedup loop (``dedup.incremental_near_dedup`` is the
+    batch/CDC half; both probe the same table with the same semantics).
+
+    Entirely STATELESS: the band buckets are a row-wise column
+    (``dedup.minhash_buckets_col``, value-pinned to the batch signatures),
+    and "hit in any band" decomposes into one stream-static LEFT ANTI
+    equi-join per band on that band's bucket value -- no stateful
+    aggregate, no watermark requirement of its own, so it composes freely
+    with the stateless curation stages and with
+    ``streaming_near_dedup`` / ``streaming_exact_dedup`` (which handle
+    WITHIN-stream duplicates; this operator only knows the corpus).
+    Documents with no shingles have NULL buckets, match nothing, and pass
+    -- same contract as the batch form, where they have no bucket rows.
+
+    Scale: the static side re-resolves per micro-batch; write the bucket
+    table ``partitionBy('band')`` and each of the per-band joins scans
+    exactly its partition (partition-pruned). The stream side is
+    micro-batch-sized; Spark broadcasts it when small. The appendix
+    (persisting the survivors' buckets back) is deliberately NOT done
+    here -- a stream updating the table it joins against would race its
+    own micro-batches; run the batch ``incremental_near_dedup`` over the
+    accumulated output to advance the table.
+
+    The table's ``hash_family`` stamp (when present) must match, exactly
+    as in the batch path: bucket values are md5 hex in every family, so a
+    mismatch silently admits near-dups of corpus content."""
+    from ..operators.dedup import LSH_BANDS, minhash_buckets_col
+
+    if "hash_family" in seen_buckets.columns:
+        first = seen_buckets.select("hash_family").head(1)
+        if first and first[0]["hash_family"] != hash_family:
+            raise ValueError(
+                f"seen bucket table carries hash_family="
+                f"{first[0]['hash_family']!r} but this stream uses "
+                f"{hash_family!r}; bucket values never match across "
+                "families -- use the table's family or rebuild it"
+            )
+    out = stream.withColumn(
+        "_bb", minhash_buckets_col(F.col(text_col), hash_family=hash_family)
+    )
+    for b in range(LSH_BANDS):
+        out = out.withColumn(
+            f"_bkt{b}", F.element_at(F.col("_bb"), b + 1)["bucket"]
+        )
+    out = out.drop("_bb")
+    for b in range(LSH_BANDS):
+        sb = seen_buckets.where(F.col("band") == b).select(
+            F.col("bucket").alias(f"_bkt{b}")
+        )
+        out = out.join(sb, f"_bkt{b}", "left_anti")
+    return out.drop(*[f"_bkt{b}" for b in range(LSH_BANDS)])
+
+
 def _duration_ms(s: str) -> int:
     n, unit = s.split()
     mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000,

@@ -143,8 +143,10 @@ def main() -> None:
                          "arriving document files; clean/pii/gate/split/sample are "
                          "stateless and stream as-is, dedup becomes the "
                          "watermarked streaming exact dedup (cross-batch state "
-                         "bounded by --dedup-horizon); incremental --seen-fps "
-                         "is batch-only")
+                         "bounded by --dedup-horizon), neardup becomes the "
+                         "stateless corpus probe against --seen-buckets "
+                         "(stream-static anti-joins, no appendix); incremental "
+                         "--seen-fps is batch-only")
     ap.add_argument("--checkpoint", default=None, help="streaming checkpoint dir")
     ap.add_argument("--ts-col", default="ts",
                     help="streaming dedup event-time column (must exist on the "
@@ -158,8 +160,11 @@ def main() -> None:
         ap.error(f"unknown stages: {unknown}")
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
-    if ("neardup" in stages) and args.seen_buckets and not args.new_buckets:
-        ap.error("--seen-buckets requires --new-buckets")
+    if ("neardup" in stages) and args.seen_buckets and not args.new_buckets \
+            and not args.streaming:
+        ap.error("--seen-buckets requires --new-buckets (batch incremental "
+                 "mode writes the shard's appendix; only the --streaming "
+                 "corpus probe runs appendix-less)")
     for new_p, seen_p, names in (
         (args.new_fps, args.seen_fps, "--new-fps/--seen-fps"),
         (args.new_buckets, args.seen_buckets, "--new-buckets/--seen-buckets"),
@@ -196,11 +201,18 @@ def main() -> None:
             ap.error("--mix-temperature is batch-only: deriving the rates "
                      "needs a corpus-wide per-source aggregate; pass "
                      "explicit --rate flags when streaming")
-        if "neardup" in stages:
-            ap.error("neardup (LSH connected components) is batch-only: the "
-                     "iterative label propagation has no streaming form; the "
-                     "streaming near-dup path is the simhash "
-                     "dropDuplicatesWithinWatermark in streaming/stream.py")
+        if "neardup" in stages and not args.seen_buckets:
+            ap.error("streaming neardup requires --seen-buckets: the "
+                     "WITHIN-stream connected-components form is batch-only; "
+                     "what streams is the stateless corpus probe (drop docs "
+                     "sharing any LSH band bucket with the persisted table). "
+                     "For within-stream near-dups compose the simhash "
+                     "dropDuplicatesWithinWatermark path")
+        if "neardup" in stages and args.new_buckets:
+            ap.error("--new-buckets is batch-only: a stream updating the "
+                     "bucket table it joins against would race its own "
+                     "micro-batches; advance the table with a batch "
+                     "incremental run over the accumulated output")
         if "semdedup" in stages:
             ap.error("semdedup is batch-only: the KMeans fit and the "
                      "iterative component labeling both need the full "
@@ -463,6 +475,18 @@ def run_pipeline_streaming(spark, args, stages) -> dict:
             .withWatermark("_ts", args.dedup_horizon)
             .dropDuplicatesWithinWatermark(["fingerprint"])
             .drop("fingerprint", "_ts")
+        )
+    if "neardup" in stages:
+        # stateless corpus probe (argparse guarantees --seen-buckets):
+        # drop arriving docs near ANYTHING the batch corpus has seen;
+        # within-stream near-dups are the simhash watermark path's job
+        from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+            streaming_near_dedup_against_corpus,
+        )
+
+        seen = spark.read.parquet(args.seen_buckets)
+        df = streaming_near_dedup_against_corpus(
+            df, seen, text_col=args.text_col, hash_family=args.hash_family,
         )
     if "split" in stages:
         df = T.stable_split(df, id_col=args.id_col)

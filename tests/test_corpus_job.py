@@ -275,3 +275,39 @@ def test_semdedup_stage_with_side_embeddings_table(spark, tmp_path):
              for r in spark.read.parquet(str(tmp_path / "out_sd2")).collect()}
     assert kept2 <= kept and 1 <= len(kept2) <= 3, kept2
     assert res2["counters"]["after_semdedup"] == len(kept2)
+
+
+def test_streaming_neardup_corpus_probe(spark, tmp_path):
+    """--streaming + neardup + --seen-buckets: the stateless stream-static
+    corpus probe drops arriving docs near persisted corpus content while
+    fresh docs flow through; driven through the streaming pipeline body."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        minhash_band_buckets,
+    )
+    from jobs.corpus_job import run_pipeline_streaming
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    corpus = spark.createDataFrame(
+        [(1, base)], "doc_id long, text string"
+    )
+    seen_path = tmp_path / "seen_nb"
+    minhash_band_buckets(corpus).write.partitionBy("band").parquet(str(seen_path))
+
+    src = tmp_path / "in_snd"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=10, text=base.upper(), source="web"),          # corpus hit
+        dict(doc_id=11, text="one two three four five six seven "
+                             "eight nine ten", source="web"),      # fresh
+    ])
+    ns = _ns(
+        input=str(src), output=str(tmp_path / "out_snd"),
+        streaming=True, checkpoint=str(tmp_path / "ck_snd"),
+        ts_col="ts", dedup_horizon="30 minutes",
+        seen_buckets=str(seen_path), new_buckets=None,
+    )
+    res = run_pipeline_streaming(spark, ns, ["neardup"])
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out_snd")).collect()}
+    assert kept == {11}
+    assert res["counters"]["output"] == 1

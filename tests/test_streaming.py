@@ -405,3 +405,81 @@ def test_streaming_near_dedup_survives_restart(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     texts = sorted(r["text"] for r in rows)
     assert texts == ["omega psi chi phi", "totally new words here"]
+
+
+def test_streaming_near_dedup_against_corpus_bucket_table(spark, tmp_path):
+    """The stateless stream-static corpus probe: arriving docs sharing ANY
+    band bucket with the persisted batch bucket table are dropped; fresh
+    docs and shingle-less docs pass; the survivors equal the batch
+    incremental path's cross-corpus verdict on the same shard (the
+    within-shard half is deliberately out of scope -- compose
+    streaming_near_dedup/streaming_exact_dedup for that). Also: the
+    hash-family stamp mismatch fails loudly before any micro-batch."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_near_dedup,
+        minhash_band_buckets,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        streaming_near_dedup_against_corpus,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    fresh = "one two three four five six seven eight nine ten"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different words live here okay")],
+        "doc_id long, text string",
+    )
+    seen_path = tmp_path / "seen_buckets"
+    minhash_band_buckets(corpus).write.partitionBy("band").parquet(str(seen_path))
+    seen = spark.read.parquet(str(seen_path))
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("doc_id", pa.int64()), ("text", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+    shard_rows = [
+        dict(doc_id=10, text=base.upper().replace(" ", "   ")),  # corpus hit
+        dict(doc_id=11, text=fresh),                             # genuinely new
+        dict(doc_id=12, text="oneword"),                         # no shingles
+    ]
+    pq.write_table(pa.Table.from_pylist(
+        [dict(r, ts=t0 + timedelta(seconds=r["doc_id"])) for r in shard_rows],
+        schema=schema,
+    ), str(src / "f0.parquet"))
+
+    stream = spark.readStream.schema(
+        "doc_id long, text string, ts timestamp"
+    ).parquet(str(src))
+    q = (
+        streaming_near_dedup_against_corpus(stream, seen)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(240), "stream did not drain within timeout"
+    survivors = {r["doc_id"]
+                 for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert survivors == {11, 12}
+
+    # batch twin on the same shard: the cross-corpus verdict agrees (no
+    # within-shard near-dup pairs in this shard, so the CC half is inert)
+    shard_df = spark.createDataFrame(
+        [(r["doc_id"], r["text"]) for r in shard_rows],
+        "doc_id long, text string",
+    )
+    batch_surv, _ = incremental_near_dedup(shard_df, seen)
+    assert {r["doc_id"] for r in batch_surv.collect()} == survivors
+
+    with pytest.raises(ValueError, match="hash_family"):
+        streaming_near_dedup_against_corpus(stream, seen,
+                                            hash_family="xxhash64")
