@@ -647,3 +647,104 @@ def cap_per_stratum(
         .where(keep)
         .drop("_s", "_n")
     )
+
+
+def corpus_report(
+    df: DataFrame, text_col: str = "text", exact_dup: bool = False,
+    **gate_overrides,
+) -> DataFrame:
+    """One-row corpus audit report -- the observability pass a curation
+    pipeline runs before and after its stages (the CCNet / Dolma-style
+    corpus card numbers): document/token/char totals, the language mix,
+    the quality-gate keep fraction with a per-reason reject histogram,
+    how many documents carry each PII class, and the exact-duplicate
+    estimate.
+
+    Scale shape: ONE corpus scan. Every per-document signal (gate
+    reasons, language guess, PII flags, content fingerprint) is computed
+    in a single fused projection (reusing the gate's shared expression
+    frame), then folded by ONE map-side-combined aggregate into a single
+    row. Duplicate counting defaults to ``approx_count_distinct`` on the
+    fingerprint so the report stays one pass with no Expand rewrite --
+    mixing an EXACT count-distinct into a multi-aggregate triggers
+    Catalyst's Expand (every row duplicated per aggregate family; the
+    q_sketch_accuracy lesson) -- and a ~2% HLL error on a dup-rate
+    estimate is the right trade at 100 TB. ``exact_dup=True`` swaps in
+    the exact distinct as a SECOND aggregate family joined back (one
+    extra pass over the fingerprint column, still no Expand).
+
+    Returns a 1-row DataFrame so the report composes (write it next to
+    the output, union across shards, diff across rounds)."""
+    from .dedup import normalized
+
+    base, reasons, cols = _gate_frame(df, text_col, {**GATE_DEFAULTS,
+                                                     **gate_overrides})
+    t = F.col(text_col)
+    from .pii import CARD_RE, EMAIL_RE, INTL_PHONE_RE, IPV4_RE, PHONE_RE, SSN_RE
+
+    low = F.transform(F.col("_toks"), lambda x: F.lower(x))
+    es_arr = F.array(*[F.lit(w) for w in ES_STOPWORDS])
+    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    en = F.size(F.filter(low, lambda x: F.array_contains(en_arr, x)))
+    es = F.size(F.filter(low, lambda x: F.array_contains(es_arr, x)))
+    lang = (F.when(es > en, F.lit("es")).when(en > 0, F.lit("en"))
+            .otherwise(F.lit("und")))
+    per_doc = base.select(
+        cols["n_tokens"].alias("_nt"),
+        F.length(t).alias("_nc"),
+        reasons.alias("_rej"),
+        lang.alias("_lang"),
+        *[
+            (F.regexp_count(t, F.lit(rx)) > 0).cast("int").alias(f"_pii_{name}")
+            for name, rx in (("email", EMAIL_RE), ("ip", IPV4_RE),
+                             ("card", CARD_RE), ("ssn", SSN_RE),
+                             ("intl_phone", INTL_PHONE_RE),
+                             ("phone", PHONE_RE))
+        ],
+        F.md5(normalized(t)).alias("_fp"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_nt").cast("bigint").alias("total_tokens"),
+        F.sum("_nc").cast("bigint").alias("total_chars"),
+        F.round(F.avg((F.col("_rej") == "").cast("double")), 6)
+         .alias("gate_keep_frac"),
+        *[
+            F.sum((F.array_contains(F.split(F.col("_rej"), ","), name))
+                  .cast("bigint")).alias(f"rej_{name}")
+            for name, _cond in _GATE_REASONS
+        ],
+        *[
+            F.sum((F.col("_lang") == code).cast("bigint")).alias(f"lang_{code}")
+            for code in ("en", "es", "und")
+        ],
+        *[
+            F.sum(F.col(f"_pii_{name}")).cast("bigint")
+             .alias(f"docs_with_{name}")
+            for name in ("email", "ip", "card", "ssn", "intl_phone", "phone")
+        ],
+        # NULL-text docs have a NULL fingerprint (excluded from the
+        # distinct count); surfaced separately so the dup estimate below
+        # can stay "dups among content-bearing docs"
+        F.sum(F.col("_fp").isNull().cast("bigint")).cast("bigint")
+         .alias("docs_null_text"),
+    ]
+    if exact_dup:
+        one = per_doc.agg(*aggs)
+        distinct = per_doc.agg(
+            F.count_distinct(F.col("_fp")).alias("n_distinct_fp")
+        )
+        out = one.crossJoin(F.broadcast(distinct))
+    else:
+        out = per_doc.agg(
+            *aggs,
+            F.approx_count_distinct("_fp").alias("n_distinct_fp"),
+        )
+    return out.withColumn(
+        "est_dup_docs",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            (F.col("n_docs") - F.col("docs_null_text")
+             - F.col("n_distinct_fp")).cast("bigint"),
+        ),
+    )

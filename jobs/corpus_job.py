@@ -138,6 +138,19 @@ def main() -> None:
                          "(default; one md5 per shingle + universal mixes, "
                          "DuckDB-replayable), md5 (historical, 16 md5s per "
                          "shingle), xxhash64 (fastest, not replayable)")
+    ap.add_argument("--report", default=None, metavar="PATH",
+                    help="after the write, run the one-pass corpus audit "
+                         "(corpus_report: totals, language mix, gate keep "
+                         "fraction + reject histogram, per-class PII doc "
+                         "counts, dup estimate) over the CURATED output and "
+                         "write the one-row report as JSON to PATH; also "
+                         "embedded in the job's JSON line under 'report'. "
+                         "Batch-only (corpus-wide aggregate)")
+    ap.add_argument("--report-exact-dup", action="store_true",
+                    help="report: count distinct fingerprints EXACTLY (one "
+                         "extra pass) instead of the one-pass HLL estimate "
+                         "-- use at validation scale, where the ~2%% HLL "
+                         "error would dwarf a near-zero true dup count")
     ap.add_argument("--streaming", action="store_true",
                     help="run as a Structured Streaming job (availableNow) over "
                          "arriving document files; clean/pii/gate/split/sample are "
@@ -217,6 +230,9 @@ def main() -> None:
             ap.error("semdedup is batch-only: the KMeans fit and the "
                      "iterative component labeling both need the full "
                      "corpus")
+        if args.report:
+            ap.error("--report is batch-only (corpus-wide aggregate); run "
+                     "it as a separate batch job over the stream's output")
         if not args.checkpoint:
             ap.error("--streaming requires --checkpoint")
 
@@ -432,7 +448,18 @@ def run_pipeline(spark, args, stages) -> dict:
         except Exception:  # noqa: BLE001 -- metrics node elided
             counters[f"after_{stage}"] = frame.count()
     counters["output"] = spark.read.parquet(args.output).count()
-    return {"mode": "corpus", "stages": stages, "counters": counters}
+    result = {"mode": "corpus", "stages": stages, "counters": counters}
+    if getattr(args, "report", None):
+        # audit the CURATED output (what ships), not the input: diffing
+        # reports across runs/stages is the point of the artifact
+        row = T.corpus_report(
+            spark.read.parquet(args.output), text_col=args.text_col,
+            exact_dup=bool(getattr(args, "report_exact_dup", False)),
+        ).collect()[0].asDict()
+        with open(args.report, "w") as f:
+            json.dump(row, f, indent=1, sort_keys=True)
+        result["report"] = row
+    return result
 
 
 

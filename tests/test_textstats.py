@@ -362,3 +362,76 @@ def test_stratified_sample_null_stratum_is_governed_not_dropped(spark):
     rates = temperature_mix_rates(df, temperature=1.0, keep_fraction=0.5)
     assert set(rates) == {"web", None}
     assert all(abs(v - 0.5) < 1e-9 for v in rates.values())
+
+
+def test_corpus_report_consistent_with_certified_operators(spark):
+    """corpus_report is ONE fused scan+aggregate; every number it emits
+    must equal the aggregation of the independently-oracled per-doc
+    operators (quality_gate, document_stats, pii_stats, exact_dedup) on
+    the same input -- self-consistency across certified surfaces. The
+    default dup estimate uses approx_count_distinct (no Expand rewrite;
+    one pass); exact_dup=True must be exactly right."""
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        exact_dedup,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.pii import (
+        pii_stats,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        corpus_report,
+        document_stats,
+        quality_gate,
+    )
+
+    good = ("the quick brown fox jumps over the lazy dog and keeps going. "
+            "a second sentence of perfectly ordinary content follows it. "
+            "the third one wraps the document up with a clean full stop.")
+    es = ("el perro corre por la calle y los gatos miran desde la ventana "
+          "de la casa. la gente pasa y en el parque los arboles crecen.")
+    rows = [
+        (0, good + " mail a@b.io or card 4111-1111-1111-1111 now."),
+        (1, good),
+        (2, good),                       # exact dup of 1
+        (3, "tiny."),                    # too_short reject
+        (4, es),
+        (5, None),                       # null text
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    rep = corpus_report(df, exact_dup=True).collect()[0].asDict()
+
+    gate = quality_gate(df).collect()
+    assert rep["n_docs"] == 6
+    assert rep["gate_keep_frac"] == round(
+        sum(1 for r in gate if r["keep"]) / 6, 6)
+    for reason in ("too_short", "high_punct", "low_stopword",
+                   "low_distinct", "repetitive_bigram"):
+        want = sum(1 for r in gate if reason in (r["reject_reasons"] or ""))
+        assert rep[f"rej_{reason}"] == want, reason
+
+    stats = document_stats(df).collect()   # NULL text rides along as 'und'
+    for code in ("en", "es", "und"):
+        assert rep[f"lang_{code}"] == sum(
+            1 for r in stats if r["lang_guess"] == code), code
+    assert rep["total_chars"] == sum(len(t) for _, t in rows if t is not None)
+
+    pii = pii_stats(df.where(F.col("text").isNotNull())).collect()
+    assert rep["docs_with_email"] == sum(1 for r in pii if r["n_emails"] > 0)
+    assert rep["docs_with_card"] == sum(1 for r in pii if r["n_cards"] > 0)
+    assert rep["docs_with_ssn"] == 0
+
+    n_fp = exact_dedup(df.where(F.col("text").isNotNull())).count()
+    assert rep["docs_null_text"] == 1
+    assert rep["n_distinct_fp"] == n_fp
+    assert rep["est_dup_docs"] == 5 - n_fp == 1
+
+    # default (one-pass approx) form: same exact columns, HLL estimate
+    # within its documented error on this cardinality
+    rep2 = corpus_report(df).collect()[0].asDict()
+    assert {k: v for k, v in rep2.items()
+            if k not in ("n_distinct_fp", "est_dup_docs")} == \
+           {k: v for k, v in rep.items()
+            if k not in ("n_distinct_fp", "est_dup_docs")}
+    assert abs(rep2["n_distinct_fp"] - n_fp) <= max(1, int(0.05 * n_fp))
