@@ -562,6 +562,29 @@ def dedup_clusters(
     return connected_component_labels(nodes, pairs, max_iter=max_iter)
 
 
+def check_bucket_family(seen_buckets: DataFrame, hash_family: str) -> None:
+    """Fail loudly when a persisted bucket table's ``hash_family`` stamp
+    (when present) differs from the one this run would signature with:
+    bucket values are md5 hex in every family, so a mismatch silently
+    admits near-dups of corpus content instead of erroring. One sampled
+    row suffices -- the operators only ever write a uniform stamp, so a
+    full-table distinct would pay a corpus-scale aggregate per shard to
+    detect hand-made mixed unions the error already tells the user to
+    rebuild. Shared by the batch (``incremental_near_dedup``) and
+    streaming (``streaming_incremental_near_dedup``) probes."""
+    if "hash_family" not in seen_buckets.columns:
+        return
+    first = seen_buckets.select("hash_family").head(1)
+    if first and first[0]["hash_family"] != hash_family:
+        raise ValueError(
+            f"seen bucket table carries hash_family="
+            f"{first[0]['hash_family']!r} but this run uses "
+            f"{hash_family!r}; bucket values never match across "
+            "families -- re-run with the table's family or rebuild "
+            "the table"
+        )
+
+
 def incremental_near_dedup(
     new_df: DataFrame,
     seen_buckets: DataFrame,
@@ -631,20 +654,7 @@ def incremental_near_dedup(
             f"persist_buckets must be 'cluster' or 'canonical', "
             f"got {persist_buckets!r}"
         )
-    if "hash_family" in seen_buckets.columns:
-        # one row suffices: the operator only ever writes a uniform stamp,
-        # so a full-table distinct would pay a corpus-scale aggregate per
-        # shard to detect hand-made mixed unions the error message already
-        # tells the user to rebuild
-        first = seen_buckets.select("hash_family").head(1)
-        if first and first[0]["hash_family"] != hash_family:
-            raise ValueError(
-                f"seen bucket table carries hash_family="
-                f"{first[0]['hash_family']!r} but this run uses "
-                f"{hash_family!r}; bucket values never match across "
-                "families -- re-run with the table's family or rebuild "
-                "the table"
-            )
+    check_bucket_family(seen_buckets, hash_family)
     buckets = minhash_band_buckets(
         new_df, num_hashes, bands, id_col, text_col, hash_family
     ).localCheckpoint(eager=False)

@@ -242,6 +242,16 @@ def fit_quantizer(
     train = corpus.select(
         array_to_vector(_as_double(F.col(vec_col))).alias("features")
     )
+    if train.isEmpty():
+        # MLlib's fit on zero rows dies deep in the JVM summarizer
+        # ("Nothing has been added to this summarizer") -- fail with the
+        # actual cause instead. The limit-1 probe is noise next to the
+        # iterative full-corpus fit that follows.
+        raise ValueError(
+            "fit_quantizer: corpus has no rows -- an upstream stage "
+            "(gate/dedup/semi-join) emptied the pipeline, or the "
+            "embedding table does not overlap the surviving ids"
+        )
     model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter).fit(train)
     return np.stack([np.asarray(c) for c in model.clusterCenters()])
 
@@ -494,6 +504,19 @@ def semantic_dedup(
     the connected components in DuckDB against the committed centers
     fixture)."""
     from .dedup import connected_component_labels
+
+    if centers is None and df.isEmpty():
+        # the KMeans fit is already eager, so the limit-1 probe costs
+        # nothing extra -- and an emptied pipeline (e.g. a quality gate
+        # that dropped everything, or an embedding side table disjoint
+        # from the surviving ids) must yield an empty result, not a
+        # JVM summarizer crash. With prefitted centers the whole plan
+        # stays lazy and an empty input flows through the joins anyway.
+        return df.select(
+            F.col(id_col),
+            F.lit(0).cast("int").alias("cid"),
+            F.col(id_col).alias("rep_id"),
+        ).limit(0)
 
     assigned = ivf_assignments(
         df, n_centroids=None if centers is not None else n_clusters,

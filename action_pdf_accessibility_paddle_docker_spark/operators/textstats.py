@@ -14,6 +14,21 @@ from pyspark.sql import functions as F
 # shared constants (mirrored literally in the oracle SQL)
 EN_STOPWORDS = ("the", "a", "of", "and", "to", "in")
 ES_STOPWORDS = ("el", "la", "de", "los", "y", "en")
+
+
+def _lang_signals(toks):
+    """(en_stopword_count, es_stopword_count, lang_guess) columns from a
+    token-array column -- the ONE definition of the n-gram language
+    heuristic, shared by ``document_stats`` (per-doc ``lang_guess``) and
+    ``corpus_report`` (language histogram) so the two can never drift."""
+    low = F.transform(toks, lambda x: F.lower(x))
+    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+    es_arr = F.array(*[F.lit(w) for w in ES_STOPWORDS])
+    en = F.size(F.filter(low, lambda x: F.array_contains(en_arr, x)))
+    es = F.size(F.filter(low, lambda x: F.array_contains(es_arr, x)))
+    lang = (F.when(es > en, F.lit("es")).when(en > 0, F.lit("en"))
+            .otherwise(F.lit("und")))
+    return en, es, lang
 PUNCT_CLASS = "[.,;:!?]"
 
 
@@ -242,9 +257,7 @@ def _gate_frame(df: DataFrame, text_col: str, p: dict):
         (n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("double")
         / n_chars, 6,
     )
-    low = F.transform(toks, lambda x: F.lower(x))
-    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    en = F.size(F.filter(low, lambda x: F.array_contains(en_arr, x)))
+    en, _es, _lang = _lang_signals(toks)  # unused columns never enter the plan
     stopword_ratio = F.round(en.cast("double") / n_tokens, 6)
     n_words = F.size(F.col("_wt"))
     # docs with no countable words (empty text) fail the distinct gate
@@ -344,11 +357,7 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     toks = F.col("_toks")
     tl = F.col("_t")
-    low = F.transform(toks, lambda x: F.lower(x))
-    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    es_arr = F.array(*[F.lit(w) for w in ES_STOPWORDS])
-    en = F.size(F.filter(low, lambda x: F.array_contains(en_arr, x)))
-    es = F.size(F.filter(low, lambda x: F.array_contains(es_arr, x)))
+    en, es, lang = _lang_signals(toks)
     n_tokens = F.size(toks)
     n_chars = F.length(tl)
     n_punct = n_chars - F.length(F.regexp_replace(tl, PUNCT_CLASS, ""))
@@ -364,10 +373,7 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
         F.round(en.cast("double") / n_tokens, 6).alias("stopword_ratio"),
         F.round(tok_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
-        F.when(es > en, F.lit("es"))
-        .when(en > 0, F.lit("en"))
-        .otherwise(F.lit("und"))
-        .alias("lang_guess"),
+        lang.alias("lang_guess"),
         F.md5(norm).alias("fingerprint"),
     )
 
@@ -682,13 +688,7 @@ def corpus_report(
     t = F.col(text_col)
     from .pii import CARD_RE, EMAIL_RE, INTL_PHONE_RE, IPV4_RE, PHONE_RE, SSN_RE
 
-    low = F.transform(F.col("_toks"), lambda x: F.lower(x))
-    es_arr = F.array(*[F.lit(w) for w in ES_STOPWORDS])
-    en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
-    en = F.size(F.filter(low, lambda x: F.array_contains(en_arr, x)))
-    es = F.size(F.filter(low, lambda x: F.array_contains(es_arr, x)))
-    lang = (F.when(es > en, F.lit("es")).when(en > 0, F.lit("en"))
-            .otherwise(F.lit("und")))
+    _en, _es, lang = _lang_signals(F.col("_toks"))
     per_doc = base.select(
         cols["n_tokens"].alias("_nt"),
         F.length(t).alias("_nc"),

@@ -2022,11 +2022,15 @@ _TEMP_KF = 0.6      # chosen so the tail tier's rate CLAMPS to 1.0 at sf0.01
 def _rate_bp_col(stratum_col: str, bp: dict[str, int], default_bp: int):
     """The integer per-stratum threshold (rate * 10^4, rounded) as a column
     -- exposed in the driver row so the hash covers the DERIVED rates, not
-    just the membership they imply."""
+    just the membership they imply. Stratum keys may be strings, ints, or
+    None (the operators upstream support all three), so the sort key is
+    (is-None, str) and a None key matches via isNull() -- a plain `== k`
+    never matches a NULL stratum."""
     c = None
-    for k, v in sorted(bp.items()):
-        c = (F.when(F.col(stratum_col) == k, F.lit(v)) if c is None
-             else c.when(F.col(stratum_col) == k, F.lit(v)))
+    for k, v in sorted(bp.items(), key=lambda kv: (kv[0] is None, str(kv[0]))):
+        cond = (F.col(stratum_col).isNull() if k is None
+                else (F.col(stratum_col) == k))
+        c = F.when(cond, F.lit(v)) if c is None else c.when(cond, F.lit(v))
     out = c.otherwise(F.lit(default_bp)) if c is not None else F.lit(default_bp)
     return out.cast("int")
 
@@ -2312,8 +2316,18 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # and bench build precisely in order to execute, so they ignore this set.
 # q_ivf_ann_topk is here because building it FITS the MLlib KMeans coarse
 # quantizer (full embedding scans + iterative jobs, twice).
+# q_incremental_dedup and q_dedup_clusters run the iterative
+# connected-components loop (eager localCheckpoint + count per round) at
+# build time; q_stratified_sample collects the per-source counts for the
+# temperature leg.
 EAGER_BUILDERS = frozenset(
-    {"q_stream_dedup", "q_ivf_ann_topk", "q_stratified_sample"}
+    {
+        "q_stream_dedup",
+        "q_ivf_ann_topk",
+        "q_stratified_sample",
+        "q_incremental_dedup",
+        "q_dedup_clusters",
+    }
 )
 
 

@@ -216,17 +216,11 @@ def streaming_near_dedup_against_corpus(
     The table's ``hash_family`` stamp (when present) must match, exactly
     as in the batch path: bucket values are md5 hex in every family, so a
     mismatch silently admits near-dups of corpus content."""
-    from ..operators.dedup import LSH_BANDS, minhash_buckets_col
+    from ..operators.dedup import (
+        LSH_BANDS, check_bucket_family, minhash_buckets_col,
+    )
 
-    if "hash_family" in seen_buckets.columns:
-        first = seen_buckets.select("hash_family").head(1)
-        if first and first[0]["hash_family"] != hash_family:
-            raise ValueError(
-                f"seen bucket table carries hash_family="
-                f"{first[0]['hash_family']!r} but this stream uses "
-                f"{hash_family!r}; bucket values never match across "
-                "families -- use the table's family or rebuild it"
-            )
+    check_bucket_family(seen_buckets, hash_family)
     out = stream.withColumn(
         "_bb", minhash_buckets_col(F.col(text_col), hash_family=hash_family)
     )

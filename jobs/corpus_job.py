@@ -112,6 +112,10 @@ def main() -> None:
                          "semantic identity)")
     ap.add_argument("--embedding-col", default="embedding",
                     help="semdedup: array<float/double> column name")
+    ap.add_argument("--embedding-id-col", default=None,
+                    help="semdedup: id column name IN the --embeddings "
+                         "side table when it differs from --id-col (e.g. "
+                         "vec_id); renamed on read so the join lines up")
     ap.add_argument("--semdedup-threshold", type=float, default=0.9,
                     help="semdedup: within-cell cosine at or above which "
                          "two docs are one semantic group")
@@ -345,6 +349,15 @@ def run_pipeline(spark, args, stages) -> dict:
         df = df.localCheckpoint(eager=False)
         if getattr(args, "embeddings", None):
             embt = spark.read.parquet(args.embeddings)
+            eid = getattr(args, "embedding_id_col", None)
+            if eid and eid != args.id_col:
+                embt = embt.withColumnRenamed(eid, args.id_col)
+            if args.id_col not in embt.columns:
+                raise SystemExit(
+                    f"semdedup: --embeddings table has no {args.id_col!r} "
+                    f"column (columns: {embt.columns}) -- pass "
+                    "--embedding-id-col to name its id column"
+                )
         else:
             embt = df
         emb_col = getattr(args, "embedding_col", "embedding")
@@ -367,9 +380,15 @@ def run_pipeline(spark, args, stages) -> dict:
         keep = sem.where(F.col("rep_id") == F.col(args.id_col))
         cap_n = int(getattr(args, "semdedup_cap", 0) or 0)
         if cap_n > 0:
+            # method='exact': the CLI promises AT MOST cap survivors per
+            # coarse cell (and a non-empty cell keeps something). The rate
+            # form is only ~cap in expectation and can zero out a small
+            # cell. Cells are bounded (~n/k by construction), so the
+            # per-key window is safe here -- matching the reference
+            # composition in test_similarity.
             keep = T.cap_per_stratum(
                 keep, cap=cap_n, stratum_col="cid", id_col=args.id_col,
-                checkpoint=True,
+                method="exact", checkpoint=True,
             )
         df = observed(
             df.join(keep.select(args.id_col), args.id_col), "semdedup"

@@ -49,6 +49,8 @@ def make_embeddings(n: int, seed: int = 11):
 
 
 def run(spark, n: int, k: int) -> dict:
+    from pyspark.sql import functions as F
+
     from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
         fit_quantizer,
         semantic_dedup,
@@ -62,8 +64,13 @@ def run(spark, n: int, k: int) -> dict:
     fit_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     out = semantic_dedup(df, threshold=0.9, centers=centers)
-    n_rows = out.count()
-    n_collapsed = out.where("rep_id <> vec_id").count()
+    # ONE action: the assignment join is lazy, so two separate counts
+    # would execute it twice and inflate pipeline_sec
+    agg = out.agg(
+        F.count("*").alias("rows"),
+        F.count(F.when(F.col("rep_id") != F.col("vec_id"), 1)).alias("coll"),
+    ).head()
+    n_rows, n_collapsed = agg["rows"], agg["coll"]
     pipe_s = time.perf_counter() - t0
     return {"n": n, "k": k, "fit_sec": round(fit_s, 2),
             "pipeline_sec": round(pipe_s, 2), "rows": n_rows,

@@ -353,3 +353,28 @@ def test_semantic_dedup_matches_duckdb_fixture_oracle(spark):
     # discriminating: some groups actually collapsed
     n_collapsed = sum(1 for vid, _, rep in got if rep != vid)
     assert n_collapsed >= 10, n_collapsed
+
+
+def test_semantic_dedup_empty_input_yields_empty_not_jvm_crash(spark):
+    """An emptied pipeline (quality gate dropped everything, or an
+    embedding side table disjoint from the surviving ids) must produce an
+    empty (id, cid, rep_id) frame -- NOT MLlib's 'Nothing has been added
+    to this summarizer' JVM crash from fitting KMeans on zero rows.
+    fit_quantizer itself fails loudly with the actual cause."""
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        fit_quantizer,
+        semantic_dedup,
+    )
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    out = semantic_dedup(empty, threshold=0.9, n_clusters=4)
+    assert out.columns == ["vec_id", "cid", "rep_id"]
+    assert out.count() == 0
+    # dtypes stable so downstream joins/caps still resolve
+    assert dict(out.dtypes) == {
+        "vec_id": "bigint", "cid": "int", "rep_id": "bigint"
+    }
+    with pytest.raises(ValueError, match="no rows"):
+        fit_quantizer(empty, n_centroids=4)
