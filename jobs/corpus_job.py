@@ -19,6 +19,11 @@ Stage order mirrors a production curation run (each stage optional):
            min-id representative per semantic group; --semdedup-cap N
            adds the paper's cluster-balanced diversity cap (at most N
            survivors per cell)
+  decontam benchmark decontamination (--benchmark <parquet>): drop
+           training docs whose distinct-bigram overlap with any benchmark
+           doc covers >= --decontam-overlap of the training doc's
+           shingles (the n-gram test-set-leak check a corpus runs
+           before it ships)
   cap      per-source document cap (--cap-per-source N; anti-dominance)
   split    stable train/val/test assignment column
   sample   deterministic per-source keep rates (--rate src=0.5, repeatable)
@@ -45,8 +50,8 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("clean", "pii", "gate", "dedup", "neardup", "semdedup", "cap",
-          "split", "sample")
+STAGES = ("clean", "pii", "gate", "dedup", "neardup", "semdedup", "decontam",
+          "cap", "split", "sample")
 
 
 def main() -> None:
@@ -127,6 +132,21 @@ def main() -> None:
                     help="semdedup: keep at most N survivors per coarse "
                          "cell (cluster-balanced diversity sampling, the "
                          "other half of the SemDeDup recipe; 0 = off)")
+    ap.add_argument("--benchmark", default=None,
+                    help="decontam: parquet table of benchmark/eval docs "
+                         "(small -- eval suites are KB-MB and are "
+                         "broadcast); required with the decontam stage")
+    ap.add_argument("--benchmark-id-col", default=None,
+                    help="decontam: id column name IN --benchmark when it "
+                         "differs from --id-col; renamed on read")
+    ap.add_argument("--benchmark-text-col", default=None,
+                    help="decontam: text column name IN --benchmark when "
+                         "it differs from --text-col; renamed on read")
+    ap.add_argument("--decontam-overlap", type=float, default=0.3,
+                    help="decontam: drop a training doc when its "
+                         "distinct-bigram overlap with any one benchmark "
+                         "doc covers at least this fraction of the "
+                         "TRAINING doc's shingle set")
     ap.add_argument("--bucket-persist", default="cluster",
                     choices=("cluster", "canonical"),
                     help="neardup incremental: which docs' buckets enter "
@@ -195,6 +215,8 @@ def main() -> None:
                      "written while the seen table is still being read "
                      "lazily -- write to a fresh path and union afterwards")
 
+    if ("decontam" in stages) and not args.benchmark:
+        ap.error("the decontam stage requires --benchmark")
     if args.mix_temperature is not None and args.rate:
         ap.error("--mix-temperature and --rate are exclusive")
     if args.mix_temperature is not None and args.mix_temperature <= 0:
@@ -234,6 +256,11 @@ def main() -> None:
             ap.error("semdedup is batch-only: the KMeans fit and the "
                      "iterative component labeling both need the full "
                      "corpus")
+        if "decontam" in stages:
+            ap.error("decontam is batch-only: the per-(train,bench) "
+                     "overlap is a shingle-explode aggregation with no "
+                     "bounded streaming-state form; run it as a batch "
+                     "pass over the stream's output")
         if args.report:
             ap.error("--report is batch-only (corpus-wide aggregate); run "
                      "it as a separate batch job over the stream's output")
@@ -392,6 +419,39 @@ def run_pipeline(spark, args, stages) -> dict:
             )
         df = observed(
             df.join(keep.select(args.id_col), args.id_col), "semdedup"
+        )
+    if "decontam" in stages:
+        bench = spark.read.parquet(args.benchmark)
+        for have, want in (
+            (getattr(args, "benchmark_id_col", None), args.id_col),
+            (getattr(args, "benchmark_text_col", None), args.text_col),
+        ):
+            if have and have != want:
+                bench = bench.withColumnRenamed(have, want)
+        for col, flag in ((args.id_col, "--benchmark-id-col"),
+                          (args.text_col, "--benchmark-text-col")):
+            if col not in bench.columns:
+                raise SystemExit(
+                    f"decontam: --benchmark table has no {col!r} column "
+                    f"(columns: {bench.columns}) -- pass {flag}"
+                )
+        flagged = D.decontaminate(
+            df, bench,
+            min_overlap_frac=getattr(args, "decontam_overlap", 0.3),
+            id_col=args.id_col, text_col=args.text_col,
+        )
+        # the flagged set is small (leaked docs), so the anti-join
+        # broadcasts it and the corpus streams map-only
+        df = observed(
+            df.join(
+                F.broadcast(
+                    flagged.select(
+                        F.col("train_id").alias(args.id_col)
+                    ).distinct()
+                ),
+                args.id_col, "left_anti",
+            ),
+            "decontam",
         )
     if "cap" in stages:
         # checkpoint=True: the cap's count aggregate and keep filter would

@@ -311,3 +311,45 @@ def test_streaming_neardup_corpus_probe(spark, tmp_path):
             for r in spark.read.parquet(str(tmp_path / "out_snd")).collect()}
     assert kept == {11}
     assert res["counters"]["output"] == 1
+
+
+def test_decontam_stage_drops_benchmark_leaks(spark, tmp_path):
+    """The decontam stage drops training docs whose bigram overlap with a
+    benchmark doc covers >= --decontam-overlap of the training doc's
+    shingles; clean docs and sub-threshold overlaps survive. The benchmark
+    side may name its columns differently (--benchmark-id/text-col)."""
+    src, bench = tmp_path / "in", tmp_path / "bench"
+    src.mkdir(), bench.mkdir()
+    leak = "the capital of france is paris and the capital of spain is madrid"
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=leak, source="web"),                 # full leak
+        dict(doc_id=1, text=GOOD, source="web"),                 # clean
+        dict(doc_id=2, text=leak + " " + GOOD * 3, source="web"),  # diluted
+    ])
+    _write_docs(bench / "b.parquet", [
+        dict(qid=100, question=leak),
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out"),
+            benchmark=str(bench), benchmark_id_col="qid",
+            benchmark_text_col="question", decontam_overlap=0.5),
+        ["decontam"],
+    )
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert kept == {1, 2}, kept          # 0 dropped; 2's overlap is diluted
+    assert res["counters"]["after_decontam"] == 2
+
+    # tightening the threshold to near-zero also catches the diluted doc
+    res2 = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out2"),
+            benchmark=str(bench), benchmark_id_col="qid",
+            benchmark_text_col="question", decontam_overlap=0.05),
+        ["decontam"],
+    )
+    kept2 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out2")).collect()}
+    assert kept2 == {1}, kept2
+    assert res2["counters"]["after_decontam"] == 1
