@@ -37,6 +37,13 @@ Examples:
   spark-submit --py-files pkg.zip jobs/corpus_job.py \
       --input /data/shard42 --output /data/curated_shard42 \
       --stages dedup --seen-fps /data/fingerprints --new-fps /data/fp42
+
+  # checkpoint-resumable run: per-bucket lineage under <output>/_lineage,
+  # data under <output>/data partitioned by bucket; reruns skip
+  # completed buckets (per-document stages + exact dedup only)
+  spark-submit --py-files pkg.zip jobs/corpus_job.py \
+      --input /data/documents --output /data/curated \
+      --resumable --buckets 256 --stages clean,pii,gate,dedup,split
 """
 
 from __future__ import annotations
@@ -52,6 +59,15 @@ if _repo_root not in sys.path:
 
 STAGES = ("clean", "pii", "gate", "dedup", "neardup", "semdedup", "decontam",
           "cap", "split", "sample")
+
+# Stages whose bucket-local result equals the global result, so a
+# --resumable run can process hash buckets independently: clean / pii /
+# gate / split / sample are deterministic per-document projections, and
+# EXACT dedup becomes bucket-local-safe because the resumable path keys
+# the bucket on the dedup fingerprint itself (every duplicate group lands
+# whole in one bucket). Everything else (neardup, semdedup, decontam,
+# cap, temperature mixing, incremental dedup) aggregates ACROSS buckets.
+RESUMABLE_STAGES = ("clean", "pii", "gate", "dedup", "split", "sample")
 
 
 def main() -> None:
@@ -175,6 +191,23 @@ def main() -> None:
                          "extra pass) instead of the one-pass HLL estimate "
                          "-- use at validation scale, where the ~2%% HLL "
                          "error would dwarf a near-zero true dup count")
+    ap.add_argument("--resumable", action="store_true",
+                    help="checkpoint-resumable batch run: shard the corpus "
+                         "into --buckets hash buckets, write "
+                         "<output>/data partitioned by bucket, and commit "
+                         "an atomic per-bucket lineage record after each "
+                         "bucket's data lands; a re-run skips completed "
+                         "buckets. Only per-document stages plus exact "
+                         "dedup are allowed (see the stage guard)")
+    ap.add_argument("--buckets", type=int, default=64,
+                    help="resumable: bucket count (the resume granularity "
+                         "knob; recomputation after a crash is bounded by "
+                         "one batch)")
+    ap.add_argument("--bucket-batch", type=int, default=None,
+                    help="resumable: write N buckets per pass instead of "
+                         "all pending in one pass; each batch costs one "
+                         "additional input scan but bounds crash "
+                         "recomputation to a batch")
     ap.add_argument("--streaming", action="store_true",
                     help="run as a Structured Streaming job (availableNow) over "
                          "arriving document files; clean/pii/gate/split/sample are "
@@ -229,6 +262,34 @@ def main() -> None:
         # regardless, and over-asking is the documented recovery when a
         # tiny source cannot supply its flattened share
         ap.error("--mix-keep-frac must be > 0")
+    if args.resumable:
+        if args.streaming:
+            ap.error("--resumable and --streaming are exclusive (the "
+                     "streaming checkpoint already gives exactly-once "
+                     "over arriving files)")
+        bad = sorted(set(stages) - set(RESUMABLE_STAGES))
+        if bad:
+            ap.error(f"stages not resumable: {bad} -- bucket-local "
+                     "processing must equal global processing, so only "
+                     f"{','.join(RESUMABLE_STAGES)} compose with "
+                     "--resumable; run corpus-wide stages as a one-shot "
+                     "pass over the resumable output")
+        if args.seen_fps:
+            ap.error("--seen-fps (incremental dedup) does not compose "
+                     "with --resumable: the fingerprint table is "
+                     "corpus-wide state")
+        if args.mix_temperature is not None:
+            ap.error("--mix-temperature is corpus-wide (per-source "
+                     "aggregate) and does not compose with --resumable; "
+                     "pass explicit --rate flags")
+        if args.report:
+            ap.error("--report with --resumable: run the report as a "
+                     "separate batch job over <output>/data")
+        if args.partition_output_by:
+            ap.error("--partition-output-by conflicts with --resumable "
+                     "(the data layout is partitioned by bucket)")
+        if args.buckets < 1:
+            ap.error("--buckets must be >= 1")
     if args.streaming:
         if args.seen_fps:
             ap.error("--seen-fps (incremental dedup) is batch-only")
@@ -272,6 +333,8 @@ def main() -> None:
     spark = SparkSession.builder.appName("corpus-curation").getOrCreate()
     if args.streaming:
         result = run_pipeline_streaming(spark, args, stages)
+    elif args.resumable:
+        result = run_pipeline_resumable(spark, args, stages)
     else:
         result = run_pipeline(spark, args, stages)
     print(json.dumps(result))
@@ -540,6 +603,159 @@ def run_pipeline(spark, args, stages) -> dict:
         result["report"] = row
     return result
 
+
+
+def run_pipeline_resumable(spark, args, stages) -> dict:
+    """Checkpoint-resumable batch curation -- the curation analog of
+    ``plans.lineage.run_resumable`` (north_rule: per-partition lineage +
+    counters enabling checkpoint-resumable restarts), sharing its lineage
+    commit/skip machinery.
+
+    The corpus is sharded into ``--buckets`` hash buckets; every pending
+    bucket is written in ONE ``partitionBy('bucket')`` pass by default
+    (one input scan per resume cycle; ``--bucket-batch`` bounds crash
+    recomputation at one extra scan per batch), and each bucket's lineage
+    record (rows, id range) is committed atomically AFTER its data write:
+    a restart lists the lineage dir and skips completed buckets --
+    exactly-once per bucket despite crashes between batches.
+
+    Bucket-local processing must equal the one-shot pipeline, hence the
+    main() stage guard (RESUMABLE_STAGES). The one subtle case is exact
+    dedup: the bucket key is the dedup FINGERPRINT (md5 of the normalized
+    post-clean/pii text -- the text dedup itself sees) rather than the
+    doc id, so every duplicate group lands whole in one bucket and
+    min-id-per-fingerprint inside the bucket IS the global answer.
+    clean/pii run BEFORE the bucket split for the same reason (they
+    rewrite the text the fingerprint is taken over); both are
+    deterministic row-wise projections, so per-batch re-execution over
+    the filtered input is value-identical to a global pass. Equality
+    with ``run_pipeline`` (including a crash mid-run) is pinned by
+    test_corpus_job.
+
+    ``fail_after_batches`` (Namespace attr, test hook): raise after N
+    batches to simulate a crash; the next call resumes.
+    """
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.operators import dedup as D
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        linefilter as L,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators import pii as P
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        textstats as T,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.plans.lineage import (
+        _commit_lineage,
+        completed_buckets,
+    )
+
+    df = spark.read.parquet(args.input)
+    if "clean" in stages:
+        df = L.apply_line_filter(
+            df, text_col=args.text_col, min_kept_lines=args.min_kept_lines
+        )
+    if "pii" in stages:
+        df = P.redact(df, text_col=args.text_col)
+    n_buckets = int(getattr(args, "buckets", 64))
+    key = (F.md5(D.normalized(F.col(args.text_col))) if "dedup" in stages
+           else F.col(args.id_col).cast("string"))
+    part = df.withColumn(
+        "bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
+    )
+
+    done = completed_buckets(args.output, spark)
+    pending = [b for b in range(n_buckets) if b not in done]
+    data_root = args.output.rstrip("/") + "/data"
+    step = int(getattr(args, "bucket_batch", None) or 0) or max(1, len(pending))
+    batches = [pending[i:i + step] for i in range(0, len(pending), step)]
+    fail_after = getattr(args, "fail_after_batches", None)
+    summary = {
+        "mode": "corpus-resumable", "stages": stages,
+        "resumed_buckets": len(done), "ran_buckets": 0, "input_scans": 0,
+    }
+
+    n_done = 0
+    for batch in batches:
+        if fail_after is not None and n_done >= fail_after:
+            raise RuntimeError(f"injected failure after {n_done} batches")
+        out = part.filter(F.col("bucket").isin([int(b) for b in batch])) \
+            if len(batch) < n_buckets else part
+        if "gate" in stages:
+            out = T.apply_quality_gate(out, text_col=args.text_col)
+        if "dedup" in stages:
+            # bucket-local exact dedup == global: see the docstring
+            canon = D.exact_dedup(out, id_col=args.id_col,
+                                  text_col=args.text_col)
+            out = out.join(
+                canon.select(F.col("canonical_id").alias(args.id_col)),
+                args.id_col,
+            )
+        if "split" in stages:
+            out = T.stable_split(out, id_col=args.id_col)
+        if "sample" in stages:
+            rates = {}
+            for spec in args.rate:
+                k, _, v = spec.partition("=")
+                rates[k] = float(v)
+            out = T.stratified_sample(
+                out, rates=rates, stratum_col=args.stratum_col,
+                id_col=args.id_col, default_rate=args.default_rate,
+            )
+        # spread each bucket across tasks by id (one-partition-per-bucket
+        # would serialize a big bucket's write); partitionBy splits the
+        # files per bucket dir regardless of task layout
+        n_write = max(len(batch), spark.sparkContext.defaultParallelism)
+        (
+            out.repartition(n_write, "bucket", args.id_col)
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket")
+            .parquet(data_root)
+        )
+        summary["input_scans"] += 1
+        stamp = _time.time()
+        # counters derived from the just-written output: a
+        # partition-pruned, column-pruned read, never a chain re-execution.
+        # When every row of the batch was dropped upstream the data root
+        # may not exist at all (dynamic overwrite writes no dirs) -- the
+        # zero-row lineage records must still commit so resume skips.
+        try:
+            written = spark.read.parquet(data_root)
+        except Exception:  # noqa: BLE001 -- path not yet created
+            written = None
+        got = {} if written is None else {
+            int(r["bucket"]): r.asDict()
+            for r in written
+            .where(F.col("bucket").isin([int(b) for b in batch]))
+            .groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("rows"),
+                F.min(args.id_col).alias("min_id"),
+                F.max(args.id_col).alias("max_id"),
+            )
+            .collect()
+        }
+        for b in batch:
+            rec = got.get(int(b), {"rows": 0, "min_id": None, "max_id": None})
+            rec.pop("bucket", None)
+            _commit_lineage(
+                args.output, int(b),
+                {"bucket": int(b), "stamp": stamp,
+                 "rows": int(rec["rows"]),
+                 "min_id": rec["min_id"], "max_id": rec["max_id"]},
+                spark,
+            )
+        summary["ran_buckets"] += len(batch)
+        n_done += 1
+
+    try:
+        summary["output"] = spark.read.parquet(data_root).count()
+    except Exception:  # noqa: BLE001 -- nothing survived any stage
+        summary["output"] = 0
+    return summary
 
 
 def run_pipeline_streaming(spark, args, stages) -> dict:

@@ -353,3 +353,90 @@ def test_decontam_stage_drops_benchmark_leaks(spark, tmp_path):
              spark.read.parquet(str(tmp_path / "out2")).collect()}
     assert kept2 == {1}, kept2
     assert res2["counters"]["after_decontam"] == 1
+
+
+def test_resumable_crash_resume_equals_one_shot(spark, tmp_path):
+    """--resumable: crash after one bucket batch, resume, and the final
+    output equals the one-shot pipeline exactly -- including exact dedup,
+    which is bucket-local-safe because the bucket key is the dedup
+    fingerprint (duplicate groups land whole in one bucket even when
+    their doc_ids are far apart)."""
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.plans.lineage import (
+        completed_buckets,
+    )
+    from jobs.corpus_job import run_pipeline_resumable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    rows = [
+        dict(doc_id=i, text=GOOD + f"\nunique tail number {i} ends cleanly here.",
+             source="web")
+        for i in range(12)
+    ]
+    # exact dups under DISTANT ids: id-keyed buckets would split these
+    # groups; fingerprint-keyed buckets must collapse them
+    rows += [dict(doc_id=j, text=rows[3]["text"], source="web")
+             for j in (120, 121, 122)]
+    rows += [dict(doc_id=130, text=rows[5]["text"], source="web")]
+    _write_docs(src / "p.parquet", rows)
+
+    stages = ["clean", "pii", "gate", "dedup", "split", "sample"]
+    kw = dict(input=str(src), rate=["web=0.8"], buckets=6)
+    one = run_pipeline(
+        spark, _ns(output=str(tmp_path / "oneshot"), **kw), stages
+    )
+    want = {tuple(sorted(r.asDict().items())) for r in
+            spark.read.parquet(str(tmp_path / "oneshot")).collect()}
+
+    root = tmp_path / "resumable"
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_pipeline_resumable(
+            spark,
+            _ns(output=str(root), bucket_batch=2, fail_after_batches=1, **kw),
+            stages,
+        )
+    assert completed_buckets(str(root), spark) == {0, 1}  # first batch only
+    res = run_pipeline_resumable(
+        spark, _ns(output=str(root), bucket_batch=2, **kw), stages
+    )
+    assert res["resumed_buckets"] == 2 and res["ran_buckets"] == 4
+    got = {tuple(sorted((k, v) for k, v in r.asDict().items() if k != "bucket"))
+           for r in spark.read.parquet(str(root / "data")).collect()}
+    assert got == want
+    assert res["output"] == one["counters"]["output"]
+    # a third run has nothing to do but reports the same output
+    res2 = run_pipeline_resumable(
+        spark, _ns(output=str(root), **kw), stages
+    )
+    assert res2["ran_buckets"] == 0 and res2["resumed_buckets"] == 6
+    assert res2["output"] == one["counters"]["output"]
+
+
+def test_resumable_all_rows_dropped_still_commits_lineage(spark, tmp_path):
+    """When a stage empties the whole corpus (no data dirs are ever
+    written), the zero-row lineage records must still commit so a rerun
+    skips instead of re-scanning forever."""
+    from action_pdf_accessibility_paddle_docker_spark.plans.lineage import (
+        completed_buckets,
+    )
+    from jobs.corpus_job import run_pipeline_resumable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text="no terminal punctuation anywhere", source="web"),
+        dict(doc_id=1, text="tiny", source="web"),
+    ])
+    kw = dict(input=str(src), rate=[], buckets=3)
+    root = tmp_path / "res"
+    res = run_pipeline_resumable(
+        spark, _ns(output=str(root), **kw), ["clean", "dedup"]
+    )
+    assert res["output"] == 0 and res["ran_buckets"] == 3
+    assert completed_buckets(str(root), spark) == {0, 1, 2}
+    res2 = run_pipeline_resumable(
+        spark, _ns(output=str(root), **kw), ["clean", "dedup"]
+    )
+    assert res2["ran_buckets"] == 0 and res2["output"] == 0
