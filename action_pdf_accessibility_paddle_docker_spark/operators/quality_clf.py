@@ -1,0 +1,236 @@
+"""Model-based document quality classifier (fastText / DCLM-style).
+
+The modern curation stack gates on a TRAINED classifier score -- a linear
+bag-of-words model fit on (reference-quality vs raw-web) labels -- rather
+than heuristics alone: Joulin et al. 2016 (fastText "bag of tricks"),
+Brown et al. 2020 sec. A (the GPT-3 quality classifier), Li et al. 2024
+(DataComp-LM, where a fastText filter beats every heuristic pipeline).
+This module is that recipe re-expressed Spark-first; it complements (does
+not replace) the heuristic ``textstats.quality_gate``, which also supplies
+the weak-label bootstrap when no curated positive set exists.
+
+Shapes (and why they hold at 100 TB):
+
+* **Scoring** (the corpus-scale hot path, ``score_documents``): one scan;
+  terms (normalized word unigrams + bigrams, the same JVM expressions the
+  gate uses) are exploded WITH the per-doc term count carried row-wise,
+  LEFT-joined against the weights table -- broadcast is CORRECT here, not
+  hopeful: the model artifact is bounded by ``vocab_size`` at training
+  time (default 2^18 terms, a few MB), unlike the unbounded corpus vocab
+  that keeps ``unigram_logprob_score``'s model join un-broadcast -- then
+  one map-side-combined sum per doc and a sigmoid. Pure JVM expressions;
+  no Python anywhere.
+* **Training** (``train_quality_classifier``): a BOUNDED labeled sample
+  (DCLM fits on ~1e6 docs, never the corpus) through MLlib
+  ``CountVectorizer`` (vocab fit + sparse count vectors, JVM) into
+  ``LogisticRegression``; the fitted coefficients come back as a
+  ``(term, weight)`` table -- vocab-bounded by construction, same driver-
+  memory class as ``temperature_mix_rates``' per-source dict -- plus the
+  intercept. Features are raw term counts, exactly what the scoring sum
+  replays: score = sigmoid(intercept + sum_t weight[t] * tf[t]).
+* **Replayability**: scoring is plain relational algebra over a persisted
+  weights table, so DuckDB replays it bit-for-bit from the committed
+  fixture (q_quality_gate's ``clf_score``/``clf_keep`` leg) -- the same
+  certification pattern as the LSH plane and SemDeDup centers fixtures.
+
+No reference analog (engine extension beyond
+/root/reference: the reference curates nothing).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: ``save_classifier`` stores the intercept inside the weights parquet as a
+#: row whose term is this sentinel. Real terms are non-empty whitespace-free
+#: words (or space-joined bigrams) and can never collide with a NUL prefix;
+#: the scoring join filters it out via ``load_classifier``.
+BIAS_SENTINEL = "\x00<bias>"
+
+DEFAULT_VOCAB_SIZE = 1 << 18
+
+
+def terms_array(text: Column, bigrams: bool = True) -> Column:
+    """Per-document term array: normalized whitespace word unigrams plus
+    (optionally) their space-joined bigrams -- the same tokenization the
+    quality gate and dedup shingles use, so one normalization pass serves
+    the whole stack. NULL text is treated as empty (scores at the
+    intercept) rather than poisoning downstream sizes."""
+    from .dedup import normalized
+    from .textstats import word_bigrams
+
+    wt = F.filter(
+        F.split(normalized(F.coalesce(text, F.lit(""))), " "),
+        lambda x: x != F.lit(""),
+    )
+    if not bigrams:
+        return wt
+    bg = F.filter(word_bigrams(wt), lambda x: F.length(x) > 0)
+    return F.concat(wt, bg)
+
+
+def score_documents(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+    round_to: int = 6,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Score every document under a trained linear model: one row per input
+    doc with ``(*carry, n_terms, clf_score, clf_keep)``.
+
+    ONE corpus scan: the per-doc term count rides along the explode
+    (``explode_outer`` keeps term-less docs, which score at the bias), the
+    weights table joins broadcast (vocab-bounded -- see module docstring),
+    and the per-doc reduce is a map-side-combined sum. ``clf_score`` is
+    rounded before the threshold compare so both engines gate on the same
+    stored value.
+
+    ``carry`` names row-wise columns of ``df`` to ride through the explode
+    and back out -- composing an upstream projection (e.g. the heuristic
+    gate's signal columns) into this aggregate WITHOUT a second corpus scan
+    and doc_id join. Carried columns are functionally dependent on the id,
+    so they join the GROUP BY key (zero extra groups) rather than hiding
+    in ``first()`` aggregates -- ``first`` over strings demotes the whole
+    aggregate to SortAggregate, while compound keys keep the map-side-
+    combined HashAggregate. Scalars only: each carried value is duplicated
+    per term row until the partial aggregate collapses it."""
+    t = terms_array(F.col(text_col), bigrams=bigrams)
+    rows = df.select(
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.size(t).alias("_n"),
+        F.explode_outer(t).alias("term"),
+    )
+    agg = (
+        rows.join(F.broadcast(weights), "term", "left")
+        .groupBy(id_col, *carry, "_n")
+        .agg(F.sum("weight").alias("_wsum"))
+    )
+    z = F.lit(float(bias)) + F.coalesce(F.col("_wsum"), F.lit(0.0))
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+    return agg.select(
+        id_col,
+        *carry,
+        F.col("_n").cast("bigint").alias("n_terms"),
+        score.alias("clf_score"),
+        (score >= F.lit(float(threshold))).alias("clf_keep"),
+    )
+
+
+def apply_classifier(
+    df: DataFrame,
+    weights: DataFrame,
+    *,
+    bias: float = 0.0,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bigrams: bool = True,
+) -> DataFrame:
+    """Filtering form: keep rows scoring >= threshold, original columns
+    preserved. Unlike the row-wise heuristic gate this needs a per-doc
+    aggregate, so the verdict joins back LEFT SEMI on the id -- batch-only
+    (the streaming form would need a watermarked aggregate; gate first,
+    classify in the batch pass)."""
+    kept = score_documents(
+        df, weights, bias=bias, threshold=threshold, text_col=text_col,
+        id_col=id_col, bigrams=bigrams,
+    ).where(F.col("clf_keep"))
+    return df.join(kept.select(id_col), id_col, "left_semi")
+
+
+def label_from_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:
+    """DCLM-style weak-label bootstrap when no curated positive set exists:
+    the heuristic gate verdict becomes the training label (gate-pass = 1.0).
+    Returns the input columns plus ``label``. Row-wise (the gate is a pure
+    projection), so it composes onto any bounded training sample."""
+    from .textstats import quality_gate
+
+    g = quality_gate(df, text_col, **overrides).select(
+        "doc_id", F.col("keep").cast("double").alias("label")
+    )
+    return df.join(g, "doc_id")
+
+
+def train_quality_classifier(
+    labeled: DataFrame,
+    *,
+    label_col: str = "label",
+    text_col: str = "text",
+    vocab_size: int = DEFAULT_VOCAB_SIZE,
+    min_df: float = 1.0,
+    max_iter: int = 100,
+    reg_param: float = 0.0,
+    elastic_net: float = 0.0,
+    bigrams: bool = True,
+) -> tuple[DataFrame, float]:
+    """Fit the linear quality model on a bounded labeled sample; returns
+    ``(weights, bias)`` where ``weights`` is a ``(term, weight)`` DataFrame
+    of the non-zero coefficients and ``bias`` the intercept.
+
+    All featurization is JVM MLlib: ``CountVectorizer`` fits the vocab
+    (frequency-ordered, capped at ``vocab_size`` -- the bound that later
+    justifies broadcasting the weights) and emits sparse count vectors;
+    ``LogisticRegression(standardization=False)`` keeps coefficients in
+    raw-count space so the scoring sum replays them exactly. The dense
+    coefficient readback is vocab_size * 8 bytes on the driver (2 MB at the
+    default cap) -- a bounded model artifact, documented like every other
+    driver-side collect in this repo. ``elastic_net``/``reg_param`` > 0
+    sparsify the model (fastText-style compression) and shrink the
+    broadcast."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import CountVectorizer
+
+    spark = labeled.sparkSession
+    feats = labeled.select(
+        F.col(label_col).cast("double").alias("label"),
+        terms_array(F.col(text_col), bigrams=bigrams).alias("_terms"),
+    )
+    cvm = CountVectorizer(
+        inputCol="_terms", outputCol="features",
+        vocabSize=vocab_size, minDF=min_df,
+    ).fit(feats)
+    lr = LogisticRegression(
+        featuresCol="features", labelCol="label",
+        maxIter=max_iter, regParam=reg_param, elasticNetParam=elastic_net,
+        standardization=False,
+    ).fit(cvm.transform(feats))
+    coef = lr.coefficients.toArray()
+    rows = [
+        (term, float(w)) for term, w in zip(cvm.vocabulary, coef) if w != 0.0
+    ]
+    weights = spark.createDataFrame(rows, "term string, weight double")
+    return weights, float(lr.intercept)
+
+
+def save_classifier(weights: DataFrame, bias: float, path: str) -> None:
+    """Persist the model as ONE parquet: the (term, weight) rows plus a
+    ``BIAS_SENTINEL`` row carrying the intercept (one artifact to ship to a
+    scoring job; coalesce(1) -- the table is vocab-bounded)."""
+    spark = weights.sparkSession
+    sent = spark.createDataFrame(
+        [(BIAS_SENTINEL, float(bias))], "term string, weight double"
+    )
+    weights.select("term", "weight").unionByName(sent).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+def load_classifier(spark: SparkSession, path: str) -> tuple[DataFrame, float]:
+    """Inverse of ``save_classifier``: returns ``(weights, bias)``. The
+    sentinel lookup is a 1-row bounded collect on a vocab-sized table."""
+    df = spark.read.parquet(path)
+    head = df.where(F.col("term") == BIAS_SENTINEL).select("weight").head()
+    if head is None:
+        raise ValueError(
+            f"{path} has no {BIAS_SENTINEL!r} bias row -- not a classifier "
+            "artifact written by save_classifier"
+        )
+    return df.where(F.col("term") != BIAS_SENTINEL), float(head[0])

@@ -194,7 +194,8 @@ _GATE_REASONS = (
 
 def quality_gate(
     df: DataFrame, text_col: str = "text",
-    include_signals: bool = False, **overrides,
+    include_signals: bool = False, keep_cols: tuple[str, ...] = (),
+    **overrides,
 ) -> DataFrame:
     """Composed Gopher-style document quality gate: length / punctuation /
     stopword signals (``document_stats``) + repetition signals
@@ -203,7 +204,10 @@ def quality_gate(
     ``include_signals=True`` additionally emits the raw signal columns the
     verdict was derived from (punct/stopword ratios, distinct-word and
     top-bigram fractions) -- the report form an audit or threshold-tuning
-    pass reads; same single projection either way.
+    pass reads; same single projection either way. ``keep_cols`` passes
+    named input columns through the projection (e.g. ``("text",)`` so a
+    downstream per-doc aggregate like the quality classifier can compose
+    onto the SAME scan instead of re-reading and joining the corpus).
 
     Scale shape (round 3): ONE row-wise projection -- stats and repetition
     signals are all array expressions now, so there is no aggregate, no
@@ -220,6 +224,7 @@ def quality_gate(
     )
     return base.select(
         "doc_id",
+        *keep_cols,
         cols["n_tokens"].alias("n_tokens"),
         *signal_cols,
         reasons.alias("reject_reasons"),

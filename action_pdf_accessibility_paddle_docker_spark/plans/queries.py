@@ -626,6 +626,32 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QCLF_PATH = _os.path.join(_FIXTURE_DIR, "qclf_weights.parquet")
+
+_QCLF_STATE: Optional[list] = None
+
+
+def _qclf_model(spark: SparkSession):
+    """The committed quality-classifier fixture (scripts/make_qclf_fixture.py)
+    as ``(weights_df, bias)``. Read once per process with pyarrow -- a
+    driver-local vocab-bounded file, no Spark job -- then rebuilt as a tiny
+    LocalRelation per call (the broadcast side of the scoring join)."""
+    global _QCLF_STATE
+    if _QCLF_STATE is None:
+        import pyarrow.parquet as pq
+
+        from ..operators.quality_clf import BIAS_SENTINEL
+
+        tbl = pq.read_table(_QCLF_PATH)
+        rows = list(
+            zip(tbl.column("term").to_pylist(), tbl.column("weight").to_pylist())
+        )
+        bias = next(w for t, w in rows if t == BIAS_SENTINEL)
+        _QCLF_STATE = [[(t, w) for t, w in rows if t != BIAS_SENTINEL], bias]
+    w, b = _QCLF_STATE
+    return spark.createDataFrame(w, "term string, weight double"), b
+
+
 @register(
     "q_quality_gate",
     f"""
@@ -664,22 +690,65 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN dwf < 0.35 THEN 'low_distinct' END,
                CASE WHEN tbf > 0.10 THEN 'repetitive_bigram' END) AS reject_reasons
       FROM sig
+    ), qw AS (
+      SELECT term, weight FROM read_parquet('{_QCLF_PATH}')
+      WHERE term <> chr(0) || '<bias>'
+    ), qb AS (
+      SELECT weight AS bias FROM read_parquet('{_QCLF_PATH}')
+      WHERE term = chr(0) || '<bias>'
+    ), wda AS (
+      SELECT doc_id, list_filter({_TOKS_SQL}, x -> length(x) > 0) AS wt
+      FROM documents
+    ), tm AS (
+      SELECT doc_id, unnest(list_concat(wt,
+               list_filter(list_transform(range(1, len(wt)),
+                                          i -> wt[i] || ' ' || wt[i+1]),
+                           x -> length(x) > 0))) AS term
+      FROM wda
+    ), zs AS (
+      SELECT tm.doc_id, sum(qw.weight) AS wsum
+      FROM tm JOIN qw USING (term) GROUP BY tm.doc_id
+    ), clf AS (
+      SELECT w.doc_id,
+             round(1.0 / (1.0 + exp(-((SELECT bias FROM qb)
+                                      + coalesce(z.wsum, 0.0)))), 6) AS clf_score
+      FROM wda w LEFT JOIN zs z USING (doc_id)
     )
     SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
            distinct_word_frac, top_bigram_frac,
-           reject_reasons, reject_reasons = '' AS keep
-    FROM gated ORDER BY doc_id
+           reject_reasons, reject_reasons = '' AS keep,
+           c.clf_score, c.clf_score >= 0.5 AS clf_keep
+    FROM gated JOIN clf c USING (doc_id) ORDER BY doc_id
     """,
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composed Gopher-style quality filter (length/punct/stopword +
-    repetition signals -> keep/reject_reasons). include_signals exposes the
-    raw signal columns, so this one row certifies BOTH the verdict and the
-    Gopher repetition signals (distinct-word / top-bigram fractions --
-    formerly the separate q_repetition_signals entry, same expressions)."""
-    return T.quality_gate(
-        _read(spark, sf_dir, "documents"), include_signals=True
-    ).orderBy("doc_id")
+    """Composed quality verdict row, both halves of the modern recipe per
+    doc: the heuristic Gopher-style gate (length/punct/stopword + repetition
+    signals -> keep/reject_reasons; include_signals exposes the raw signal
+    columns, formerly the separate q_repetition_signals entry) AND the
+    trained fastText/DCLM-style classifier score under the committed
+    weights fixture (``clf_score``/``clf_keep`` -- round 6).
+
+    ONE corpus scan: the gate is a row-wise projection that passes ``text``
+    through (``keep_cols``), and the classifier's explode/broadcast-join/
+    sum carries the gate columns back via ``first()`` (``carry=``) -- no
+    second scan, no doc_id re-join. The DuckDB oracle replays the scoring
+    sum from the same fixture parquet."""
+    from ..operators import quality_clf as QC
+
+    docs = _read(spark, sf_dir, "documents")
+    g = T.quality_gate(docs, include_signals=True, keep_cols=("text",))
+    weights, bias = _qclf_model(spark)
+    return (
+        QC.score_documents(
+            g, weights, bias=bias,
+            carry=("n_tokens", "punct_ratio", "stopword_ratio",
+                   "distinct_word_frac", "top_bigram_frac",
+                   "reject_reasons", "keep"),
+        )
+        .drop("n_terms")
+        .orderBy("doc_id")
+    )
 
 
 @register(

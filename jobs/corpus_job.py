@@ -8,6 +8,9 @@ Stage order mirrors a production curation run (each stage optional):
   pii      redact emails / IPv4 / payment cards / SSNs / intl + dashed
            phones in place
   gate     composed quality gate (length / punct / stopword / repetition)
+  classify model-based quality filter (fastText/DCLM-style): score every
+           doc under a trained linear model (--clf-weights, written by
+           jobs/train_clf_job.py) and keep docs scoring >= --clf-threshold
   dedup    exact dedup (min-id canonical survives) or incremental vs a
            persisted fingerprint table (--seen-fps; writes updated table)
   neardup  MinHash-LSH near-duplicate removal: connected components over
@@ -57,17 +60,20 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("clean", "pii", "gate", "dedup", "neardup", "semdedup", "decontam",
-          "cap", "split", "sample")
+STAGES = ("clean", "pii", "gate", "classify", "dedup", "neardup", "semdedup",
+          "decontam", "cap", "split", "sample")
 
 # Stages whose bucket-local result equals the global result, so a
 # --resumable run can process hash buckets independently: clean / pii /
-# gate / split / sample are deterministic per-document projections, and
-# EXACT dedup becomes bucket-local-safe because the resumable path keys
-# the bucket on the dedup fingerprint itself (every duplicate group lands
-# whole in one bucket). Everything else (neardup, semdedup, decontam,
-# cap, temperature mixing, incremental dedup) aggregates ACROSS buckets.
-RESUMABLE_STAGES = ("clean", "pii", "gate", "dedup", "split", "sample")
+# gate / split / sample are deterministic per-document projections,
+# classify is per-document given FIXED weights (score = f(text, model)),
+# and EXACT dedup becomes bucket-local-safe because the resumable path
+# keys the bucket on the dedup fingerprint itself (every duplicate group
+# lands whole in one bucket). Everything else (neardup, semdedup,
+# decontam, cap, temperature mixing, incremental dedup) aggregates
+# ACROSS buckets.
+RESUMABLE_STAGES = ("clean", "pii", "gate", "classify", "dedup", "split",
+                    "sample")
 
 
 def main() -> None:
@@ -80,6 +86,12 @@ def main() -> None:
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
     ap.add_argument("--min-kept-lines", type=int, default=3)
+    ap.add_argument("--clf-weights", default=None,
+                    help="classify: trained model artifact (parquet written "
+                         "by jobs/train_clf_job.py / save_classifier); "
+                         "required with the classify stage")
+    ap.add_argument("--clf-threshold", type=float, default=0.5,
+                    help="classify: keep docs with sigmoid score >= this")
     ap.add_argument("--seen-fps", default=None,
                     help="dedup: persisted fingerprint table (parquet); when "
                          "set, dedup is INCREMENTAL against it")
@@ -250,6 +262,9 @@ def main() -> None:
 
     if ("decontam" in stages) and not args.benchmark:
         ap.error("the decontam stage requires --benchmark")
+    if ("classify" in stages) and not args.clf_weights:
+        ap.error("the classify stage requires --clf-weights (train one with "
+                 "jobs/train_clf_job.py)")
     if args.mix_temperature is not None and args.rate:
         ap.error("--mix-temperature and --rate are exclusive")
     if args.mix_temperature is not None and args.mix_temperature <= 0:
@@ -317,6 +332,11 @@ def main() -> None:
             ap.error("semdedup is batch-only: the KMeans fit and the "
                      "iterative component labeling both need the full "
                      "corpus")
+        if "classify" in stages:
+            ap.error("classify is batch-only: the score is a per-doc "
+                     "aggregate over exploded terms followed by a semi-join, "
+                     "neither of which streams in append mode; gate streams, "
+                     "classify in the batch pass over the stream's output")
         if "decontam" in stages:
             ap.error("decontam is batch-only: the per-(train,bench) "
                      "overlap is a shingle-explode aggregation with no "
@@ -384,6 +404,23 @@ def run_pipeline(spark, args, stages) -> dict:
         df = P.redact(df, text_col=args.text_col)
     if "gate" in stages:
         df = observed(T.apply_quality_gate(df, text_col=args.text_col), "gate")
+    if "classify" in stages:
+        from action_pdf_accessibility_paddle_docker_spark.operators import (
+            quality_clf as QC,
+        )
+
+        # materialize the pipeline-so-far: the score aggregate and the
+        # semi-join's probe side both reference it (AQE compiles the
+        # subplans independently -- same hazard as neardup/semdedup)
+        df = df.localCheckpoint(eager=False)
+        weights, bias = QC.load_classifier(spark, args.clf_weights)
+        df = observed(
+            QC.apply_classifier(
+                df, weights, bias=bias, threshold=args.clf_threshold,
+                text_col=args.text_col, id_col=args.id_col,
+            ),
+            "classify",
+        )
     if "dedup" in stages:
         if args.seen_fps:
             seen = spark.read.parquet(args.seen_fps)
@@ -659,6 +696,12 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
         )
     if "pii" in stages:
         df = P.redact(df, text_col=args.text_col)
+    if "classify" in stages:
+        from action_pdf_accessibility_paddle_docker_spark.operators import (
+            quality_clf as _QC,
+        )
+
+        clf_weights, clf_bias = _QC.load_classifier(spark, args.clf_weights)
     n_buckets = int(getattr(args, "buckets", 64))
     key = (F.md5(D.normalized(F.col(args.text_col))) if "dedup" in stages
            else F.col(args.id_col).cast("string"))
@@ -685,6 +728,14 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
             if len(batch) < n_buckets else part
         if "gate" in stages:
             out = T.apply_quality_gate(out, text_col=args.text_col)
+        if "classify" in stages:
+            # per-document under FIXED weights, so bucket-local == global;
+            # the weights LocalRelation re-broadcasts per batch (tiny)
+            out = _QC.apply_classifier(
+                out, clf_weights, bias=clf_bias,
+                threshold=args.clf_threshold,
+                text_col=args.text_col, id_col=args.id_col,
+            )
         if "dedup" in stages:
             # bucket-local exact dedup == global: see the docstring
             canon = D.exact_dedup(out, id_col=args.id_col,

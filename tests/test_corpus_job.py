@@ -440,3 +440,54 @@ def test_resumable_all_rows_dropped_still_commits_lineage(spark, tmp_path):
         spark, _ns(output=str(root), **kw), ["clean", "dedup"]
     )
     assert res2["ran_buckets"] == 0 and res2["output"] == 0
+
+
+def test_classify_stage_filters_by_model_score(spark, tmp_path):
+    """--stages classify: docs scoring under the trained model below
+    --clf-threshold are dropped (binding both ways), the counter line
+    carries the stage, and the resumable path (classify is per-document
+    under fixed weights) produces the identical survivor set."""
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        quality_clf as C,
+    )
+    from jobs.corpus_job import run_pipeline_resumable
+
+    prose = ("the committee met on tuesday and approved the annual budget "
+             "after a long discussion of the library expansion plans")
+    spam = ("buy now cheap pills discount click here free offer wow bonus "
+            "prize claim now spam click offer cash discount deal deal")
+    labeled = spark.createDataFrame(
+        [(i, prose + f" extra word {i}", 1.0) for i in range(4)]
+        + [(100 + i, spam + f" extra word {i}", 0.0) for i in range(4)],
+        "doc_id long, text string, label double",
+    )
+    weights, bias = C.train_quality_classifier(
+        labeled, vocab_size=512, reg_param=1e-3, max_iter=100
+    )
+    model = tmp_path / "model"
+    C.save_classifier(weights, bias, str(model))
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=prose + " fresh tail one", source="web"),
+        dict(doc_id=1, text=spam + " fresh tail two", source="web"),
+        dict(doc_id=2, text=prose + " fresh tail three", source="web"),
+    ])
+    kw = dict(input=str(src), clf_weights=str(model), clf_threshold=0.5)
+    res = run_pipeline(
+        spark, _ns(output=str(tmp_path / "out"), **kw), ["classify", "split"]
+    )
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert sorted(r["doc_id"] for r in out.collect()) == [0, 2]
+    assert res["counters"]["after_classify"] == 2
+
+    root = tmp_path / "res"
+    res2 = run_pipeline_resumable(
+        spark, _ns(output=str(root), buckets=3, **kw), ["classify", "split"]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(root / "data")).collect()
+    )
+    assert got == [0, 2] and res2["output"] == 2

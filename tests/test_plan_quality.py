@@ -166,16 +166,42 @@ def test_simhash_column_form_equals_batch_form(spark):
 
 
 def test_quality_signals_are_shuffle_free_projections(spark):
-    """quality_gate (incl. its merged repetition-signal columns) is one
-    row-wise array-expression projection (round 3): no aggregate, no join,
-    no explode -- the only exchange in the harness entry is the output
-    sort."""
-    for name in ("q_quality_gate",):
-        plan = _plan(spark, name)
-        assert "HashAggregate" not in plan, name
-        assert "SortMergeJoin" not in plan, name
-        assert "BroadcastHashJoin" not in plan, name
-        assert "Generate" not in plan, name
+    """The heuristic gate OPERATOR (incl. its merged repetition-signal
+    columns) stays one row-wise array-expression projection (round 3): no
+    aggregate, no join, no explode. The harness entry grew a classifier leg
+    in round 6, so the operator is gated directly here and the composed
+    entry's shape is pinned by test_quality_gate_entry_composed_shape."""
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        textstats as T,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = (
+        T.quality_gate(docs, include_signals=True)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "HashAggregate" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "Generate" not in plan
+
+
+def test_quality_gate_entry_composed_shape(spark):
+    """q_quality_gate = gate projection + classifier scoring on ONE scan:
+    exactly one documents leaf (the gate columns ride the explode as
+    grouping keys -- no doc_id re-join, no SortAggregate demotion from
+    first()-over-strings, no sort-merge join anywhere), the weights side a
+    broadcast hash join."""
+    plan = _plan(spark, "q_quality_gate")
+    final = plan.split("== Initial Plan ==")[0]
+    doc_scans = [
+        ln for ln in final.splitlines()
+        if "Scan parquet" in ln and "documents" in ln
+    ]
+    assert len(doc_scans) == 1, final
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "SortAggregate" not in plan
 
 
 def test_lm_quality_has_no_global_window_and_no_model_broadcast_hint(spark):
