@@ -830,6 +830,7 @@ def incremental_dedup(
     seen_fps: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    method: str = "join",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact dedup for an arriving shard against the corpus's
     persisted fingerprint table (the CDC shape of ``exact_dedup``: a 100 TB
@@ -846,10 +847,24 @@ def incremental_dedup(
     Scale shape: the shard first collapses to ONE row per fingerprint via
     min(struct(id, row)) -- a single map-side-combined aggregate, so a text
     duplicated across the whole shard reaches its reducer as one partial
-    per mapper (no join on a hot fingerprint anywhere). The anti-join then
-    runs on the already-distinct fingerprints against the seen table
-    (broadcast while the corpus is young; shuffled-with-no-hot-keys at
-    parity)."""
+    per mapper (no join on a hot fingerprint anywhere). Two cross-corpus
+    ``method``s, chosen by shard-to-corpus size ratio:
+
+    * ``'join'`` (default): LeftAnti against the seen table. Spark cannot
+      broadcast the LEFT side of a left-anti, so at parity this shuffles
+      BOTH sides on fingerprint -- unless the seen table is persisted in
+      the bucketed layout (``write_fingerprint_table``), which removes the
+      corpus-side exchange for good. The general-purpose path.
+    * ``'probe'`` (the CDC fast path, mirroring the near-dup probe's join
+      direction): the corpus table streams MAP-ONLY through a semi-join
+      against the broadcast shard fingerprints, producing the (shard-
+      bounded) hit set, which broadcasts back into the anti-join -- zero
+      corpus shuffle, zero corpus sort, no catalog dependence. Requires
+      the shard's distinct-fingerprint set to fit a broadcast (the normal
+      CDC premise); at 10^12-doc corpus age this reads ~32 TB of keys
+      map-only instead of shuffling them."""
+    if method not in ("join", "probe"):
+        raise ValueError(f"method must be 'join' or 'probe', got {method!r}")
     stamped = new_df.withColumn(
         "fingerprint", F.md5(normalized(F.col(text_col)))
     )
@@ -859,7 +874,77 @@ def incremental_dedup(
         .agg(F.min(F.struct(id_col, *other_cols)).alias("_row"))
         .select("fingerprint", "_row.*")
     )
-    survivors = collapsed.join(
-        seen_fps.select("fingerprint"), "fingerprint", "left_anti"
-    ).select(*new_df.columns, "fingerprint")
+    if method == "probe":
+        # shard fps computed once; reused by the probe and the anti-join
+        collapsed = collapsed.localCheckpoint(eager=False)
+        hits = seen_fps.select("fingerprint").join(
+            F.broadcast(collapsed.select("fingerprint")),
+            "fingerprint", "left_semi",
+        )
+        survivors = collapsed.join(
+            F.broadcast(hits), "fingerprint", "left_anti"
+        ).select(*new_df.columns, "fingerprint")
+    else:
+        survivors = collapsed.join(
+            seen_fps.select("fingerprint"), "fingerprint", "left_anti"
+        ).select(*new_df.columns, "fingerprint")
     return survivors, survivors.select("fingerprint")
+
+
+# ---------------------------------------------------------------------------
+# Fingerprint-table layout at corpus scale (round 6)
+# ---------------------------------------------------------------------------
+#
+# The fingerprint table is the only dedup state that grows with corpus AGE
+# (one 128-bit md5 per distinct document ever seen -- ~32 TB of keys at
+# 10^12 docs). A plain parquet directory makes every shard's anti-join
+# re-shuffle that entire table on ``fingerprint``; a Spark BUCKETED table
+# (``bucketBy(n, 'fingerprint')`` + ``saveAsTable``) pre-materializes that
+# exact hash partitioning in the catalog, so the sort-merge anti-join reads
+# the corpus side WITHOUT an Exchange -- only the (shard-sized) left side
+# shuffles, per run, forever. This is the Spark-native answer to "the state
+# table must never be the thing that moves".
+
+
+def write_fingerprint_table(
+    fps: DataFrame, table: str, n_buckets: int = 256, mode: str = "append",
+) -> None:
+    """Create-or-append the persisted fingerprint table in the BUCKETED
+    layout ``incremental_dedup`` exploits (see the section comment above).
+
+    ``n_buckets`` fixes the join parallelism of every future anti-join
+    against the table (Spark requires the probe side shuffled to exactly
+    this count): size it for the TARGET corpus, not the first shard --
+    256 buckets of a 32 TB end-state table are ~125 GB each, further split
+    by parquet row groups. Measured planner gotcha: when n_buckets is
+    BELOW the session's ``spark.sql.shuffle.partitions`` at read time,
+    ``DisableUnnecessaryBucketedScan`` silently drops the bucketed scan
+    (``Bucketed: false (disabled by query planner)``) and the corpus
+    re-shuffles after all -- pick n_buckets >= the shuffle parallelism of
+    the consuming jobs (equal gives the clean one-exchange plan the test
+    pins). Appends must reuse the creating spec (Spark validates); the
+    repartition keeps each append to one file per bucket instead of one
+    per (task x bucket)."""
+    (
+        fps.select("fingerprint")
+        .repartition(n_buckets, F.col("fingerprint"))
+        .write.bucketBy(n_buckets, "fingerprint")
+        .sortBy("fingerprint")
+        .mode(mode)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def append_fingerprints(new_fps: DataFrame, table: str, n_buckets: int = 256) -> None:
+    """Append a shard's new fingerprints to the bucketed table IN PLACE.
+
+    Safe where the parquet-path appendix is not (corpus_job refuses
+    ``--new-fps`` == ``--seen-fps``): the rows are eagerly materialized
+    into executor blocks FIRST (``localCheckpoint`` -- bounded, the frame
+    is shard-sized), severing the plan's read of the very table being
+    appended to; the insert then scans only the checkpoint."""
+    write_fingerprint_table(
+        new_fps.select("fingerprint").localCheckpoint(), table,
+        n_buckets=n_buckets, mode="append",
+    )

@@ -12,7 +12,10 @@ Stage order mirrors a production curation run (each stage optional):
            doc under a trained linear model (--clf-weights, written by
            jobs/train_clf_job.py) and keep docs scoring >= --clf-threshold
   dedup    exact dedup (min-id canonical survives) or incremental vs a
-           persisted fingerprint table (--seen-fps; writes updated table)
+           persisted fingerprint table (--seen-fps parquet dir + --new-fps
+           appendix, or --fps-table: a catalog table BUCKETED on the
+           fingerprint so the corpus-sized state never re-shuffles and the
+           appendix lands in place)
   neardup  MinHash-LSH near-duplicate removal: connected components over
            the candidate graph, keep the min-id canonical per cluster
            (--hash-family md5mix|md5|xxhash64 picks the signature family)
@@ -98,6 +101,31 @@ def main() -> None:
     ap.add_argument("--new-fps", default=None,
                     help="dedup: where to write the fingerprints this shard "
                          "adds (required with --seen-fps)")
+    ap.add_argument("--fps-table", default=None, metavar="NAME",
+                    help="dedup: catalog name of a BUCKETED fingerprint "
+                         "table (created on first use; bucketBy on "
+                         "fingerprint). Incremental like --seen-fps, but "
+                         "the corpus-sized state side of the anti-join is "
+                         "read pre-partitioned -- no corpus shuffle per "
+                         "shard, ever -- and the shard's new fingerprints "
+                         "are APPENDED in place (safe: materialized before "
+                         "the insert). Enables Hive catalog support so the "
+                         "table outlives the job (locally a derby metastore "
+                         "in the driver's cwd -- run shards from one "
+                         "directory; on a cluster the shared metastore). "
+                         "Exclusive with --seen-fps/--new-fps")
+    ap.add_argument("--fps-method", default="join", choices=("join", "probe"),
+                    help="incremental dedup cross-corpus strategy: 'join' "
+                         "(LeftAnti; pair with --fps-table so the corpus "
+                         "side never re-shuffles) or 'probe' (broadcast the "
+                         "shard's fingerprints, stream the corpus map-only, "
+                         "anti-join the broadcast hit set back -- zero "
+                         "corpus shuffle/sort; requires the shard's "
+                         "distinct fingerprints to fit a broadcast)")
+    ap.add_argument("--fps-buckets", type=int, default=256,
+                    help="fps-table: bucket count, fixed at creation; size "
+                         "for the TARGET corpus (it pins the anti-join "
+                         "parallelism for the table's lifetime)")
     ap.add_argument("--rate", action="append", default=[], metavar="SOURCE=RATE",
                     help="sample: per-source keep rate, e.g. --rate web=0.1")
     ap.add_argument("--mix-temperature", type=float, default=None, metavar="T",
@@ -242,6 +270,9 @@ def main() -> None:
         ap.error(f"unknown stages: {unknown}")
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
+    if args.fps_table and (args.seen_fps or args.new_fps):
+        ap.error("--fps-table and --seen-fps/--new-fps are exclusive: the "
+                 "table IS the persisted state, appended in place")
     if ("neardup" in stages) and args.seen_buckets and not args.new_buckets \
             and not args.streaming:
         ap.error("--seen-buckets requires --new-buckets (batch incremental "
@@ -289,9 +320,9 @@ def main() -> None:
                      f"{','.join(RESUMABLE_STAGES)} compose with "
                      "--resumable; run corpus-wide stages as a one-shot "
                      "pass over the resumable output")
-        if args.seen_fps:
-            ap.error("--seen-fps (incremental dedup) does not compose "
-                     "with --resumable: the fingerprint table is "
+        if args.seen_fps or args.fps_table:
+            ap.error("incremental dedup (--seen-fps/--fps-table) does not "
+                     "compose with --resumable: the fingerprint table is "
                      "corpus-wide state")
         if args.mix_temperature is not None:
             ap.error("--mix-temperature is corpus-wide (per-source "
@@ -306,8 +337,9 @@ def main() -> None:
         if args.buckets < 1:
             ap.error("--buckets must be >= 1")
     if args.streaming:
-        if args.seen_fps:
-            ap.error("--seen-fps (incremental dedup) is batch-only")
+        if args.seen_fps or args.fps_table:
+            ap.error("incremental dedup (--seen-fps/--fps-table) is "
+                     "batch-only")
         if "cap" in stages:
             ap.error("cap (per-source document cap) is batch-only: it needs "
                      "a corpus-wide per-stratum count, which has no bounded "
@@ -350,7 +382,16 @@ def main() -> None:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("corpus-curation").getOrCreate()
+    builder = SparkSession.builder.appName("corpus-curation")
+    if args.fps_table:
+        # the bucketed state table must outlive this job: back the catalog
+        # with a persistent metastore (locally a derby dir in the driver's
+        # cwd; on a cluster the shared Hive/Glue/REST metastore). The
+        # default in-memory catalog would forget the table's bucketing
+        # metadata at session exit and the next shard's CREATE would
+        # collide with the surviving files
+        builder = builder.enableHiveSupport()
+    spark = builder.getOrCreate()
     if args.streaming:
         result = run_pipeline_streaming(spark, args, stages)
     elif args.resumable:
@@ -422,12 +463,39 @@ def run_pipeline(spark, args, stages) -> dict:
             "classify",
         )
     if "dedup" in stages:
-        if args.seen_fps:
-            seen = spark.read.parquet(args.seen_fps)
-            survivors, new_fps = D.incremental_dedup(
-                df, seen, id_col=args.id_col, text_col=args.text_col
+        if getattr(args, "fps_table", None):
+            # bucketed-table incremental mode: the corpus-sized state side
+            # of the anti-join is read pre-partitioned (no shuffle), and
+            # the appendix goes back into the SAME table (safe -- the
+            # appender materializes the shard-sized rows first)
+            n_buckets = int(getattr(args, "fps_buckets", 256))
+            if spark.catalog.tableExists(args.fps_table):
+                seen = spark.table(args.fps_table)
+            else:
+                seen = spark.createDataFrame([], "fingerprint string")
+            survivors, _ = D.incremental_dedup(
+                df, seen, id_col=args.id_col, text_col=args.text_col,
+                method=getattr(args, "fps_method", "join"),
             )
-            new_fps.write.mode("overwrite").parquet(args.new_fps)
+            # one materialization serves the appendix AND the output write
+            # (the append is an eager action; without this the whole
+            # upstream stage chain executes twice)
+            survivors = survivors.localCheckpoint(eager=False)
+            D.append_fingerprints(
+                survivors.select("fingerprint"), args.fps_table,
+                n_buckets=n_buckets,
+            )
+            df = survivors.drop("fingerprint")
+        elif args.seen_fps:
+            seen = spark.read.parquet(args.seen_fps)
+            survivors, _ = D.incremental_dedup(
+                df, seen, id_col=args.id_col, text_col=args.text_col,
+                method=getattr(args, "fps_method", "join"),
+            )
+            survivors = survivors.localCheckpoint(eager=False)
+            survivors.select("fingerprint").write.mode("overwrite").parquet(
+                args.new_fps
+            )
             df = survivors.drop("fingerprint")
         else:
             canon = D.exact_dedup(df, id_col=args.id_col, text_col=args.text_col)

@@ -491,3 +491,45 @@ def test_classify_stage_filters_by_model_score(spark, tmp_path):
         for r in spark.read.parquet(str(root / "data")).collect()
     )
     assert got == [0, 2] and res2["output"] == 2
+
+
+def test_fps_table_incremental_loop(spark, tmp_path):
+    """--fps-table: shard 1 creates the bucketed fingerprint table, shard 2
+    is deduped against it with the appendix landing IN PLACE (no --new-fps
+    path juggling), and re-running shard 2 drains to 0."""
+    table = "fps_cli_" + tmp_path.name.replace("-", "_")
+    s1, s2 = tmp_path / "s1", tmp_path / "s2"
+    s1.mkdir(), s2.mkdir()
+    _write_docs(s1 / "p.parquet", [
+        dict(doc_id=0, text="alpha beta gamma", source="web"),
+        dict(doc_id=1, text="delta epsilon zeta", source="web"),
+    ])
+    _write_docs(s2 / "p.parquet", [
+        dict(doc_id=10, text="ALPHA   beta gamma", source="web"),  # seen
+        dict(doc_id=11, text="fresh new content here", source="web"),
+        dict(doc_id=12, text="fresh  NEW content here", source="web"),  # in-shard dup
+    ])
+    kw = dict(fps_table=table, fps_buckets=8)
+    try:
+        r1 = run_pipeline(
+            spark, _ns(input=str(s1), output=str(tmp_path / "o1"), **kw),
+            ["dedup"],
+        )
+        assert r1["counters"]["output"] == 2
+        r2 = run_pipeline(
+            spark, _ns(input=str(s2), output=str(tmp_path / "o2"), **kw),
+            ["dedup"],
+        )
+        out2 = sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "o2")).collect()
+        )
+        assert out2 == [11]
+        # the appendix landed in place: a rerun of shard 2 drains to 0
+        r3 = run_pipeline(
+            spark, _ns(input=str(s2), output=str(tmp_path / "o3"), **kw),
+            ["dedup"],
+        )
+        assert r3["counters"]["output"] == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -212,3 +212,116 @@ def test_cluster_persist_covers_dropped_member_transitively(spark):
         surv2, _ = incremental_near_dedup(shard2, table, persist_buckets=mode)
         admitted = [r["doc_id"] for r in surv2.collect()]
         assert (admitted == [300]) == expect_s_admitted, (mode, admitted)
+
+
+def test_bucketed_fps_table_no_corpus_shuffle(spark, tmp_path):
+    """The bucketed fingerprint table (write_fingerprint_table): the
+    anti-join reads the corpus-sized state side WITHOUT an Exchange
+    (`Bucketed: true` scan feeds the SortMergeJoin directly; only the
+    shard side shuffles), survivors equal the plain-parquet path, and
+    append_fingerprints updates the table in place (a rerun of the same
+    shard then drains to 0)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        append_fingerprints,
+        normalized,
+        write_fingerprint_table,
+    )
+
+    table = "fps_t_" + tmp_path.name.replace("-", "_")
+    corpus = _df(spark, [(i, f"corpus doc {i} body") for i in range(50)])
+    fps = corpus.select(F.md5(normalized(F.col("text"))).alias("fingerprint"))
+    shard = _df(
+        spark,
+        [(100 + i, f"corpus doc {i} body") for i in range(10)]   # 10 seen
+        + [(200 + i, f"fresh doc {i} body") for i in range(5)],  # 5 new
+    )
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        write_fingerprint_table(fps, table, n_buckets=8, mode="overwrite")
+        # disable broadcast so the toy-scale plan shows the at-scale SMJ
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        surv, new_fps = incremental_dedup(shard, spark.table(table))
+        want = sorted(
+            r["doc_id"]
+            for r in incremental_dedup(shard, fps)[0].collect()
+        )
+        assert sorted(r["doc_id"] for r in surv.collect()) == want
+        assert want == [200, 201, 202, 203, 204]
+
+        # inspect the EXECUTED (AQE-final) plan
+        plan = surv._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "Bucketed: true" in final
+        assert "SortMergeJoin" in final and "LeftAnti" in final
+        # exactly ONE Exchange in the anti-join subtree: the shard side
+        join_seg = final[final.index("SortMergeJoin"):]
+        assert join_seg.count("Exchange hashpartitioning") == 1
+
+        append_fingerprints(new_fps, table, n_buckets=8)
+        again, _ = incremental_dedup(shard, spark.table(table))
+        assert again.count() == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_fps_table_append_validates_bucket_spec(spark, tmp_path):
+    """Appending with a different bucket count must fail loudly (Spark
+    validates the spec) -- the count is fixed for the table's lifetime."""
+    import pytest
+    from pyspark.errors import AnalysisException
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        write_fingerprint_table,
+    )
+
+    table = "fps_spec_" + tmp_path.name.replace("-", "_")
+    fps = spark.createDataFrame([("ab",), ("cd",)], "fingerprint string")
+    try:
+        write_fingerprint_table(fps, table, n_buckets=4, mode="overwrite")
+        with pytest.raises(AnalysisException):
+            write_fingerprint_table(fps, table, n_buckets=8, mode="append")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_probe_method_streams_corpus_map_only(spark):
+    """method='probe' (the CDC fast path): value-identical to the join
+    method, and the plan streams the corpus side map-only -- both
+    cross-corpus joins are broadcast (shard fps out, hit set back), no
+    SortMergeJoin, and the ONLY hash-partitioning exchange is the shard's
+    own collapse aggregate."""
+    import pytest
+
+    corpus = _df(spark, [(i, f"corpus doc {i} body") for i in range(50)])
+    fps = corpus.select(F.md5(F.lower(F.col("text"))).alias("fingerprint"))
+    shard = _df(
+        spark,
+        [(100 + i, f"corpus doc {i} body") for i in range(10)]
+        + [(200 + i, f"fresh doc {i} body") for i in range(5)]
+        + [(300, "fresh doc 0 body")],  # within-shard dup of 200
+    )
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable AUTO broadcast: the probe's explicit hints must carry
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        surv_p, fps_p = incremental_dedup(shard, fps, method="probe")
+        surv_j, _ = incremental_dedup(shard, fps, method="join")
+        got_p = sorted(r["doc_id"] for r in surv_p.collect())
+        assert got_p == sorted(r["doc_id"] for r in surv_j.collect())
+        assert got_p == [200, 201, 202, 203, 204]
+        assert fps_p.count() == 5
+
+        plan = surv_p._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert "SortMergeJoin" not in final
+        assert final.count("BroadcastHashJoin") == 2
+        # ZERO hash exchanges in the result plan: the shard collapse
+        # executes once inside the lazily-checkpointed subplan (shared by
+        # the probe and the anti-join), and both cross-corpus joins are
+        # broadcast -- the corpus side never shuffles
+        assert final.count("Exchange hashpartitioning") == 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    with pytest.raises(ValueError, match="method"):
+        incremental_dedup(shard, fps, method="bogus")
