@@ -8,6 +8,8 @@ the driver harness can verify them value-for-value.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -341,7 +343,9 @@ def winnowing_fingerprints(
     )
 
 
-def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def document_stats(
+    df: DataFrame, text_col: str = "text", extra: Optional[dict] = None,
+) -> DataFrame:
     """Per-document length / punctuation / stopword / language / fingerprint
     stats in ONE regex-split pass: the token array is materialized once in a
     sub-projection and every signal derives from it with array expressions
@@ -350,15 +354,27 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     sf0.1, dominant at 100 TB where this scan is pure CPU).
 
     Value-identical to the unfused expressions (same splits, same casts,
-    same rounding); the DuckDB oracle in plans/queries.py is unchanged."""
+    same rounding); the DuckDB oracle in plans/queries.py is unchanged.
+
+    ``extra`` (name -> Column over ``df``'s columns) rides additional
+    per-document signals through the SAME single scan (the quality_clf
+    ``carry=`` pattern) -- e.g. URL normalization columns -- instead of a
+    join-back that would rescan the corpus."""
     from .dedup import _widen
 
+    extra = extra or {}
     t = F.col(text_col)
     # widen the raw rows FIRST (no-op when the scan already has enough
     # splits): a single-row-group parquet file otherwise runs the whole
     # tokenize/stats projection in one task
-    base = _widen(df.select("doc_id", t.alias("_t"))).select(
-        "doc_id", "_t", tokens(F.col("_t")).alias("_toks")
+    base = _widen(
+        df.select(
+            "doc_id", t.alias("_t"),
+            *[c.alias(f"_x_{k}") for k, c in extra.items()],
+        )
+    ).select(
+        "doc_id", "_t", tokens(F.col("_t")).alias("_toks"),
+        *[f"_x_{k}" for k in extra],
     )
     toks = F.col("_toks")
     tl = F.col("_t")
@@ -380,6 +396,7 @@ def document_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(tok_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
         lang.alias("lang_guess"),
         F.md5(norm).alias("fingerprint"),
+        *[F.col(f"_x_{k}").alias(k) for k in extra],
     )
 
 

@@ -564,6 +564,110 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EN_LIST = "['the','a','of','and','to','in']"
 _ES_LIST = "['el','la','de','los','y','en']"
 
+# --- q_doc_stats url leg: a deterministic synthetic URL per doc_id ---------
+# documents.parquet carries no url column, so BOTH engines construct the
+# same one from doc_id (every normalization rule exercised: mixed-case
+# host, www., default + non-default ports, trailing slash, tracking params,
+# unsorted params, fragment, two-level public suffix, unparseable rows).
+
+
+def _synth_url_col() -> "F.Column":
+    d = F.col("doc_id")
+
+    def s(x):
+        return F.lit(x)
+
+    return F.when(d % 13 == 0, s("not a url")).otherwise(
+        F.concat(
+            F.when(d % 2 == 0, s("https://WWW.")).otherwise(s("http://")),
+            s("Site"), (d % 7).cast("string"),
+            F.when(d % 3 == 0, s(".example.co.uk")).otherwise(s(".example.com")),
+            F.when(d % 2 == 0, s(":443"))
+            .when(d % 5 == 0, s(":8080"))
+            .otherwise(s(":80")),
+            s("/Path/"), (d % 11).cast("string"),
+            F.when(d % 4 == 0, s("/")).otherwise(s("")),
+            F.when(d % 3 == 0, s("?utm_source=news&b=2&a=1"))
+            .when(d % 3 == 1, s("?z=9&fbclid=abc"))
+            .otherwise(s("")),
+            F.when(d % 5 == 0, s("#frag")).otherwise(s("")),
+        )
+    )
+
+
+_SYNTH_URL_SQL = """
+    CASE WHEN doc_id % 13 = 0 THEN 'not a url' ELSE
+      (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'http://' END)
+      || 'Site' || (doc_id % 7)::VARCHAR
+      || (CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk' ELSE '.example.com' END)
+      || (CASE WHEN doc_id % 2 = 0 THEN ':443'
+               WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':80' END)
+      || '/Path/' || (doc_id % 11)::VARCHAR
+      || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
+      || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1'
+               WHEN doc_id % 3 = 1 THEN '?z=9&fbclid=abc' ELSE '' END)
+      || (CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)
+    END
+"""
+
+
+def _url_leg_sql() -> str:
+    """DuckDB replay of operators/urls.py's normalization chain (every
+    regex and list lambda mirrored literally; constants imported so the two
+    sides cannot drift), producing (doc_id, norm_url, url_domain)."""
+    from ..operators.urls import (
+        TRACKING_PARAMS,
+        TRACKING_PREFIX,
+        TWO_LEVEL_SUFFIXES,
+    )
+
+    track = "[" + ",".join(f"'{p}'" for p in TRACKING_PARAMS) + "]"
+    two = "[" + ",".join(f"'{sfx}'" for sfx in TWO_LEVEL_SUFFIXES) + "]"
+    return f"""
+    u0 AS (SELECT doc_id, {_SYNTH_URL_SQL} AS raw_url FROM documents),
+    u1 AS (SELECT doc_id, split_part(trim(raw_url), '#', 1) AS s FROM u0),
+    u2 AS (SELECT doc_id,
+             lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+             regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+           FROM u1),
+    u3 AS (SELECT doc_id, scheme,
+             regexp_replace(regexp_extract(rest, '^([^/?]*)', 1), '^.*@', '') AS hp,
+             regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
+             regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query
+           FROM u2),
+    u4 AS (SELECT doc_id, scheme, path, query,
+             regexp_replace(lower(regexp_replace(hp, ':[0-9]*$', '')),
+                            '^www\\.', '') AS host,
+             regexp_extract(hp, ':([0-9]+)$', 1) AS port
+           FROM u3),
+    u5 AS (SELECT doc_id, scheme, host,
+             CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+                    OR (scheme = 'https' AND port = '443'))
+                  THEN ':' || port ELSE '' END AS portpart,
+             regexp_replace(path, '/+$', '') AS cleanpath,
+             array_to_string(list_sort(list_filter(string_split(query, '&'),
+               x -> x <> ''
+                    AND NOT list_contains({track}, lower(split_part(x, '=', 1)))
+                    AND NOT starts_with(lower(split_part(x, '=', 1)),
+                                        '{TRACKING_PREFIX}'))), '&') AS qs
+           FROM u4),
+    urls AS (SELECT doc_id,
+             CASE WHEN scheme <> '' AND host <> ''
+                  THEN scheme || '://' || host || portpart || cleanpath
+                       || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+             END AS norm_url,
+             CASE WHEN scheme = '' OR host = '' THEN NULL
+                  WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){{3}}$')
+                       OR len(string_split(host, '.')) <= 2 THEN host
+                  WHEN list_contains({two},
+                         array_to_string(string_split(host, '.')[-2:], '.'))
+                       AND len(string_split(host, '.')) >= 3
+                  THEN array_to_string(string_split(host, '.')[-3:], '.')
+                  ELSE array_to_string(string_split(host, '.')[-2:], '.')
+             END AS url_domain
+           FROM u5)
+    """
+
 
 @register(
     "q_doc_stats",
@@ -578,7 +682,8 @@ _ES_LIST = "['el','la','de','los','y','en']"
              len(list_filter(regexp_split_to_array(lower(text), '\\s+'),
                              x -> list_contains({_ES_LIST}, x))) AS es_hits
       FROM documents
-    )
+    ),
+    {_url_leg_sql()}
     SELECT doc_id, n_chars_calc, n_tokens,
            round(n_punct / n_chars_calc, 6) AS punct_ratio,
            round(en_hits / n_tokens, 6) AS stopword_ratio,
@@ -586,12 +691,23 @@ _ES_LIST = "['el','la','de','los','y','en']"
              AS mean_token_len,
            CASE WHEN es_hits > en_hits THEN 'es'
                 WHEN en_hits > 0 THEN 'en' ELSE 'und' END AS lang_guess,
-           md5({_NORM_SQL}) AS fingerprint
-    FROM base ORDER BY doc_id
+           md5({_NORM_SQL}) AS fingerprint,
+           norm_url, url_domain
+    FROM base JOIN urls USING (doc_id) ORDER BY doc_id
     """,
 )
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return T.document_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    """Per-doc text stats + the URL curation leg (round 6): norm_url /
+    url_domain over a deterministic synthetic URL, riding the SAME single
+    scan via document_stats(extra=) — no join-back. The oracle replays the
+    whole normalization chain (operators/urls.py) in DuckDB."""
+    from ..operators import urls as U
+
+    u = _synth_url_col()
+    return T.document_stats(
+        _read(spark, sf_dir, "documents"),
+        extra={"norm_url": U.normalize_url(u), "url_domain": U.url_domain(u)},
+    ).orderBy("doc_id")
 
 
 @register(

@@ -4,6 +4,12 @@ spark-submit surface over a documents table (doc_id, text, ...).
 
 Stage order mirrors a production curation run (each stage optional):
 
+  urlfilter drop documents whose registered domain is blocklisted
+           (--url-col + --blocked-domains FILE; RefinedWeb-style, the
+           cheapest exclusion signal -- runs before any text pass)
+  urldedup keep ONE document per canonical URL (normalize_url: fragment/
+           tracking-param/port/www normalization; min-id survives;
+           unparseable URLs pass through)
   clean    C4-style line filter (drop boilerplate lines + gated docs)
   pii      redact emails / IPv4 / payment cards / SSNs / intl + dashed
            phones in place
@@ -63,8 +69,9 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("clean", "pii", "gate", "classify", "dedup", "neardup", "semdedup",
-          "decontam", "cap", "split", "sample")
+STAGES = ("urlfilter", "urldedup", "clean", "pii", "gate", "classify",
+          "dedup", "neardup", "semdedup", "decontam", "cap", "split",
+          "sample")
 
 # Stages whose bucket-local result equals the global result, so a
 # --resumable run can process hash buckets independently: clean / pii /
@@ -75,8 +82,8 @@ STAGES = ("clean", "pii", "gate", "classify", "dedup", "neardup", "semdedup",
 # lands whole in one bucket). Everything else (neardup, semdedup,
 # decontam, cap, temperature mixing, incremental dedup) aggregates
 # ACROSS buckets.
-RESUMABLE_STAGES = ("clean", "pii", "gate", "classify", "dedup", "split",
-                    "sample")
+RESUMABLE_STAGES = ("urlfilter", "clean", "pii", "gate", "classify",
+                    "dedup", "split", "sample")
 
 
 def main() -> None:
@@ -88,6 +95,13 @@ def main() -> None:
                          "canonical order regardless of listing order")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--url-col", default="url",
+                    help="urlfilter/urldedup: column holding the document's "
+                         "source URL")
+    ap.add_argument("--blocked-domains", default=None, metavar="FILE",
+                    help="urlfilter: newline-separated registered domains to "
+                         "drop (read driver-side; bounded -- compiled to one "
+                         "isin literal, zero joins)")
     ap.add_argument("--min-kept-lines", type=int, default=3)
     ap.add_argument("--clf-weights", default=None,
                     help="classify: trained model artifact (parquet written "
@@ -268,6 +282,8 @@ def main() -> None:
     unknown = sorted(set(stages) - set(STAGES))
     if unknown:
         ap.error(f"unknown stages: {unknown}")
+    if ("urlfilter" in stages) and not args.blocked_domains:
+        ap.error("urlfilter requires --blocked-domains")
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
     if args.fps_table and (args.seen_fps or args.new_fps):
@@ -402,6 +418,18 @@ def main() -> None:
     spark.stop()
 
 
+def _read_blocked_domains(path: str) -> list[str]:
+    """Driver-side read of the blocklist file (one domain per line, ``#``
+    comments allowed) -- bounded config cardinality, same class as the
+    --rate dict."""
+    with open(path) as f:
+        return [
+            ln.strip().lower()
+            for ln in f
+            if ln.strip() and not ln.lstrip().startswith("#")
+        ]
+
+
 def run_pipeline(spark, args, stages) -> dict:
     """The curation pipeline body; separated from main() so tests can
     drive it on a shared session without the job owning its lifecycle."""
@@ -434,6 +462,23 @@ def run_pipeline(spark, args, stages) -> dict:
         observations.append((stage, obs, out))
         return out
 
+    if "urlfilter" in stages:
+        from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
+
+        df = observed(
+            U.filter_blocked_domains(
+                df, _read_blocked_domains(args.blocked_domains),
+                url_col=args.url_col,
+            ),
+            "urlfilter",
+        )
+    if "urldedup" in stages:
+        from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
+
+        df = observed(
+            U.url_dedup(df, id_col=args.id_col, url_col=args.url_col),
+            "urldedup",
+        )
     if "clean" in stages:
         df = observed(
             L.apply_line_filter(
@@ -758,6 +803,13 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
     )
 
     df = spark.read.parquet(args.input)
+    if "urlfilter" in stages:
+        from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
+
+        df = U.filter_blocked_domains(
+            df, _read_blocked_domains(args.blocked_domains),
+            url_col=args.url_col,
+        )
     if "clean" in stages:
         df = L.apply_line_filter(
             df, text_col=args.text_col, min_kept_lines=args.min_kept_lines
@@ -897,6 +949,33 @@ def run_pipeline_streaming(spark, args, stages) -> dict:
     schema = spark.read.parquet(args.input).schema
     df = spark.readStream.schema(schema).parquet(args.input)
 
+    if "urlfilter" in stages:
+        from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
+
+        df = U.filter_blocked_domains(
+            df, _read_blocked_domains(args.blocked_domains),
+            url_col=args.url_col,
+        )
+    if "urldedup" in stages:
+        # streaming analog: FIRST-seen survives (not min-id -- arrival
+        # order is the only order a stream has); watermark-bounded state
+        # shared with the dedup horizon. Unparseable URLs get a per-row
+        # unique key (NULL would merge them all into one survivor).
+        from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
+
+        ts = (F.col(args.ts_col) if args.ts_col in schema.names
+              else F.current_timestamp())
+        key = F.coalesce(
+            F.md5(U.normalize_url(F.col(args.url_col))),
+            F.concat(F.lit("row:"), F.col(args.id_col).cast("string")),
+        )
+        df = (
+            df.withColumn("_ts", ts)
+            .withColumn("_ukey", key)
+            .withWatermark("_ts", args.dedup_horizon)
+            .dropDuplicatesWithinWatermark(["_ukey"])
+            .drop("_ukey", "_ts")
+        )
     if "clean" in stages:
         df = L.apply_line_filter(
             df, text_col=args.text_col, min_kept_lines=args.min_kept_lines

@@ -533,3 +533,101 @@ def test_fps_table_incremental_loop(spark, tmp_path):
         assert r3["counters"]["output"] == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_url_stages_compose(spark, tmp_path):
+    """urlfilter (blocklist) then urldedup (canonical-URL dedup) run FIRST
+    in the canonical order, before any text pass."""
+    src = tmp_path / "in_url"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, url="https://www.a.com/x?utm_source=s", text=GOOD,
+             source="web"),
+        dict(doc_id=1, url="https://A.com/x", text=GOOD, source="web"),
+        dict(doc_id=2, url="https://a.com/y", text=GOOD, source="web"),
+        dict(doc_id=3, url="not a url", text=GOOD, source="web"),
+        dict(doc_id=4, url="https://spam.bad.co.uk/z", text=GOOD,
+             source="web"),
+    ])
+    bl = tmp_path / "blocked.txt"
+    bl.write_text("# adult/spam list\nbad.co.uk\nother.com\n")
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_url"),
+            url_col="url", blocked_domains=str(bl)),
+        ["urlfilter", "urldedup"],
+    )
+    out = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out_url")).collect()
+    )
+    # 4 blocked; 1 url-dup of 0 (min id survives); 3 unparseable passes
+    assert out == [0, 2, 3]
+    assert res["counters"] == {
+        "input": 5, "after_urlfilter": 4, "after_urldedup": 3, "output": 3,
+    }
+
+
+def test_streaming_urldedup(spark, tmp_path):
+    """Streaming urldedup: ONE survivor per canonical URL (first-seen, not
+    min-id), unparseable URLs all pass through (NULL keys must not merge)."""
+    src = tmp_path / "in_surl"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, url="https://www.a.com/x?utm_source=s", text=GOOD),
+        dict(doc_id=1, url="https://A.com/x", text=GOOD),      # url-dup of 0
+        dict(doc_id=2, url="https://a.com/y", text=GOOD),
+        dict(doc_id=3, url="not a url", text=GOOD),
+        dict(doc_id=4, url="still not a url", text=GOOD),
+    ])
+    ns = _ns(
+        input=str(src), output=str(tmp_path / "out_surl"),
+        streaming=True, checkpoint=str(tmp_path / "ck_surl"),
+        ts_col="ts", dedup_horizon="30 minutes", url_col="url",
+    )
+    from jobs.corpus_job import run_pipeline_streaming
+
+    res = run_pipeline_streaming(spark, ns, ["urldedup"])
+    out = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out_surl")).collect()
+    )
+    assert res["counters"]["output"] == 4
+    assert len({0, 1} & set(out)) == 1  # exactly one canonical-URL survivor
+    assert {2, 3, 4} <= set(out)
+
+
+def test_resumable_urlfilter_equals_one_shot(spark, tmp_path):
+    """urlfilter is a per-document projection, so bucket-local == global:
+    the resumable run equals the one-shot on the same blocklist."""
+    from jobs.corpus_job import run_pipeline_resumable
+
+    src = tmp_path / "in_rurl"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i,
+             url=f"https://{'bad' if i % 3 == 0 else 'ok'}{i % 4}.com/p{i}",
+             text=GOOD + f"\nunique tail {i} ends with a clean stop.",
+             source="web")
+        for i in range(12)
+    ])
+    bl = tmp_path / "bl.txt"
+    bl.write_text("\n".join(f"bad{k}.com" for k in range(4)))
+    kw = dict(input=str(src), url_col="url", blocked_domains=str(bl), buckets=4)
+    run_pipeline(
+        spark, _ns(output=str(tmp_path / "one_rurl"), **kw),
+        ["urlfilter", "clean"],
+    )
+    want = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "one_rurl")).collect()
+    )
+    res = run_pipeline_resumable(
+        spark, _ns(output=str(tmp_path / "res_rurl"), **kw),
+        ["urlfilter", "clean"],
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "res_rurl") + "/data").collect()
+    )
+    assert got == want and 0 not in got and res["input_scans"] == 1

@@ -1,0 +1,176 @@
+"""URL curation operators: normalization chain, registered-domain
+heuristic, blocklist filtering, URL dedup."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from action_pdf_accessibility_paddle_docker_spark.operators.urls import (
+    domain_stats,
+    filter_blocked_domains,
+    normalize_url,
+    registered_domain,
+    url_dedup,
+    url_domain,
+    url_host,
+    url_stats,
+)
+
+
+def _norm(spark, urls):
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    return [r[0] for r in df.select(normalize_url(F.col("url"))).collect()]
+
+
+# (input, canonical) — each case exercises one documented rule
+NORM_CASES = [
+    # scheme + host lowercased, path case preserved
+    ("HTTPS://Example.COM/Path/File", "https://example.com/Path/File"),
+    # fragment stripped
+    ("https://a.com/x#section-2", "https://a.com/x"),
+    # www. stripped
+    ("https://www.example.com/x", "https://example.com/x"),
+    # default ports stripped, non-default kept
+    ("http://a.com:80/x", "http://a.com/x"),
+    ("https://a.com:443/x", "https://a.com/x"),
+    ("http://a.com:8080/x", "http://a.com:8080/x"),
+    ("https://a.com:80/x", "https://a.com:80/x"),  # 80 is NOT https default
+    # userinfo dropped
+    ("https://user:pw@a.com/x", "https://a.com/x"),
+    # trailing slashes stripped; bare root collapses
+    ("https://a.com/x/", "https://a.com/x"),
+    ("https://a.com/", "https://a.com"),
+    ("https://a.com", "https://a.com"),
+    # tracking params dropped, remainder sorted, empties dropped
+    ("https://a.com/x?utm_source=tw&b=2&a=1", "https://a.com/x?a=1&b=2"),
+    ("https://a.com/x?z=9&fbclid=abc", "https://a.com/x?z=9"),
+    ("https://a.com/x?utm_campaign=c", "https://a.com/x"),
+    ("https://a.com/x?b=2&&a=1", "https://a.com/x?a=1&b=2"),
+    # query directly after authority (no path)
+    ("https://a.com?b=2&a=1", "https://a.com?a=1&b=2"),
+    # unparseable -> NULL
+    ("not a url", None),
+    ("", None),
+    (None, None),
+]
+
+
+def test_normalize_url_cases(spark):
+    got = _norm(spark, [u for u, _ in NORM_CASES])
+    for (inp, want), g in zip(NORM_CASES, got):
+        assert g == want, (inp, g, want)
+
+
+def test_normalization_idempotent(spark):
+    """normalize(normalize(u)) == normalize(u) for every parseable case."""
+    canon = [w for _, w in NORM_CASES if w is not None]
+    assert _norm(spark, canon) == canon
+
+
+DOMAIN_CASES = [
+    ("https://www.news.bbc.co.uk/x", "bbc.co.uk"),     # two-level suffix
+    ("https://bbc.co.uk/x", "bbc.co.uk"),
+    ("https://blog.example.com/x", "example.com"),      # last-two fallback
+    ("https://example.com/x", "example.com"),
+    ("https://localhost/x", "localhost"),               # single label
+    ("http://192.168.0.1:8080/x", "192.168.0.1"),       # IPv4 literal
+    ("nope", None),
+]
+
+
+def test_url_domain_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in DOMAIN_CASES], "url string")
+    got = [r[0] for r in df.select(url_domain(F.col("url"))).collect()]
+    assert got == [w for _, w in DOMAIN_CASES]
+
+
+def test_url_host_keeps_www(spark):
+    df = spark.createDataFrame([("https://WWW.A.com/x",)], "url string")
+    assert df.select(url_host(F.col("url"))).first()[0] == "www.a.com"
+
+
+def test_registered_domain_on_bare_host(spark):
+    df = spark.createDataFrame(
+        [("a.b.co.jp",), ("x.y.z.example.org",)], "host string"
+    )
+    got = [r[0] for r in df.select(registered_domain(F.col("host"))).collect()]
+    assert got == ["b.co.jp", "example.org"]
+
+
+def _docs(spark):
+    rows = [
+        (0, "https://www.a.com/x?utm_source=s", "keep-a"),
+        (1, "https://A.com/x", "dup-of-0"),          # same canonical, bigger id
+        (2, "https://a.com/y", "keep-b"),
+        (3, "not a url", "unparseable-1"),
+        (4, "also not", "unparseable-2"),
+        (5, "https://spam.example.co.uk/z", "blocked"),
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+
+
+def test_url_dedup_keeps_min_id_and_passes_unparseable(spark):
+    out = url_dedup(_docs(spark)).orderBy("doc_id").collect()
+    assert [r["doc_id"] for r in out] == [0, 2, 3, 4, 5]
+    assert sorted(out[0].asDict().keys()) == ["doc_id", "text", "url"]
+
+
+def test_url_dedup_plan_is_one_partial_aggregate(spark):
+    """The only shuffle is the groupBy on the md5 key with a map-side
+    partial (hot-URL posture, same as exact_dedup); no join anywhere."""
+    plan = url_dedup(_docs(spark))._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_min" in plan or "HashAggregate" in plan
+
+
+def test_filter_blocked_domains_list_and_df(spark):
+    docs = _docs(spark)
+    want = [0, 1, 2, 3, 4]  # NULL-domain docs kept; blocked domain dropped
+    got_list = filter_blocked_domains(docs, ["example.co.uk", "other.com"])
+    assert sorted(r["doc_id"] for r in got_list.collect()) == want
+    bl = spark.createDataFrame([("example.co.uk",)], "domain string")
+    got_df = filter_blocked_domains(docs, bl)
+    assert sorted(r["doc_id"] for r in got_df.collect()) == want
+    # empty list is a no-op
+    assert filter_blocked_domains(docs, []).count() == docs.count()
+
+
+def test_blocklist_df_form_is_broadcast_anti(spark):
+    bl = spark.createDataFrame([("example.co.uk",)], "domain string")
+    plan = (
+        filter_blocked_domains(_docs(spark), bl)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_url_stats_and_domain_stats(spark):
+    stats = {r["doc_id"]: r for r in url_stats(_docs(spark)).collect()}
+    assert stats[0]["norm_url"] == "https://a.com/x"
+    assert stats[0]["host"] == "www.a.com"
+    assert stats[0]["url_domain"] == "a.com"
+    assert stats[3]["norm_url"] is None and stats[3]["url_domain"] is None
+    ds = {r["url_domain"]: r["n_docs"] for r in domain_stats(_docs(spark)).collect()}
+    assert ds == {"a.com": 3, "example.co.uk": 1, None: 2}
+
+
+def test_domain_stats_feeds_cap_per_stratum(spark):
+    """The RefinedWeb per-domain cap recipe: domain column + cap_per_stratum."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import cap_per_stratum
+
+    rows = [(i, f"https://hot.com/p{i}", f"t{i}") for i in range(40)] + [
+        (100 + i, f"https://cold{i}.org/", f"c{i}") for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+    with_dom = df.withColumn("url_domain", url_domain(F.col("url")))
+    capped = cap_per_stratum(
+        with_dom, cap=10, stratum_col="url_domain", id_col="doc_id",
+        method="exact",
+    )
+    per = {
+        r["url_domain"]: r["n"]
+        for r in capped.groupBy("url_domain").agg(F.count("*").alias("n")).collect()
+    }
+    assert per["hot.com"] == 10  # exact form binds the mega-domain
+    assert sum(1 for d in per if d.startswith("cold")) == 5  # cold survive
