@@ -221,6 +221,161 @@ def chunk_dedup_stats(
     )
 
 
+def _line_occurrences(
+    df: DataFrame, id_col: str, text_col: str, min_chars: int
+) -> DataFrame:
+    """(doc_id, line_idx, line, h) for every newline-split line; ``h`` is
+    md5 of the RAW line (exact identity) but only for ELIGIBLE lines
+    (trimmed length >= min_chars) -- short lines ('Introduction', bullets)
+    are never dedup keys, or corpus-wide removal would shred every
+    document's scaffolding. line_idx is 0-based."""
+    return (
+        _widen(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        )
+        .select(
+            "doc_id",
+            F.posexplode(F.split("text", "\n")).alias("line_idx", "line"),
+        )
+        .withColumn(
+            "h",
+            F.when(
+                F.length(F.trim(F.col("line"))) >= min_chars, F.md5("line")
+            ),
+        )
+    )
+
+
+def _kept_lines(occ: DataFrame) -> DataFrame:
+    """Occurrence-level verdicts: a line survives iff it is ineligible
+    (NULL h) or it is its hash's corpus-first occurrence
+    (min(doc_id, line_idx)). ``occ`` must arrive already (lazily)
+    localCheckpointed -- the callers do it so the SAME materialization also
+    serves their other reference (per-doc counts / the rewrite join).
+
+    Unlike ``chunk_dedup_stats`` (which only needs counts and can stay
+    join-free via n - n_canonical), removal needs a PER-OCCURRENCE verdict,
+    so a join on the line hash is unavoidable. Skew posture: the build side
+    is ONE ROW PER DISTINCT HASH (the min aggregate, map-side combined --
+    the hot boilerplate line reaches its reducer as one partial per
+    mapper); the probe side is hot on that hash, which AQE's
+    OptimizeSkewedJoin CAN split because the occurrence table is
+    checkpointed -- without it the explode's exchange is reused by both the
+    aggregate and the join, and a reused exchange is excluded from skew
+    splitting (the chunk_dedup lesson, SCALE.md)."""
+    winners = (
+        occ.where(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.min(F.struct("doc_id", "line_idx")).alias("w"))
+    )
+    return (
+        occ.join(winners, "h", "left")
+        .where(
+            F.col("h").isNull()
+            | (
+                (F.col("w.doc_id") == F.col("doc_id"))
+                & (F.col("w.line_idx") == F.col("line_idx"))
+            )
+        )
+        .select("doc_id", "line_idx", "line")
+    )
+
+
+def duplicate_line_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 30,
+) -> DataFrame:
+    """Corpus-wide exact duplicate-LINE removal, report form (RefinedWeb
+    Penedo et al. 2023 / MassiveText Rae et al. 2021: boilerplate lines --
+    nav bars, footers, cookie banners -- repeat across millions of pages;
+    the first corpus occurrence (min doc_id, line_idx) survives, every
+    later occurrence is removed from ITS document, and the document is
+    reassembled from its surviving lines in order).
+
+    Returns (doc_id, n_lines, n_dup_removed, rewritten_fp) where
+    rewritten_fp is md5 of the newline-rejoined surviving text -- the
+    byte-exact reassembly pin the oracle replays. Docs whose every line is
+    removed report rewritten_fp = md5('')."""
+    # ONE materialization of the exploded lines serves all three consumers
+    # (per-doc counts, the winner aggregate, the verdict join)
+    occ = _line_occurrences(df, id_col, text_col, min_chars).localCheckpoint(
+        eager=False
+    )
+    per_doc = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
+    rebuilt = (
+        _kept_lines(occ)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("_new_text"),
+        )
+    )
+    return (
+        per_doc.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_lines",
+            (F.col("n_lines") - F.coalesce(F.col("n_kept"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dup_removed"),
+            F.md5(F.coalesce(F.col("_new_text"), F.lit(""))).alias(
+                "rewritten_fp"
+            ),
+        )
+    )
+
+
+def remove_duplicate_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_chars: int = 30,
+) -> DataFrame:
+    """Consuming form of ``duplicate_line_stats``: original columns with
+    ``text_col`` rewritten to the surviving lines. Docs with NULL text pass
+    through unchanged (split(NULL) explodes to nothing; the left join
+    coalesces back).
+
+    The input is lazily localCheckpointed FIRST: this operator references
+    ``df`` twice (the line explode and the rewrite join), and in a CLI
+    composition that would re-execute the whole upstream stage chain --
+    the round-5 neardup lesson."""
+    df = df.localCheckpoint(eager=False)
+    occ = _line_occurrences(df, id_col, text_col, min_chars).localCheckpoint(
+        eager=False
+    )
+    rebuilt = (
+        _kept_lines(occ)
+        .groupBy("doc_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+                    lambda x: x["line"],
+                ),
+                "\n",
+            ).alias("_new_text")
+        )
+        .withColumnRenamed("doc_id", "_dl_id")
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("_dl_id"), "left")
+        .withColumn(
+            text_col,
+            F.when(F.col(text_col).isNotNull(), F.coalesce("_new_text", F.lit(""))),
+        )
+        .drop("_dl_id", "_new_text")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,

@@ -1388,11 +1388,73 @@ def _winnow_sql(k: int, w: int) -> str:
         END AS fps
       FROM picked
     )
-    SELECT doc_id, len(fps) AS n_fingerprints,
+    , {_dupline_leg_sql()}
+    SELECT w.doc_id, len(fps) AS n_fingerprints,
            array_to_string(list_transform(fps, x -> x::BIGINT::VARCHAR), ',')
-             AS fingerprint_csv
-    FROM winnowed ORDER BY doc_id
+             AS fingerprint_csv,
+           s.n_lines, s.n_dup_removed, s.rewritten_fp
+    FROM winnowed w JOIN dlstat s USING (doc_id) ORDER BY doc_id
     """
+
+
+# --- q_winnow_fingerprints dup-line leg: deterministic multi-line text -----
+# documents are single-line word salad, so BOTH engines synthesize the same
+# 3-line shape from doc_id: a >=30-char boilerplate line shared within each
+# doc_id%5 group (winner = min doc_id keeps it, everyone else loses it), the
+# unique original text, and a <30-char 'tail N' line that duplicates across
+# docs but is INELIGIBLE, so it always survives.
+
+_DL_HEAD = "shared boilerplate banner line for group "
+_DL_TAIL = "tail "
+
+
+def _dupline_text_col() -> "F.Column":
+    d = F.col("doc_id")
+    return F.concat(
+        F.lit(_DL_HEAD), (d % 5).cast("string"), F.lit(" of the corpus\n"),
+        F.col("text"),
+        F.lit("\n" + _DL_TAIL), (d % 3).cast("string"),
+    )
+
+
+def _dupline_leg_sql() -> str:
+    """DuckDB replay of dedup.duplicate_line_stats over the synthesized
+    text: posexplode (0-based), >=30-char eligibility on the trimmed line,
+    md5 of the raw line, corpus-first winner (min doc_id, line_idx),
+    newline reassembly in line order, md5 of the rewritten text."""
+    return f"""dl0 AS (
+      SELECT doc_id,
+             '{_DL_HEAD}' || (doc_id % 5)::VARCHAR || ' of the corpus'
+             || chr(10) || text || chr(10) || '{_DL_TAIL}'
+             || (doc_id % 3)::VARCHAR AS t
+      FROM documents
+    ), dll AS (
+      SELECT doc_id, unnest(string_split(t, chr(10))) AS line,
+             generate_subscripts(string_split(t, chr(10)), 1) - 1 AS line_idx
+      FROM dl0
+    ), dlk AS (
+      SELECT doc_id, line_idx, line,
+             CASE WHEN length(trim(line)) >= 30 THEN md5(line) END AS h
+      FROM dll
+    ), dlw AS (
+      SELECT h, first(doc_id ORDER BY doc_id, line_idx) AS wd,
+             first(line_idx ORDER BY doc_id, line_idx) AS wi
+      FROM dlk WHERE h IS NOT NULL GROUP BY h
+    ), dlkept AS (
+      SELECT k.doc_id, k.line_idx, k.line
+      FROM dlk k LEFT JOIN dlw w USING (h)
+      WHERE k.h IS NULL OR (k.doc_id = w.wd AND k.line_idx = w.wi)
+    ), dlre AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY line_idx) AS new_text
+      FROM dlkept GROUP BY doc_id
+    ), dlstat AS (
+      SELECT p.doc_id, p.n_lines,
+             (p.n_lines - coalesce(r.n_kept, 0))::BIGINT AS n_dup_removed,
+             md5(coalesce(r.new_text, '')) AS rewritten_fp
+      FROM (SELECT doc_id, count(*) AS n_lines FROM dll GROUP BY doc_id) p
+      LEFT JOIN dlre r USING (doc_id)
+    )"""
 
 
 @register("q_winnow_fingerprints", _winnow_sql(8, 5))
@@ -1401,17 +1463,27 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle built from the same base/modulus constants (HUGEINT modular
     arithmetic); scalar==vectorized equality additionally pinned in
     tests/test_fingerprint.py. Scalar output columns only (csv instead of a
-    raw array<bigint> -- the driver canonicalizer cannot hash lists)."""
+    raw array<bigint> -- the driver canonicalizer cannot hash lists).
+
+    Round 6: + the corpus-wide duplicate-LINE removal leg
+    (dedup.duplicate_line_stats over a deterministic 3-line synthesis --
+    shared boilerplate per doc_id%5 group, unique body, ineligible short
+    tail); the hash covers winner selection, removal counts, and the
+    byte-exact newline reassembly."""
+    from ..operators.dedup import duplicate_line_stats
     from ..operators.textstats import winnowing_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
+    leg = duplicate_line_stats(
+        docs.select("doc_id", _dupline_text_col().alias("text"))
+    )
     return winnowing_fingerprints(docs).select(
         "doc_id",
         F.size("fingerprints").alias("n_fingerprints"),
         F.concat_ws(
             ",", F.transform("fingerprints", lambda x: x.cast("string"))
         ).alias("fingerprint_csv"),
-    ).orderBy("doc_id")
+    ).join(leg, "doc_id").orderBy("doc_id")
 
 
 @register(

@@ -11,6 +11,10 @@ Stage order mirrors a production curation run (each stage optional):
            tracking-param/port/www normalization; min-id survives;
            unparseable URLs pass through)
   clean    C4-style line filter (drop boilerplate lines + gated docs)
+  linededup corpus-wide exact duplicate-LINE removal (RefinedWeb/
+           MassiveText): the first occurrence (min doc_id, line_idx)
+           of any >=--line-min-chars line survives, later copies are
+           removed from their documents, text reassembled in order
   pii      redact emails / IPv4 / payment cards / SSNs / intl + dashed
            phones in place
   gate     composed quality gate (length / punct / stopword / repetition)
@@ -69,9 +73,9 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("urlfilter", "urldedup", "clean", "pii", "gate", "classify",
-          "dedup", "neardup", "semdedup", "decontam", "cap", "split",
-          "sample")
+STAGES = ("urlfilter", "urldedup", "clean", "linededup", "pii", "gate",
+          "classify", "dedup", "neardup", "semdedup", "decontam", "cap",
+          "split", "sample")
 
 # Stages whose bucket-local result equals the global result, so a
 # --resumable run can process hash buckets independently: clean / pii /
@@ -103,6 +107,9 @@ def main() -> None:
                          "drop (read driver-side; bounded -- compiled to one "
                          "isin literal, zero joins)")
     ap.add_argument("--min-kept-lines", type=int, default=3)
+    ap.add_argument("--line-min-chars", type=int, default=30,
+                    help="linededup: only lines this long (trimmed) are "
+                         "dedup keys; shorter lines always survive")
     ap.add_argument("--clf-weights", default=None,
                     help="classify: trained model artifact (parquet written "
                          "by jobs/train_clf_job.py / save_classifier); "
@@ -356,6 +363,10 @@ def main() -> None:
         if args.seen_fps or args.fps_table:
             ap.error("incremental dedup (--seen-fps/--fps-table) is "
                      "batch-only")
+        if "linededup" in stages:
+            ap.error("linededup is batch-only: the corpus-first occurrence "
+                     "of a line is a corpus-wide aggregate with unbounded "
+                     "streaming state")
         if "cap" in stages:
             ap.error("cap (per-source document cap) is batch-only: it needs "
                      "a corpus-wide per-stratum count, which has no bounded "
@@ -485,6 +496,14 @@ def run_pipeline(spark, args, stages) -> dict:
                 df, text_col=args.text_col, min_kept_lines=args.min_kept_lines
             ),
             "clean",
+        )
+    if "linededup" in stages:
+        df = observed(
+            D.remove_duplicate_lines(
+                df, id_col=args.id_col, text_col=args.text_col,
+                min_chars=args.line_min_chars,
+            ),
+            "linededup",
         )
     if "pii" in stages:
         df = P.redact(df, text_col=args.text_col)

@@ -631,3 +631,28 @@ def test_resumable_urlfilter_equals_one_shot(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "res_rurl") + "/data").collect()
     )
     assert got == want and 0 not in got and res["input_scans"] == 1
+
+
+def test_linededup_stage(spark, tmp_path):
+    """linededup: the corpus-first occurrence of a long line survives,
+    later copies are stripped from their documents."""
+    boiler = "this cookie banner line repeats across every page of the site."
+    src = tmp_path / "in_ld"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=boiler + "\n" + GOOD, source="web"),
+        dict(doc_id=1, text=boiler + "\nunique body line that is long enough to stay.", source="web"),
+        dict(doc_id=2, text="ok\n" + boiler, source="web"),
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_ld"),
+            line_min_chars=30),
+        ["linededup"],
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "out_ld")).collect()}
+    assert out[0].startswith(boiler)          # corpus-first keeps it
+    assert out[1] == "unique body line that is long enough to stay."
+    assert out[2] == "ok"                     # short line survives
+    assert res["counters"]["after_linededup"] == 3  # rewrite, not drop
