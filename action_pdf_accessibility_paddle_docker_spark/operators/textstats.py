@@ -316,6 +316,41 @@ def stable_split(
     return df.withColumn("split", label)
 
 
+def shuffled(df: DataFrame, salt: str = "", id_col: str = "doc_id",
+             partitions: Optional[int] = None) -> DataFrame:
+    """Deterministic GLOBAL shuffle for training-order randomization:
+    rows ordered by ``md5('shuffle:' salt ':' id)``. Reproducible across
+    runs, re-shards, and engines (the stable_split recipe applied to
+    ordering); changing the salt gives an independent permutation -- the
+    per-epoch reshuffle a training pipeline wants without ever
+    materializing a permutation table.
+
+    Scale shape: ONE range-partition exchange on the hash (Spark samples
+    the fixed-width keys to pick balanced boundaries -- md5 is uniform, so
+    partitions are even regardless of input skew) + a within-partition
+    sort. The global order is (partition_idx, row order), which parquet
+    preserves as (file order, row order) -- the same contract as the
+    flagship extraction's ordered output. ``partitions`` sizes the output
+    shards (default: current shuffle parallelism).
+
+    Boundary-sampling trap (the flagship lesson): repartitionByRange
+    SAMPLES its child, so calling this on a lazy pipeline re-executes the
+    whole upstream chain (and double-fires its Observations). Shuffle
+    MATERIALIZED data -- corpus_job --shuffle-output therefore writes the
+    curated rows first and shuffles them in a second pass whose sampling
+    is one column-pruned scan of the id column."""
+    key = F.md5(
+        F.concat(F.lit(f"shuffle:{salt}:"), F.col(id_col).cast("string"))
+    )
+    out = df.withColumn("_shuf", key)
+    out = (
+        out.repartitionByRange(partitions, "_shuf")
+        if partitions
+        else out.repartitionByRange("_shuf")
+    )
+    return out.sortWithinPartitions("_shuf").drop("_shuf")
+
+
 def winnowing_fingerprints(
     df: DataFrame, k: int = 8, w: int = 5,
     id_col: str = "doc_id", text_col: str = "text",

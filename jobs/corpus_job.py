@@ -110,6 +110,13 @@ def main() -> None:
     ap.add_argument("--line-min-chars", type=int, default=30,
                     help="linededup: only lines this long (trimmed) are "
                          "dedup keys; shorter lines always survive")
+    ap.add_argument("--shuffle-output", default=None, metavar="SALT",
+                    help="write the curated output in a deterministic "
+                         "global shuffle order (rows ordered by "
+                         "md5('shuffle:'||salt||':'||id) -- the "
+                         "reproducible training-order permutation; a new "
+                         "salt is a new epoch order). Exclusive with "
+                         "--partition-output-by/--output-files")
     ap.add_argument("--clf-weights", default=None,
                     help="classify: trained model artifact (parquet written "
                          "by jobs/train_clf_job.py / save_classifier); "
@@ -291,6 +298,10 @@ def main() -> None:
         ap.error(f"unknown stages: {unknown}")
     if ("urlfilter" in stages) and not args.blocked_domains:
         ap.error("urlfilter requires --blocked-domains")
+    if args.shuffle_output is not None and (
+            args.partition_output_by or args.output_files):
+        ap.error("--shuffle-output orders the whole output; it is "
+                 "exclusive with --partition-output-by/--output-files")
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
     if args.fps_table and (args.seen_fps or args.new_fps):
@@ -357,12 +368,19 @@ def main() -> None:
         if args.partition_output_by:
             ap.error("--partition-output-by conflicts with --resumable "
                      "(the data layout is partitioned by bucket)")
+        if args.shuffle_output is not None:
+            ap.error("--shuffle-output conflicts with --resumable (a "
+                     "global order crosses buckets); shuffle as a "
+                     "one-shot pass over the resumable output")
         if args.buckets < 1:
             ap.error("--buckets must be >= 1")
     if args.streaming:
         if args.seen_fps or args.fps_table:
             ap.error("incremental dedup (--seen-fps/--fps-table) is "
                      "batch-only")
+        if args.shuffle_output is not None:
+            ap.error("--shuffle-output is batch-only: a global order has "
+                     "no streaming analog")
         if "linededup" in stages:
             ap.error("linededup is batch-only: the corpus-first occurrence "
                      "of a line is a corpus-wide aggregate with unbounded "
@@ -744,10 +762,38 @@ def run_pipeline(spark, args, stages) -> dict:
             )
         else:
             writer = writer.repartition(n_files)
+    shuffle_salt = getattr(args, "shuffle_output", None)
+    out_path = args.output
+    if shuffle_salt is not None:
+        # TWO-PHASE write: the global shuffle's repartitionByRange samples
+        # its child to pick boundaries, and sampling a lazy pipeline
+        # RE-EXECUTES the whole stage chain (and double-fires every
+        # Observation -- measured: after_<stage> read 2x on the one-job
+        # form). So the curated rows are materialized to a staging dir
+        # first (observations fire exactly once), and the shuffle pass
+        # reads them back -- boundary sampling then costs one
+        # column-pruned parquet scan of the id column, the flagship
+        # extraction's order-the-input lesson. Staging lives OUTSIDE
+        # args.output: the final overwrite would delete the very files
+        # the lazy shuffle plan is still reading.
+        out_path = args.output.rstrip("/") + ".shuffle-staging"
     w = writer.write.mode("overwrite")
     if part_col:
         w = w.partitionBy(part_col)
-    w.parquet(args.output)
+    w.parquet(out_path)
+    if shuffle_salt is not None:
+        T.shuffled(
+            spark.read.parquet(out_path), salt=shuffle_salt,
+            id_col=args.id_col,
+        ).write.mode("overwrite").parquet(args.output)
+        # best-effort cleanup via the same FS API the lineage writer uses
+        try:
+            jvm = spark._jvm
+            jsc = spark._jsc
+            path = jvm.org.apache.hadoop.fs.Path(out_path)
+            path.getFileSystem(jsc.hadoopConfiguration()).delete(path, True)
+        except Exception:  # noqa: BLE001 -- staging leftovers are harmless
+            pass
     for stage, obs, frame in observations:
         # When a stage empties the corpus, AQE empty-relation propagation
         # can replace the downstream subtree (incl. the CollectMetrics

@@ -656,3 +656,31 @@ def test_linededup_stage(spark, tmp_path):
     assert out[1] == "unique body line that is long enough to stay."
     assert out[2] == "ok"                     # short line survives
     assert res["counters"]["after_linededup"] == 3  # rewrite, not drop
+
+
+def test_shuffle_output_order(spark, tmp_path):
+    """--shuffle-output: the written corpus reads back in the deterministic
+    md5(salt, id) order (file order x within-file order)."""
+    import hashlib
+
+    src = tmp_path / "in_sh"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, text=GOOD + f" tail {i}.", source="web")
+        for i in range(200)
+    ])
+    run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_sh"),
+            shuffle_output="epoch1"),
+        [],
+    )
+    got = [
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out_sh")).collect()
+    ]
+    want = sorted(
+        range(200),
+        key=lambda i: hashlib.md5(f"shuffle:epoch1:{i}".encode()).hexdigest(),
+    )
+    assert got == want

@@ -435,3 +435,27 @@ def test_corpus_report_consistent_with_certified_operators(spark):
            {k: v for k, v in rep.items()
             if k not in ("n_distinct_fp", "est_dup_docs")}
     assert abs(rep2["n_distinct_fp"] - n_fp) <= max(1, int(0.05 * n_fp))
+
+
+def test_shuffled_deterministic_global_order(spark):
+    """shuffled(): reproducible global permutation by md5(salt, id) --
+    partition-layout-independent, salt = independent epoch order."""
+    import hashlib
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import shuffled
+
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(500)], "doc_id bigint, text string"
+    )
+    want = sorted(
+        range(500),
+        key=lambda i: hashlib.md5(f"shuffle:s1:{i}".encode()).hexdigest(),
+    )
+    got = [r["doc_id"] for r in shuffled(df, salt="s1").collect()]
+    assert got == want
+    # same order under a different input layout
+    got2 = [r["doc_id"] for r in shuffled(df.repartition(13), salt="s1").collect()]
+    assert got2 == want
+    # a different salt is a different (complete) permutation
+    other = [r["doc_id"] for r in shuffled(df, salt="s2").collect()]
+    assert other != want and sorted(other) == list(range(500))
