@@ -281,6 +281,20 @@ def _kept_lines(occ: DataFrame) -> DataFrame:
     )
 
 
+def _rebuild_text() -> "F.Column":
+    """The ONE reassembly expression (newline-join of surviving lines in
+    line_idx order) -- shared by the stats and consuming forms so the
+    rewritten_fp contract (stats fp == md5 of the consuming form's text)
+    cannot drift."""
+    return F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
+            lambda x: x["line"],
+        ),
+        "\n",
+    )
+
+
 def duplicate_line_stats(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -309,13 +323,7 @@ def duplicate_line_stats(
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
-                    lambda x: x["line"],
-                ),
-                "\n",
-            ).alias("_new_text"),
+            _rebuild_text().alias("_new_text"),
         )
     )
     return (
@@ -338,6 +346,7 @@ def remove_duplicate_lines(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_chars: int = 30,
+    checkpoint_input: bool = True,
 ) -> DataFrame:
     """Consuming form of ``duplicate_line_stats``: original columns with
     ``text_col`` rewritten to the surviving lines. Docs with NULL text pass
@@ -347,8 +356,12 @@ def remove_duplicate_lines(
     The input is lazily localCheckpointed FIRST: this operator references
     ``df`` twice (the line explode and the rewrite join), and in a CLI
     composition that would re-execute the whole upstream stage chain --
-    the round-5 neardup lesson."""
-    df = df.localCheckpoint(eager=False)
+    the round-5 neardup lesson. Pass ``checkpoint_input=False`` when the
+    caller already materialized ``df`` (corpus_job does, EAGERLY: a lazy
+    checkpoint completes upstream Observations with rows=0, zeroing the
+    job's per-stage counters)."""
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=False)
     occ = _line_occurrences(df, id_col, text_col, min_chars).localCheckpoint(
         eager=False
     )
@@ -356,13 +369,7 @@ def remove_duplicate_lines(
         _kept_lines(occ)
         .groupBy("doc_id")
         .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
-                    lambda x: x["line"],
-                ),
-                "\n",
-            ).alias("_new_text")
+            _rebuild_text().alias("_new_text")
         )
         .withColumnRenamed("doc_id", "_dl_id")
     )

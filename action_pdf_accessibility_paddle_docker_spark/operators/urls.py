@@ -88,11 +88,22 @@ def _param_kept(p: Column) -> Column:
     )
 
 
+def _strip_www(host: Column) -> Column:
+    """Drop a leading ``www.`` ONLY when at least two labels remain
+    (``www.example.com`` -> ``example.com``, but ``www.com`` is itself a
+    registrable host -- stripping would collapse it to the bare TLD and
+    merge it with malformed ``https://com/...`` URLs). The guard regex is
+    RE2-safe (no lookahead) so the DuckDB oracle mirrors it verbatim."""
+    return F.when(
+        host.rlike(r"^www\..+\."), F.regexp_replace(host, r"^www\.", "")
+    ).otherwise(host)
+
+
 def normalize_url(url: Column) -> Column:
     """The canonical URL (see module docstring), or NULL if unparseable."""
     scheme, authority, path, query = _parts(url)
     host, port = _host_port(authority)
-    host = F.regexp_replace(host, r"^www\.", "")
+    host = _strip_www(host)
     default = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )
@@ -130,10 +141,9 @@ def registered_domain(host: Column) -> Column:
 
 def url_domain(url: Column) -> Column:
     """Registered domain straight from a raw URL (www. stripped first so
-    ``www.bbc.co.uk`` and ``bbc.co.uk`` agree), or NULL if unparseable."""
-    return registered_domain(
-        F.regexp_replace(url_host(url), r"^www\.", "")
-    )
+    ``www.bbc.co.uk`` and ``bbc.co.uk`` agree; ``www.com`` keeps its www --
+    see ``_strip_www``), or NULL if unparseable."""
+    return registered_domain(_strip_www(url_host(url)))
 
 
 def url_stats(
@@ -189,10 +199,17 @@ def filter_blocked_domains(
     URL is not membership."""
     dom = url_domain(F.col(url_col))
     if isinstance(blocked, DataFrame):
+        # normalize the blocklist side exactly like the iterable form --
+        # url_domain is always lowercase, so a raw 'Example.com ' row
+        # would silently match nothing
         return (
             df.withColumn("_dom", dom)
             .join(
-                F.broadcast(blocked.select(F.col("domain").alias("_dom"))),
+                F.broadcast(
+                    blocked.select(
+                        F.lower(F.trim(F.col("domain"))).alias("_dom")
+                    )
+                ),
                 "_dom",
                 "left_anti",
             )

@@ -635,11 +635,15 @@ def _url_leg_sql() -> str:
              regexp_extract(rest, '^[^/?]*([^?]*)', 1) AS path,
              regexp_extract(rest, '^[^?]*\\?(.*)$', 1) AS query
            FROM u2),
-    u4 AS (SELECT doc_id, scheme, path, query,
-             regexp_replace(lower(regexp_replace(hp, ':[0-9]*$', '')),
-                            '^www\\.', '') AS host,
-             regexp_extract(hp, ':([0-9]+)$', 1) AS port
+    u3b AS (SELECT doc_id, scheme, path, query, hp,
+             lower(regexp_replace(hp, ':[0-9]*$', '')) AS host0
            FROM u3),
+    u4 AS (SELECT doc_id, scheme, path, query,
+             CASE WHEN regexp_matches(host0, '^www\\..+\\.')
+                  THEN regexp_replace(host0, '^www\\.', '')
+                  ELSE host0 END AS host,
+             regexp_extract(hp, ':([0-9]+)$', 1) AS port
+           FROM u3b),
     u5 AS (SELECT doc_id, scheme, host,
              CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
                     OR (scheme = 'https' AND port = '443'))

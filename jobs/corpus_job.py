@@ -381,6 +381,13 @@ def main() -> None:
         if args.shuffle_output is not None:
             ap.error("--shuffle-output is batch-only: a global order has "
                      "no streaming analog")
+        if "urldedup" in stages and "dedup" in stages:
+            ap.error("streaming urldedup and dedup cannot compose in one "
+                     "query: each needs its own watermark on the event "
+                     "column and Spark disallows redefining a watermark "
+                     "(STREAM_FAILED at runtime). Run urldedup in this "
+                     "stream and dedup in a second hop (or batch), or "
+                     "vice versa")
         if "linededup" in stages:
             ap.error("linededup is batch-only: the corpus-first occurrence "
                      "of a line is a corpus-wide aggregate with unbounded "
@@ -516,10 +523,14 @@ def run_pipeline(spark, args, stages) -> dict:
             "clean",
         )
     if "linededup" in stages:
+        # eager pre-checkpoint (see the classify note): the operator
+        # references its input twice, and its own internal checkpoint is
+        # LAZY (fine standalone, wrong under observed stages)
+        df = df.localCheckpoint(eager=True)
         df = observed(
             D.remove_duplicate_lines(
                 df, id_col=args.id_col, text_col=args.text_col,
-                min_chars=args.line_min_chars,
+                min_chars=args.line_min_chars, checkpoint_input=False,
             ),
             "linededup",
         )
@@ -534,8 +545,12 @@ def run_pipeline(spark, args, stages) -> dict:
 
         # materialize the pipeline-so-far: the score aggregate and the
         # semi-join's probe side both reference it (AQE compiles the
-        # subplans independently -- same hazard as neardup/semdedup)
-        df = df.localCheckpoint(eager=False)
+        # subplans independently -- same hazard as neardup/semdedup).
+        # EAGER everywhere in this CLI: a LAZY localCheckpoint completes
+        # every upstream Observation with rows=0 before any data flows
+        # (measured), silently zeroing the per-stage counters; eager
+        # materialization costs nothing extra (the pipeline always
+        # executes) and the observations fire with real values
         weights, bias = QC.load_classifier(spark, args.clf_weights)
         df = observed(
             QC.apply_classifier(
@@ -562,7 +577,7 @@ def run_pipeline(spark, args, stages) -> dict:
             # one materialization serves the appendix AND the output write
             # (the append is an eager action; without this the whole
             # upstream stage chain executes twice)
-            survivors = survivors.localCheckpoint(eager=False)
+            survivors = survivors.localCheckpoint(eager=True)
             D.append_fingerprints(
                 survivors.select("fingerprint"), args.fps_table,
                 n_buckets=n_buckets,
@@ -574,7 +589,7 @@ def run_pipeline(spark, args, stages) -> dict:
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 method=getattr(args, "fps_method", "join"),
             )
-            survivors = survivors.localCheckpoint(eager=False)
+            survivors = survivors.localCheckpoint(eager=True)
             survivors.select("fingerprint").write.mode("overwrite").parquet(
                 args.new_fps
             )
@@ -593,7 +608,7 @@ def run_pipeline(spark, args, stages) -> dict:
         # otherwise re-execute the whole clean/pii/gate/dedup chain from
         # the source once per round -- the per-stage re-execution the
         # counters comment below calls wrong at curation scale
-        df = df.localCheckpoint(eager=False)
+        df = df.localCheckpoint(eager=True)
         if getattr(args, "seen_buckets", None):
             seen = spark.read.parquet(args.seen_buckets)
             survivors, new_buckets = D.incremental_near_dedup(
@@ -623,7 +638,7 @@ def run_pipeline(spark, args, stages) -> dict:
 
         # materialize the pipeline-so-far: the KMeans fit, the iterative
         # component labeling, and the survivor join all reference it
-        df = df.localCheckpoint(eager=False)
+        df = df.localCheckpoint(eager=True)
         if getattr(args, "embeddings", None):
             embt = spark.read.parquet(args.embeddings)
             eid = getattr(args, "embedding_id_col", None)
@@ -704,12 +719,15 @@ def run_pipeline(spark, args, stages) -> dict:
             "decontam",
         )
     if "cap" in stages:
-        # checkpoint=True: the cap's count aggregate and keep filter would
-        # otherwise each re-execute the whole upstream stage chain
+        # materialize first (eager -- see the classify note): the cap's
+        # count aggregate and keep filter then share one materialization,
+        # and cap_per_stratum's own LAZY checkpoint (which would zero the
+        # upstream Observations) is skipped
+        df = df.localCheckpoint(eager=True)
         df = observed(
             T.cap_per_stratum(
                 df, cap=args.cap_per_source, stratum_col=args.stratum_col,
-                id_col=args.id_col, checkpoint=True,
+                id_col=args.id_col, checkpoint=False,
             ),
             "cap",
         )
@@ -724,7 +742,7 @@ def run_pipeline(spark, args, stages) -> dict:
             # materialize the pipeline-so-far once: the rate derivation is
             # an eager aggregate over it, and the sample filter reads it
             # again for the write
-            df = df.localCheckpoint(eager=False)
+            df = df.localCheckpoint(eager=True)
             rates = T.temperature_mix_rates(
                 df, stratum_col=args.stratum_col,
                 temperature=args.mix_temperature,
@@ -801,7 +819,12 @@ def run_pipeline(spark, args, stages) -> dict:
         # fires; fall back to a direct count of that stage's frame -- the
         # chain is cheap precisely because it is (nearly) empty.
         try:
-            counters[f"after_{stage}"] = int(obs.get["rows"])
+            got = int(obs.get["rows"])
+            # a LAZY localCheckpoint anywhere downstream completes the
+            # observation with rows=0 before data flows; 0 is therefore
+            # ambiguous -- re-count (cheap when the frame is truly empty,
+            # and the eager-checkpoint policy above makes this rare)
+            counters[f"after_{stage}"] = got if got > 0 else frame.count()
         except Exception:  # noqa: BLE001 -- metrics node elided
             counters[f"after_{stage}"] = frame.count()
     counters["output"] = spark.read.parquet(args.output).count()

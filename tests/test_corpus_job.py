@@ -15,6 +15,7 @@ def _ns(**kw):
         id_col="doc_id", text_col="text", min_kept_lines=2,
         seen_fps=None, new_fps=None, rate=[], default_rate=1.0,
         stratum_col="source", cap_per_source=10000, hash_family="md5mix",
+        line_min_chars=30,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -684,3 +685,41 @@ def test_shuffle_output_order(spark, tmp_path):
         key=lambda i: hashlib.md5(f"shuffle:epoch1:{i}".encode()).hexdigest(),
     )
     assert got == want
+
+
+def test_counters_survive_checkpointing_stages(spark, tmp_path):
+    """A lazy localCheckpoint anywhere downstream completes upstream
+    Observations with rows=0 (measured); the CLI's eager-checkpoint policy
+    must keep the per-stage counters truthful when a checkpointing stage
+    (linededup here) follows observed stages."""
+    src = tmp_path / "in_ck"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=GOOD, source="web"),
+        dict(doc_id=1, text=GOOD, source="web"),
+        dict(doc_id=2, text="tiny.\nnope", source="web"),  # fails clean
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_ck")),
+        ["clean", "linededup"],
+    )
+    assert res["counters"]["after_clean"] == 2
+    assert res["counters"]["after_linededup"] == 2
+    assert res["counters"]["output"] == 2
+
+
+def test_streaming_urldedup_plus_dedup_guarded():
+    """main() must reject the streaming urldedup+dedup combination upfront
+    (each needs its own watermark; Spark fails the query at runtime)."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py", "--input", "/tmp/x",
+         "--output", "/tmp/y", "--streaming", "--checkpoint", "/tmp/c",
+         "--stages", "urldedup,dedup"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2
+    assert "watermark" in r.stderr.lower()

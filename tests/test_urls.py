@@ -47,6 +47,8 @@ NORM_CASES = [
     ("https://a.com/x?b=2&&a=1", "https://a.com/x?a=1&b=2"),
     # query directly after authority (no path)
     ("https://a.com?b=2&a=1", "https://a.com?a=1&b=2"),
+    # www.<single-label> is itself the host -- never stripped to a TLD
+    ("https://www.com/page", "https://www.com/page"),
     # unparseable -> NULL
     ("not a url", None),
     ("", None),
@@ -73,6 +75,7 @@ DOMAIN_CASES = [
     ("https://example.com/x", "example.com"),
     ("https://localhost/x", "localhost"),               # single label
     ("http://192.168.0.1:8080/x", "192.168.0.1"),       # IPv4 literal
+    ("https://www.com/x", "www.com"),                   # www. kept: 2 labels
     ("nope", None),
 ]
 
@@ -128,7 +131,8 @@ def test_filter_blocked_domains_list_and_df(spark):
     want = [0, 1, 2, 3, 4]  # NULL-domain docs kept; blocked domain dropped
     got_list = filter_blocked_domains(docs, ["example.co.uk", "other.com"])
     assert sorted(r["doc_id"] for r in got_list.collect()) == want
-    bl = spark.createDataFrame([("example.co.uk",)], "domain string")
+    # DF form must normalize case/whitespace like the iterable form
+    bl = spark.createDataFrame([("  Example.CO.uk ",)], "domain string")
     got_df = filter_blocked_domains(docs, bl)
     assert sorted(r["doc_id"] for r in got_df.collect()) == want
     # empty list is a no-op
