@@ -260,10 +260,16 @@ def _gate_frame(df: DataFrame, text_col: str, p: dict):
     toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_chars = F.length(t)
-    punct_ratio = F.round(
-        (n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, ""))).cast("double")
-        / n_chars, 6,
-    )
+    # empty text (possible after corpus-wide dup-line removal empties a
+    # doc) must not kill the job under ANSI division -- 0.0 passes the
+    # punct gate and the doc is rejected by too_short anyway
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.round(
+            (n_chars - F.length(F.regexp_replace(t, PUNCT_CLASS, "")))
+            .cast("double") / n_chars, 6,
+        ),
+    ).otherwise(F.lit(0.0))
     en, _es, _lang = _lang_signals(toks)  # unused columns never enter the plan
     stopword_ratio = F.round(en.cast("double") / n_tokens, 6)
     n_words = F.size(F.col("_wt"))
@@ -426,7 +432,11 @@ def document_stats(
         "doc_id",
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
-        F.round(n_punct.cast("double") / n_chars, 6).alias("punct_ratio"),
+        # ANSI-safe on empty text (same guard as quality_columns); the sf
+        # tables have no empty docs, so the DuckDB oracle is unchanged
+        F.when(
+            n_chars > 0, F.round(n_punct.cast("double") / n_chars, 6)
+        ).otherwise(F.lit(0.0)).alias("punct_ratio"),
         F.round(en.cast("double") / n_tokens, 6).alias("stopword_ratio"),
         F.round(tok_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
         lang.alias("lang_guess"),

@@ -459,3 +459,27 @@ def test_shuffled_deterministic_global_order(spark):
     # a different salt is a different (complete) permutation
     other = [r["doc_id"] for r in shuffled(df, salt="s2").collect()]
     assert other != want and sorted(other) == list(range(500))
+
+
+def test_quality_gate_survives_empty_text(spark):
+    """Empty text (possible after corpus-wide dup-line removal empties a
+    doc) must not kill the job under ANSI division -- the doc is rejected
+    by too_short, punct_ratio reads 0.0."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.textstats import (
+        apply_quality_gate,
+        document_stats,
+        quality_gate,
+    )
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, None),
+         (2, "the quick brown fox jumps over the lazy dog and keeps on "
+             "going to the very end of this line today, naturally.")],
+        "doc_id bigint, text string",
+    )
+    g = {r["doc_id"]: r for r in quality_gate(df).collect()}
+    assert g[0]["keep"] is False and "too_short" in g[0]["reject_reasons"]
+    assert g[2]["keep"] is True
+    assert [r["doc_id"] for r in apply_quality_gate(df).collect()] == [2]
+    s = {r["doc_id"]: r for r in document_stats(df).collect()}
+    assert s[0]["punct_ratio"] == 0.0
