@@ -110,6 +110,10 @@ def main() -> None:
     ap.add_argument("--line-min-chars", type=int, default=30,
                     help="linededup: only lines this long (trimmed) are "
                          "dedup keys; shorter lines always survive")
+    ap.add_argument("--cap-by-domain", action="store_true",
+                    help="cap: stratify by the registered domain derived "
+                         "from --url-col (the RefinedWeb per-domain "
+                         "anti-dominance cap) instead of --stratum-col")
     ap.add_argument("--shuffle-output", default=None, metavar="SALT",
                     help="write the curated output in a deterministic "
                          "global shuffle order (rows ordered by "
@@ -723,14 +727,24 @@ def run_pipeline(spark, args, stages) -> dict:
         # count aggregate and keep filter then share one materialization,
         # and cap_per_stratum's own LAZY checkpoint (which would zero the
         # upstream Observations) is skipped
+        cap_stratum = args.stratum_col
+        if getattr(args, "cap_by_domain", False):
+            from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
+
+            # derive the registered domain row-wise; NULL (unparseable)
+            # is one stratum -- cap_per_stratum's sentinel handles it
+            df = df.withColumn("_cap_domain", U.url_domain(F.col(args.url_col)))
+            cap_stratum = "_cap_domain"
         df = df.localCheckpoint(eager=True)
         df = observed(
             T.cap_per_stratum(
-                df, cap=args.cap_per_source, stratum_col=args.stratum_col,
+                df, cap=args.cap_per_source, stratum_col=cap_stratum,
                 id_col=args.id_col, checkpoint=False,
             ),
             "cap",
         )
+        if cap_stratum == "_cap_domain":
+            df = df.drop("_cap_domain")
     if "split" in stages:
         df = T.stable_split(df, id_col=args.id_col)
     if "sample" in stages:

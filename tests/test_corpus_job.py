@@ -723,3 +723,38 @@ def test_streaming_urldedup_plus_dedup_guarded():
     )
     assert r.returncode == 2
     assert "watermark" in r.stderr.lower()
+
+
+def test_cap_by_domain(spark, tmp_path):
+    """--cap-by-domain: the RefinedWeb per-domain anti-dominance cap,
+    stratified by the registered domain derived from --url-col."""
+    src = tmp_path / "in_cbd"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, url=f"https://www.hot.com/p{i}",
+             text=GOOD + f" tail {i}.", source=f"s{i % 3}")
+        for i in range(40)
+    ] + [
+        dict(doc_id=100 + i, url=f"https://cold{i}.org/",
+             text=GOOD + f" cold {i}.", source="s0")
+        for i in range(5)
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_cbd"),
+            cap_per_source=5, cap_by_domain=True, url_col="url"),
+        ["cap"],
+    )
+    out = spark.read.parquet(str(tmp_path / "out_cbd"))
+    per = {
+        r["d"]: r["n"]
+        for r in out.selectExpr(
+            "regexp_extract(url, 'https://(?:www\\\\.)?([^/]+)/', 1) AS d"
+        ).groupBy("d").count().withColumnRenamed("count", "n").collect()
+    }
+    # rate form keeps ~5 of 40 for the hot domain; every cold domain
+    # (1 doc, rate clamps to 1.0) survives intact
+    assert per["hot.com"] < 40
+    assert sum(per[d] for d in per if d.startswith("cold")) == 5
+    assert "_cap_domain" not in out.columns
+    assert res["counters"]["output"] < 45
