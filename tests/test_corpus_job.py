@@ -758,3 +758,31 @@ def test_cap_by_domain(spark, tmp_path):
     assert sum(per[d] for d in per if d.startswith("cold")) == 5
     assert "_cap_domain" not in out.columns
     assert res["counters"]["output"] < 45
+
+
+def test_streaming_urlfilter(spark, tmp_path):
+    """urlfilter is a stateless projection, so it streams: blocked domains
+    are dropped from the arriving files."""
+    src = tmp_path / "in_surlf"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, url="https://ok.com/a", text=GOOD),
+        dict(doc_id=1, url="https://spam.bad.org/b", text=GOOD),
+        dict(doc_id=2, url="not a url", text=GOOD),
+    ])
+    bl = tmp_path / "bl_s.txt"
+    bl.write_text("bad.org\n")
+    ns = _ns(
+        input=str(src), output=str(tmp_path / "out_surlf"),
+        streaming=True, checkpoint=str(tmp_path / "ck_surlf"),
+        ts_col="ts", dedup_horizon="30 minutes",
+        url_col="url", blocked_domains=str(bl),
+    )
+    from jobs.corpus_job import run_pipeline_streaming
+
+    res = run_pipeline_streaming(spark, ns, ["urlfilter"])
+    out = sorted(
+        r["doc_id"]
+        for r in spark.read.parquet(str(tmp_path / "out_surlf")).collect()
+    )
+    assert out == [0, 2] and res["counters"]["output"] == 2
