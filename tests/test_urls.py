@@ -178,3 +178,25 @@ def test_domain_stats_feeds_cap_per_stratum(spark):
     }
     assert per["hot.com"] == 10  # exact form binds the mega-domain
     assert sum(1 for d in per if d.startswith("cold")) == 5  # cold survive
+
+
+def test_hot_url_drill(spark):
+    """95% of a 20k-doc shard shares ONE canonical URL (syndicated mirror
+    case): one survivor for the hot URL, everything else intact -- the
+    map-side-combined min-struct posture under real skew."""
+    from pyspark.sql import functions as F  # noqa: F811
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 20 != 0,
+            F.lit("https://www.mirror.com/story?utm_source=feed"),
+        ).otherwise(
+            F.concat(F.lit("https://site.com/p/"), F.col("id").cast("string"))
+        ).alias("url"),
+        F.concat(F.lit("body "), F.col("id").cast("string")).alias("text"),
+    )
+    out = url_dedup(df)
+    assert out.count() == 1_000 + 1  # 1000 unique + 1 hot survivor
+    hot = out.where(F.col("url").contains("mirror.com")).collect()
+    assert len(hot) == 1 and hot[0]["doc_id"] == 1  # min id wins
