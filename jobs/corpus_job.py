@@ -258,6 +258,11 @@ def main() -> None:
                          "write the one-row report as JSON to PATH; also "
                          "embedded in the job's JSON line under 'report'. "
                          "Batch-only (corpus-wide aggregate)")
+    ap.add_argument("--report-domains", type=int, default=0, metavar="N",
+                    help="report: also embed the top-N registered domains "
+                         "by doc count (needs --url-col present in the "
+                         "output; domain-cardinality-sized aggregate, "
+                         "top-N sort is tiny)")
     ap.add_argument("--report-exact-dup", action="store_true",
                     help="report: count distinct fingerprints EXACTLY (one "
                          "extra pass) instead of the one-pass HLL estimate "
@@ -846,10 +851,26 @@ def run_pipeline(spark, args, stages) -> dict:
     if getattr(args, "report", None):
         # audit the CURATED output (what ships), not the input: diffing
         # reports across runs/stages is the point of the artifact
+        out_df = spark.read.parquet(args.output)
         row = T.corpus_report(
-            spark.read.parquet(args.output), text_col=args.text_col,
+            out_df, text_col=args.text_col,
             exact_dup=bool(getattr(args, "report_exact_dup", False)),
         ).collect()[0].asDict()
+        n_dom = int(getattr(args, "report_domains", 0) or 0)
+        if n_dom > 0:
+            from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
+
+            # one map-side-combined aggregate (domain-cardinality-sized);
+            # the top-N sort runs on that aggregate, never the corpus
+            row["top_domains"] = [
+                {"domain": r["url_domain"], "n_docs": r["n_docs"],
+                 "n_chars": r["n_chars"]}
+                for r in U.domain_stats(out_df, url_col=args.url_col,
+                                        text_col=args.text_col)
+                .orderBy(F.desc("n_docs"),
+                         F.asc_nulls_last("url_domain"))
+                .limit(n_dom).collect()
+            ]
         with open(args.report, "w") as f:
             json.dump(row, f, indent=1, sort_keys=True)
         result["report"] = row

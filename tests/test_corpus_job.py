@@ -786,3 +786,32 @@ def test_streaming_urlfilter(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "out_surlf")).collect()
     )
     assert out == [0, 2] and res["counters"]["output"] == 2
+
+
+def test_report_domains(spark, tmp_path):
+    """--report-domains N embeds the top-N registered domains in the audit
+    report (doc count desc, domain asc tiebreak; NULL domains last)."""
+    src = tmp_path / "in_rd"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, url=f"https://www.big.com/p{i}", text=GOOD + f" t{i}.",
+             source="web")
+        for i in range(6)
+    ] + [
+        dict(doc_id=10, url="https://small.org/", text=GOOD, source="web"),
+        dict(doc_id=11, url="not a url", text=GOOD, source="web"),
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_rd"),
+            report=str(tmp_path / "rep.json"), report_domains=2,
+            report_exact_dup=False, url_col="url"),
+        [],
+    )
+    top = res["report"]["top_domains"]
+    assert [d["domain"] for d in top] == ["big.com", "small.org"]
+    assert top[0]["n_docs"] == 6
+    import json as _json
+
+    with open(tmp_path / "rep.json") as f:
+        assert _json.load(f)["top_domains"] == top
