@@ -161,24 +161,51 @@ def url_stats(
 
 
 def url_dedup(
-    df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    url_col: str = "url",
+    policy: str = "min_id",
+    text_col: str = "text",
 ) -> DataFrame:
-    """Keep ONE document per canonical URL (min id wins — same canonical
-    rule as ``dedup.exact_dedup``); documents whose URL does not parse pass
-    through untouched (a NULL key must never merge unrelated docs).
+    """Keep ONE document per canonical URL; documents whose URL does not
+    parse pass through untouched (a NULL key must never merge unrelated
+    docs). Two deterministic keep policies:
+
+    * ``'min_id'`` (default): min id wins — the same canonical rule as
+      ``dedup.exact_dedup``.
+    * ``'longest'``: the capture with the most ``text_col`` characters
+      wins (recrawl corpora: the later, fuller capture of a page should
+      supersede a truncated earlier one), ties broken by min id.
 
     Scale shape: the only shuffle is one hash groupBy on ``md5(norm_url)``
     (fixed-width key, map-side combine — a hot URL is one partial per
     mapper); the unparseable branch is a filter union, no join anywhere."""
+    if policy not in ("min_id", "longest"):
+        raise ValueError(f"policy must be 'min_id' or 'longest', got {policy!r}")
     norm = normalize_url(F.col(url_col))
     with_key = df.withColumn("_u", F.md5(norm))
     other_cols = [c for c in with_key.columns if c not in (id_col, "_u")]
-    canon = (
-        with_key.where(F.col("_u").isNotNull())
-        .groupBy("_u")
-        .agg(F.min(F.struct(id_col, *other_cols)).alias("_row"))
-        .select("_u", "_row.*")
-    )
+    if policy == "longest":
+        # order key: (n_chars desc, id asc) via min over (-n_chars, id);
+        # NULL text sorts last (coalesced to -1 chars -> negated to 1)
+        order = F.struct(
+            (-F.coalesce(F.length(F.col(text_col)), F.lit(-1))).alias("_neg"),
+            F.col(id_col).alias("_id"),
+        )
+        row = F.struct(order.alias("_o"), F.struct(id_col, *other_cols).alias("_r"))
+        canon = (
+            with_key.where(F.col("_u").isNotNull())
+            .groupBy("_u")
+            .agg(F.min(row).alias("_w"))
+            .select("_u", "_w._r.*")
+        )
+    else:
+        canon = (
+            with_key.where(F.col("_u").isNotNull())
+            .groupBy("_u")
+            .agg(F.min(F.struct(id_col, *other_cols)).alias("_row"))
+            .select("_u", "_row.*")
+        )
     return canon.drop("_u").unionByName(
         with_key.where(F.col("_u").isNull()).drop("_u")
     )

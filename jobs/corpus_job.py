@@ -102,6 +102,12 @@ def main() -> None:
     ap.add_argument("--url-col", default="url",
                     help="urlfilter/urldedup: column holding the document's "
                          "source URL")
+    ap.add_argument("--url-keep", default="min_id",
+                    choices=("min_id", "longest"),
+                    help="urldedup keep policy: min_id (exact_dedup's "
+                         "canonical rule) or longest (recrawls: the "
+                         "fullest capture of a URL supersedes; ties by "
+                         "min id)")
     ap.add_argument("--blocked-domains", default=None, metavar="FILE",
                     help="urlfilter: newline-separated registered domains to "
                          "drop (read driver-side; bounded -- compiled to one "
@@ -521,7 +527,9 @@ def run_pipeline(spark, args, stages) -> dict:
         from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
 
         df = observed(
-            U.url_dedup(df, id_col=args.id_col, url_col=args.url_col),
+            U.url_dedup(df, id_col=args.id_col, url_col=args.url_col,
+                        policy=getattr(args, "url_keep", "min_id"),
+                        text_col=args.text_col),
             "urldedup",
         )
     if "clean" in stages:

@@ -200,3 +200,23 @@ def test_hot_url_drill(spark):
     assert out.count() == 1_000 + 1  # 1000 unique + 1 hot survivor
     hot = out.where(F.col("url").contains("mirror.com")).collect()
     assert len(hot) == 1 and hot[0]["doc_id"] == 1  # min id wins
+
+
+def test_url_dedup_longest_policy(spark):
+    """policy='longest': the fullest capture of a URL supersedes (recrawl
+    corpora); ties break to min id; NULL text loses to any text."""
+    import pytest as _pytest
+
+    rows = [
+        (0, "https://a.com/x", "short"),
+        (1, "https://www.a.com/x/", "much longer recrawl capture"),
+        (2, "https://A.com/x", None),                  # NULL text loses
+        (3, "https://b.org/y", "tie"),
+        (4, "https://b.org/y/", "eit"),                # same length: min id
+        (5, "not a url", "passes"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+    out = sorted(r["doc_id"] for r in url_dedup(df, policy="longest").collect())
+    assert out == [1, 3, 5]
+    with _pytest.raises(ValueError, match="policy"):
+        url_dedup(df, policy="bogus")
