@@ -993,10 +993,19 @@ def incremental_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     method: str = "join",
+    key: str = "content",
+    url_col: str = "url",
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact dedup for an arriving shard against the corpus's
     persisted fingerprint table (the CDC shape of ``exact_dedup``: a 100 TB
     corpus is never rescanned -- only its fingerprint column is kept).
+
+    ``key='url'`` keys the whole machinery on ``md5(normalize_url(url))``
+    instead of the content hash -- the recrawl case: one capture per
+    canonical URL across the corpus's lifetime (pair with ``url_dedup``
+    inside the shard first if arrival order should not pick the survivor).
+    Unparseable URLs key on a 'content:'-salted content hash so they
+    dedup among themselves, never against each other's NULLs.
 
     Returns (survivors, new_fingerprints):
       survivors        = rows of ``new_df`` whose normalized-content hash is
@@ -1027,9 +1036,22 @@ def incremental_dedup(
       map-only instead of shuffling them."""
     if method not in ("join", "probe"):
         raise ValueError(f"method must be 'join' or 'probe', got {method!r}")
-    stamped = new_df.withColumn(
-        "fingerprint", F.md5(normalized(F.col(text_col)))
-    )
+    if key not in ("content", "url"):
+        raise ValueError(f"key must be 'content' or 'url', got {key!r}")
+    if key == "url":
+        # recrawl CDC: the state table is every CANONICAL URL ever kept;
+        # unparseable URLs fall back to the content fingerprint (they must
+        # join against SOMETHING stable, and NULL keys would all collapse
+        # into one row at the groupBy)
+        from .urls import normalize_url
+
+        fp = F.coalesce(
+            F.md5(normalize_url(F.col(url_col))),
+            F.md5(F.concat(F.lit("content:"), normalized(F.col(text_col)))),
+        )
+    else:
+        fp = F.md5(normalized(F.col(text_col)))
+    stamped = new_df.withColumn("fingerprint", fp)
     other_cols = [c for c in stamped.columns if c not in (id_col, "fingerprint")]
     collapsed = (
         stamped.groupBy("fingerprint")

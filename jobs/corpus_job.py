@@ -160,6 +160,13 @@ def main() -> None:
                          "anti-join the broadcast hit set back -- zero "
                          "corpus shuffle/sort; requires the shard's "
                          "distinct fingerprints to fit a broadcast)")
+    ap.add_argument("--fps-key", default="content",
+                    choices=("content", "url"),
+                    help="incremental dedup key: 'content' (normalized-"
+                         "text md5) or 'url' (canonical-URL md5 from "
+                         "--url-col; the recrawl case -- one capture per "
+                         "URL across the corpus's lifetime; unparseable "
+                         "URLs fall back to a salted content hash)")
     ap.add_argument("--fps-buckets", type=int, default=256,
                     help="fps-table: bucket count, fixed at creation; size "
                          "for the TARGET corpus (it pins the anti-join "
@@ -590,6 +597,8 @@ def run_pipeline(spark, args, stages) -> dict:
             survivors, _ = D.incremental_dedup(
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 method=getattr(args, "fps_method", "join"),
+                key=getattr(args, "fps_key", "content"),
+                url_col=args.url_col,
             )
             # one materialization serves the appendix AND the output write
             # (the append is an eager action; without this the whole
@@ -605,6 +614,8 @@ def run_pipeline(spark, args, stages) -> dict:
             survivors, _ = D.incremental_dedup(
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 method=getattr(args, "fps_method", "join"),
+                key=getattr(args, "fps_key", "content"),
+                url_col=args.url_col,
             )
             survivors = survivors.localCheckpoint(eager=True)
             survivors.select("fingerprint").write.mode("overwrite").parquet(

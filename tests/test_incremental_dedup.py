@@ -325,3 +325,47 @@ def test_probe_method_streams_corpus_map_only(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     with pytest.raises(ValueError, match="method"):
         incremental_dedup(shard, fps, method="bogus")
+
+
+def test_incremental_dedup_url_key(spark):
+    """key='url': the recrawl CDC -- a shard is deduped against every
+    canonical URL the corpus ever kept; unparseable URLs dedup among
+    themselves on a salted content hash, never on a shared NULL."""
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_dedup,
+    )
+    from action_pdf_accessibility_paddle_docker_spark.operators.urls import (
+        normalize_url,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, "https://a.com/x", "seen x"), (1, "https://b.org/y", "seen y")],
+        "doc_id bigint, url string, text string",
+    )
+    seen = corpus.select(
+        F.md5(normalize_url(F.col("url"))).alias("fingerprint")
+    )
+    shard = spark.createDataFrame(
+        [
+            (10, "https://WWW.A.com/x?utm_source=s", "recrawl of x"),  # seen
+            (11, "https://c.net/z", "fresh page z"),
+            (12, "https://c.net/z/", "same canonical as 11"),           # in-shard dup
+            (13, "not a url", "garbage one"),
+            (14, "also not", "garbage one"),   # same TEXT as 13 -> content dup
+            (15, "nope", "garbage two"),       # different text -> survives
+        ],
+        "doc_id bigint, url string, text string",
+    )
+    surv, new_fps = incremental_dedup(shard, seen, key="url")
+    got = sorted(r["doc_id"] for r in surv.collect())
+    assert got == [11, 13, 15]
+    assert new_fps.count() == 3
+    # drain: the appended fingerprints catch a rerun of the same shard
+    surv2, _ = incremental_dedup(
+        shard, seen.unionByName(new_fps), key="url"
+    )
+    assert surv2.count() == 0
+    with pytest.raises(ValueError, match="key"):
+        incremental_dedup(shard, seen, key="bogus")
