@@ -1005,7 +1005,9 @@ def incremental_dedup(
     canonical URL across the corpus's lifetime (pair with ``url_dedup``
     inside the shard first if arrival order should not pick the survivor).
     Unparseable URLs key on a 'content:'-salted content hash so they
-    dedup among themselves, never against each other's NULLs.
+    dedup among themselves, never against each other's NULLs; rows
+    where BOTH url and text are NULL get a rerun-stable per-row key
+    ('row:'||id) so they can never merge either.
 
     Returns (survivors, new_fingerprints):
       survivors        = rows of ``new_df`` whose normalized-content hash is
@@ -1048,6 +1050,10 @@ def incremental_dedup(
         fp = F.coalesce(
             F.md5(normalize_url(F.col(url_col))),
             F.md5(F.concat(F.lit("content:"), normalized(F.col(text_col)))),
+            # url AND text both NULL: a per-row unique (but rerun-stable)
+            # key -- a shared NULL fingerprint would merge unrelated rows
+            # at the groupBy (the streaming urldedup path's same fallback)
+            F.md5(F.concat(F.lit("row:"), F.col(id_col).cast("string"))),
         )
     else:
         fp = F.md5(normalized(F.col(text_col)))

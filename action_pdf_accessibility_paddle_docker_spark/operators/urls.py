@@ -192,20 +192,15 @@ def url_dedup(
             (-F.coalesce(F.length(F.col(text_col)), F.lit(-1))).alias("_neg"),
             F.col(id_col).alias("_id"),
         )
-        row = F.struct(order.alias("_o"), F.struct(id_col, *other_cols).alias("_r"))
-        canon = (
-            with_key.where(F.col("_u").isNotNull())
-            .groupBy("_u")
-            .agg(F.min(row).alias("_w"))
-            .select("_u", "_w._r.*")
-        )
     else:
-        canon = (
-            with_key.where(F.col("_u").isNotNull())
-            .groupBy("_u")
-            .agg(F.min(F.struct(id_col, *other_cols)).alias("_row"))
-            .select("_u", "_row.*")
-        )
+        order = F.struct(F.col(id_col).alias("_id"))
+    row = F.struct(order.alias("_o"), F.struct(id_col, *other_cols).alias("_r"))
+    canon = (
+        with_key.where(F.col("_u").isNotNull())
+        .groupBy("_u")
+        .agg(F.min(row).alias("_w"))
+        .select("_u", "_w._r.*")
+    )
     return canon.drop("_u").unionByName(
         with_key.where(F.col("_u").isNull()).drop("_u")
     )

@@ -326,6 +326,11 @@ def main() -> None:
                  "exclusive with --partition-output-by/--output-files")
     if ("dedup" in stages) and args.seen_fps and not args.new_fps:
         ap.error("--seen-fps requires --new-fps")
+    if getattr(args, "fps_key", "content") != "content" and not (
+            args.seen_fps or args.fps_table):
+        ap.error("--fps-key composes with incremental dedup only "
+                 "(--seen-fps or --fps-table); for within-shard URL dedup "
+                 "use the urldedup stage")
     if args.fps_table and (args.seen_fps or args.new_fps):
         ap.error("--fps-table and --seen-fps/--new-fps are exclusive: the "
                  "table IS the persisted state, appended in place")
@@ -403,6 +408,10 @@ def main() -> None:
         if args.shuffle_output is not None:
             ap.error("--shuffle-output is batch-only: a global order has "
                      "no streaming analog")
+        if "urldedup" in stages and args.url_keep != "min_id":
+            ap.error("--url-keep longest is batch-only: streaming urldedup "
+                     "is first-seen (dropDuplicatesWithinWatermark cannot "
+                     "compare captures it has already emitted)")
         if "urldedup" in stages and "dedup" in stages:
             ap.error("streaming urldedup and dedup cannot compose in one "
                      "query: each needs its own watermark on the event "

@@ -815,3 +815,24 @@ def test_report_domains(spark, tmp_path):
 
     with open(tmp_path / "rep.json") as f:
         assert _json.load(f)["top_domains"] == top
+
+
+def test_url_keep_and_fps_key_guards():
+    """main() rejects --url-keep longest in streaming (first-seen only)
+    and --fps-key without an incremental mode (it would be silently
+    ignored by plain exact dedup)."""
+    import subprocess
+    import sys
+
+    checks = [
+        (["--streaming", "--checkpoint", "/tmp/c", "--stages", "urldedup",
+          "--url-keep", "longest"], "batch-only"),
+        (["--stages", "dedup", "--fps-key", "url"], "incremental"),
+    ]
+    for argv, frag in checks:
+        r = subprocess.run(
+            [sys.executable, "jobs/corpus_job.py", "--input", "/tmp/x",
+             "--output", "/tmp/y"] + argv,
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 2 and frag in r.stderr, (argv, r.stderr[-200:])

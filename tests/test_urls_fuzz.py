@@ -20,18 +20,24 @@ from action_pdf_accessibility_paddle_docker_spark.operators.urls import (
 
 
 def norm_py(url):
-    """Scalar reference of normalize_url (module docstring spec)."""
+    """Scalar reference of normalize_url (module docstring spec).
+
+    Whitespace/regex semantics deliberately mirror the SPARK chain, which
+    is the spec: F.trim strips ASCII spaces only (not tabs/newlines), and
+    Java regex '.' excludes newlines with no DOTALL anywhere -- an
+    interior newline therefore makes the URL unparseable (NULL), which is
+    the right verdict for a crawl artifact."""
     if url is None:
         return None
-    s = url.strip().split("#", 1)[0]
-    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", s, re.DOTALL)
+    s = url.strip(" ").split("#", 1)[0]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", s)
     if not m:
         return None
     scheme, rest = m.group(1).lower(), m.group(2)
     am = re.match(r"^([^/?]*)", rest)
     authority = am.group(1)
-    path = re.match(r"^[^/?]*([^?]*)", rest, re.DOTALL).group(1)
-    qm = re.match(r"^[^?]*\?(.*)$", rest, re.DOTALL)
+    path = re.match(r"^[^/?]*([^?]*)", rest).group(1)
+    qm = re.match(r"^[^?]*\?(.*)$", rest)
     query = qm.group(1) if qm else ""
     hp = re.sub(r"^.*@", "", authority)
     host = re.sub(r":[0-9]*$", "", hp).lower()
@@ -58,15 +64,26 @@ def norm_py(url):
 
 
 def domain_py(url):
-    """Scalar reference of url_domain."""
+    """Scalar reference of url_domain -- mirrors the SPARK path
+    (url_host -> _strip_www -> registered_domain on the RAW url), not a
+    re-parse of the normalized string: garbage like 'http://0:80\t'
+    legally keeps ':80\t' inside the host (the tab defeats the anchored
+    port strip on both engines), and the reference must agree."""
     if url is None:
         return None
-    n = norm_py(url)
-    if n is None:
+    s = url.strip(" ").split("#", 1)[0]
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", s)
+    if not m:
         return None
-    # host straight off the reference-normalized url (www already handled)
-    host = re.match(r"^[^:/?]+://([^:/?]+)", n).group(1)
-    if re.match(r"^[0-9]+(\.[0-9]+){3}$", host):
+    scheme, rest = m.group(1).lower(), m.group(2)
+    authority = re.match(r"^([^/?]*)", rest).group(1)
+    hp = re.sub(r"^.*@", "", authority)
+    host = re.sub(r":[0-9]*$", "", hp).lower()
+    if not scheme or not host:
+        return None
+    if re.match(r"^www\..+\.", host):
+        host = re.sub(r"^www\.", "", host, count=1)
+    if re.search(r"^[0-9]+(\.[0-9]+){3}$", host):
         return host
     labels = host.split(".")
     if len(labels) <= 2:
@@ -79,6 +96,10 @@ def domain_py(url):
 _label = st.text(
     alphabet="abcdefgHIJ0129-_", min_size=1, max_size=6
 ).filter(lambda s: "." not in s)
+
+# whitespace shapes around and inside the url -- F.trim only strips
+# ASCII spaces, and interior newlines must parse to NULL on both sides
+_pad = st.sampled_from(["", " ", "  ", "\t", "\n", " \t"])
 
 _urlish = st.builds(
     lambda scheme, www, labels, port, segs, slash, params, frag: (
@@ -105,7 +126,11 @@ _urlish = st.builds(
     frag=st.sampled_from(["", "frag", "a#b"]),
 )
 
-_garbage = st.text(max_size=30)
+_urlish = st.builds(
+    lambda lead, u, tail: lead + u + tail, _pad, _urlish, _pad
+)
+
+_garbage = st.text(max_size=30)  # includes \n/\t/unicode by default
 
 
 # a 300-example sweep ran clean at commit time; 60 keeps CI fast
