@@ -17,6 +17,8 @@ an exact DuckDB oracle in plans/queries.py.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame, functions as F
 
 NUM_MINHASHES = 16
@@ -1098,6 +1100,7 @@ def incremental_dedup(
 
 def write_fingerprint_table(
     fps: DataFrame, table: str, n_buckets: int = 256, mode: str = "append",
+    key: Optional[str] = "content",
 ) -> None:
     """Create-or-append the persisted fingerprint table in the BUCKETED
     layout ``incremental_dedup`` exploits (see the section comment above).
@@ -1114,9 +1117,21 @@ def write_fingerprint_table(
     the consuming jobs (equal gives the clean one-exchange plan the test
     pins). Appends must reuse the creating spec (Spark validates); the
     repartition keeps each append to one file per bucket instead of one
-    per (task x bucket)."""
+    per (task x bucket).
+
+    ``key`` stamps the table with the fingerprint KEY SPACE it was built
+    under ('content' or 'url') as a constant ``fp_key`` column (RLE —
+    bytes-free in parquet): content md5s and url md5s never match each
+    other, so a key switch between shard runs would silently admit every
+    previously-seen document AND pollute the state forever. The
+    ``check_bucket_family`` pattern; ``check_fps_key`` validates on read.
+    Pass ``key=None`` to write the legacy fingerprint-only schema (needed
+    to append to pre-stamp tables — Spark validates append schemas)."""
+    cols = [F.col("fingerprint")]
+    if key is not None:
+        cols.append(F.lit(key).alias("fp_key"))
     (
-        fps.select("fingerprint")
+        fps.select(*cols)
         .repartition(n_buckets, F.col("fingerprint"))
         .write.bucketBy(n_buckets, "fingerprint")
         .sortBy("fingerprint")
@@ -1126,15 +1141,40 @@ def write_fingerprint_table(
     )
 
 
-def append_fingerprints(new_fps: DataFrame, table: str, n_buckets: int = 256) -> None:
+def check_fps_key(seen_fps: DataFrame, key: str) -> None:
+    """Fail loudly when a persisted fingerprint table's ``fp_key`` stamp
+    (when present) differs from the key space this run would stamp with:
+    content md5s and url md5s never match each other, so a mismatch
+    silently treats every seen document as new and appends a second key
+    space into the state forever. Legacy tables without the column are
+    'content' by construction (the only key that existed). One sampled
+    row suffices (uniform stamp — see ``check_bucket_family``)."""
+    if "fp_key" in seen_fps.columns:
+        first = seen_fps.select("fp_key").head(1)
+        stamped = first[0]["fp_key"] if first else key
+    else:
+        stamped = "content"
+    if stamped != key:
+        raise ValueError(
+            f"fingerprint state table carries fp_key={stamped!r} but this "
+            f"run uses key={key!r}; the two key spaces never match -- "
+            "re-run with the table's key or rebuild the table"
+        )
+
+
+def append_fingerprints(
+    new_fps: DataFrame, table: str, n_buckets: int = 256,
+    key: Optional[str] = "content",
+) -> None:
     """Append a shard's new fingerprints to the bucketed table IN PLACE.
 
     Safe where the parquet-path appendix is not (corpus_job refuses
     ``--new-fps`` == ``--seen-fps``): the rows are eagerly materialized
     into executor blocks FIRST (``localCheckpoint`` -- bounded, the frame
     is shard-sized), severing the plan's read of the very table being
-    appended to; the insert then scans only the checkpoint."""
+    appended to; the insert then scans only the checkpoint. ``key=None``
+    appends in the legacy fingerprint-only schema."""
     write_fingerprint_table(
         new_fps.select("fingerprint").localCheckpoint(), table,
-        n_buckets=n_buckets, mode="append",
+        n_buckets=n_buckets, mode="append", key=key,
     )

@@ -535,7 +535,7 @@ def run_pipeline(spark, args, stages) -> dict:
         df = observed(
             U.filter_blocked_domains(
                 df, _read_blocked_domains(args.blocked_domains),
-                url_col=args.url_col,
+                url_col=getattr(args, "url_col", "url"),
             ),
             "urlfilter",
         )
@@ -599,15 +599,22 @@ def run_pipeline(spark, args, stages) -> dict:
             # the appendix goes back into the SAME table (safe -- the
             # appender materializes the shard-sized rows first)
             n_buckets = int(getattr(args, "fps_buckets", 256))
+            fps_key = getattr(args, "fps_key", "content")
+            legacy_schema = False
             if spark.catalog.tableExists(args.fps_table):
                 seen = spark.table(args.fps_table)
+                # key-space provenance: content md5s and url md5s never
+                # match -- a silent key switch would admit every seen doc
+                # and pollute the state forever
+                D.check_fps_key(seen, fps_key)
+                legacy_schema = "fp_key" not in seen.columns
             else:
                 seen = spark.createDataFrame([], "fingerprint string")
             survivors, _ = D.incremental_dedup(
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 method=getattr(args, "fps_method", "join"),
                 key=getattr(args, "fps_key", "content"),
-                url_col=args.url_col,
+                url_col=getattr(args, "url_col", "url"),
             )
             # one materialization serves the appendix AND the output write
             # (the append is an eager action; without this the whole
@@ -616,20 +623,23 @@ def run_pipeline(spark, args, stages) -> dict:
             D.append_fingerprints(
                 survivors.select("fingerprint"), args.fps_table,
                 n_buckets=n_buckets,
+                key=(None if legacy_schema else fps_key),
             )
             df = survivors.drop("fingerprint")
         elif args.seen_fps:
             seen = spark.read.parquet(args.seen_fps)
+            D.check_fps_key(seen, getattr(args, "fps_key", "content"))
             survivors, _ = D.incremental_dedup(
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 method=getattr(args, "fps_method", "join"),
                 key=getattr(args, "fps_key", "content"),
-                url_col=args.url_col,
+                url_col=getattr(args, "url_col", "url"),
             )
             survivors = survivors.localCheckpoint(eager=True)
-            survivors.select("fingerprint").write.mode("overwrite").parquet(
-                args.new_fps
-            )
+            survivors.select(
+                "fingerprint",
+                F.lit(getattr(args, "fps_key", "content")).alias("fp_key"),
+            ).write.mode("overwrite").parquet(args.new_fps)
             df = survivors.drop("fingerprint")
         else:
             canon = D.exact_dedup(df, id_col=args.id_col, text_col=args.text_col)

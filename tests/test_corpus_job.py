@@ -15,7 +15,7 @@ def _ns(**kw):
         id_col="doc_id", text_col="text", min_kept_lines=2,
         seen_fps=None, new_fps=None, rate=[], default_rate=1.0,
         stratum_col="source", cap_per_source=10000, hash_family="md5mix",
-        line_min_chars=30,
+        line_min_chars=30, url_col="url",
     )
     base.update(kw)
     return argparse.Namespace(**base)

@@ -369,3 +369,32 @@ def test_incremental_dedup_url_key(spark):
     assert surv2.count() == 0
     with pytest.raises(ValueError, match="key"):
         incremental_dedup(shard, seen, key="bogus")
+
+
+def test_fps_key_stamp_validates(spark, tmp_path):
+    """The fingerprint state table is stamped with its key space; a key
+    switch between shard runs fails loudly instead of silently admitting
+    every seen document. Legacy (un-stamped) tables read as 'content'."""
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        check_fps_key,
+        write_fingerprint_table,
+    )
+
+    table = "fps_k_" + tmp_path.name.replace("-", "_")
+    fps = spark.createDataFrame([("ab",)], "fingerprint string")
+    try:
+        write_fingerprint_table(fps, table, n_buckets=4, mode="overwrite",
+                                key="url")
+        seen = spark.table(table)
+        check_fps_key(seen, "url")  # matching key passes
+        with pytest.raises(ValueError, match="fp_key"):
+            check_fps_key(seen, "content")
+        # legacy fingerprint-only schema == 'content' by construction
+        legacy = spark.createDataFrame([("cd",)], "fingerprint string")
+        check_fps_key(legacy, "content")
+        with pytest.raises(ValueError, match="fp_key"):
+            check_fps_key(legacy, "url")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
