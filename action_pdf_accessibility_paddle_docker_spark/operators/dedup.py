@@ -1040,6 +1040,10 @@ def incremental_dedup(
       map-only instead of shuffling them."""
     if method not in ("join", "probe"):
         raise ValueError(f"method must be 'join' or 'probe', got {method!r}")
+    # key-space provenance guard at the LIBRARY level (the
+    # incremental_near_dedup/check_bucket_family pattern) so every caller
+    # -- CLI, notebook, future job -- is protected, not just corpus_job
+    check_fps_key(seen_fps, key)
     if key not in ("content", "url"):
         raise ValueError(f"key must be 'content' or 'url', got {key!r}")
     if key == "url":
@@ -1146,14 +1150,22 @@ def check_fps_key(seen_fps: DataFrame, key: str) -> None:
     (when present) differs from the key space this run would stamp with:
     content md5s and url md5s never match each other, so a mismatch
     silently treats every seen document as new and appends a second key
-    space into the state forever. Legacy tables without the column are
-    'content' by construction (the only key that existed). One sampled
-    row suffices (uniform stamp — see ``check_bucket_family``)."""
-    if "fp_key" in seen_fps.columns:
-        first = seen_fps.select("fp_key").head(1)
-        stamped = first[0]["fp_key"] if first else key
-    else:
-        stamped = "content"
+    space into the state forever.
+
+    Absent or NULL stamps are UNKNOWN provenance and pass — the
+    ``check_bucket_family`` posture: pre-stamp state exists under BOTH
+    keys (the url key predates the stamp), so asserting a key for it
+    would reject valid chains and falsely bless invalid ones; mixed
+    legacy+stamped directories read with mergeSchema carry NULL fp_key on
+    the legacy rows. The residual risk (an unvalidated legacy chain) ends
+    at the first stamped append. One sampled row suffices for the stamped
+    case (uniform stamp by construction)."""
+    if "fp_key" not in seen_fps.columns:
+        return
+    first = seen_fps.select("fp_key").head(1)
+    if not first or first[0]["fp_key"] is None:
+        return
+    stamped = first[0]["fp_key"]
     if stamped != key:
         raise ValueError(
             f"fingerprint state table carries fp_key={stamped!r} but this "

@@ -602,18 +602,18 @@ def run_pipeline(spark, args, stages) -> dict:
             fps_key = getattr(args, "fps_key", "content")
             legacy_schema = False
             if spark.catalog.tableExists(args.fps_table):
+                # key-space provenance is validated inside
+                # incremental_dedup (check_fps_key); here we only detect
+                # the legacy fingerprint-only schema so the appendix
+                # matches it (Spark validates append schemas)
                 seen = spark.table(args.fps_table)
-                # key-space provenance: content md5s and url md5s never
-                # match -- a silent key switch would admit every seen doc
-                # and pollute the state forever
-                D.check_fps_key(seen, fps_key)
                 legacy_schema = "fp_key" not in seen.columns
             else:
                 seen = spark.createDataFrame([], "fingerprint string")
             survivors, _ = D.incremental_dedup(
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 method=getattr(args, "fps_method", "join"),
-                key=getattr(args, "fps_key", "content"),
+                key=fps_key,
                 url_col=getattr(args, "url_col", "url"),
             )
             # one materialization serves the appendix AND the output write
@@ -627,18 +627,22 @@ def run_pipeline(spark, args, stages) -> dict:
             )
             df = survivors.drop("fingerprint")
         elif args.seen_fps:
-            seen = spark.read.parquet(args.seen_fps)
-            D.check_fps_key(seen, getattr(args, "fps_key", "content"))
+            fps_key = getattr(args, "fps_key", "content")
+            # mergeSchema: an accumulated fps dir can mix pre-stamp
+            # (fingerprint-only) and stamped shard files; without it the
+            # read picks one footer's schema nondeterministically
+            seen = spark.read.option("mergeSchema", "true").parquet(
+                args.seen_fps
+            )
             survivors, _ = D.incremental_dedup(
                 df, seen, id_col=args.id_col, text_col=args.text_col,
                 method=getattr(args, "fps_method", "join"),
-                key=getattr(args, "fps_key", "content"),
+                key=fps_key,
                 url_col=getattr(args, "url_col", "url"),
             )
             survivors = survivors.localCheckpoint(eager=True)
             survivors.select(
-                "fingerprint",
-                F.lit(getattr(args, "fps_key", "content")).alias("fp_key"),
+                "fingerprint", F.lit(fps_key).alias("fp_key"),
             ).write.mode("overwrite").parquet(args.new_fps)
             df = survivors.drop("fingerprint")
         else:

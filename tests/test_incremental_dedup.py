@@ -391,10 +391,18 @@ def test_fps_key_stamp_validates(spark, tmp_path):
         check_fps_key(seen, "url")  # matching key passes
         with pytest.raises(ValueError, match="fp_key"):
             check_fps_key(seen, "content")
-        # legacy fingerprint-only schema == 'content' by construction
+        # legacy fingerprint-only schema = UNKNOWN provenance (pre-stamp
+        # state exists under BOTH keys -- the url key predates the stamp),
+        # so it passes either key; validation begins at the first stamped
+        # append (the check_bucket_family posture)
         legacy = spark.createDataFrame([("cd",)], "fingerprint string")
         check_fps_key(legacy, "content")
-        with pytest.raises(ValueError, match="fp_key"):
-            check_fps_key(legacy, "url")
+        check_fps_key(legacy, "url")
+        # a NULL stamp (mixed legacy+stamped dir under mergeSchema) also
+        # passes -- never a false error on a valid accumulated state dir
+        mixed = spark.createDataFrame(
+            [("ef", None)], "fingerprint string, fp_key string"
+        )
+        check_fps_key(mixed, "url")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
