@@ -220,3 +220,41 @@ def test_url_dedup_longest_policy(spark):
     assert out == [1, 3, 5]
     with _pytest.raises(ValueError, match="policy"):
         url_dedup(df, policy="bogus")
+
+
+def test_url_dedup_property_vs_scalar(spark):
+    """Property pin: url_dedup's survivors under BOTH policies equal a
+    scalar python computation over the fuzz reference's normalizer."""
+    from tests.test_urls_fuzz import norm_py
+
+    rows = [
+        (i,
+         ["https://A.com/x", "https://www.a.com/x?utm_source=s",
+          "http://a.com:80/x", "https://b.org/p", "https://b.org/p/",
+          "junk", None][i % 7],
+         None if i % 11 == 0 else ("t" * ((i * 7) % 13)))
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, url string, text string")
+    for policy in ("min_id", "longest"):
+        got = sorted(
+            r["doc_id"] for r in url_dedup(df, policy=policy).collect()
+        )
+        groups = {}
+        passthrough = []
+        for i, u, t in rows:
+            n = norm_py(u)
+            if n is None:
+                passthrough.append(i)
+            else:
+                groups.setdefault(n, []).append((i, t))
+        want = list(passthrough)
+        for members in groups.values():
+            if policy == "min_id":
+                want.append(min(i for i, _ in members))
+            else:
+                want.append(min(
+                    members,
+                    key=lambda m: (-(len(m[1]) if m[1] is not None else -1), m[0]),
+                )[0])
+        assert got == sorted(want), policy
