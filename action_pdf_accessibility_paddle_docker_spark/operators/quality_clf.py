@@ -50,6 +50,17 @@ BIAS_SENTINEL = "\x00<bias>"
 
 DEFAULT_VOCAB_SIZE = 1 << 18
 
+#: Weight-sum quantum for scoring: weights are floor-quantized to 2^-26
+#: (~1.5e-8, immaterial to a quality verdict) so every addend of the per-doc
+#: reduce is an exact BIGINT. Integer addition is associative, so the score
+#: is BIT-IDENTICAL under any partial-aggregation order and across engines
+#: (Spark's hash-agg order vs DuckDB's) -- double summation order was a
+#: latent rounding-boundary flake in the certification harness. The product
+#: ``weight * 2^26`` is an exact double (power-of-two scaling), ``floor`` is
+#: exact, and the BIGINT sum overflows only past ~1e8 matched terms per doc
+#: at |weight| <= 1e3 -- far beyond any document.
+WEIGHT_FP_SCALE = 1 << 26
+
 
 def terms_array(text: Column, bigrams: bool = True) -> Column:
     """Per-document term array: normalized whitespace word unigrams plus
@@ -81,6 +92,8 @@ def score_documents(
     bigrams: bool = True,
     round_to: int = 6,
     carry: tuple[str, ...] = (),
+    terms_col: Column | str | None = None,
+    gate_col: str | None = None,
 ) -> DataFrame:
     """Score every document under a trained linear model: one row per input
     doc with ``(*carry, n_terms, clf_score, clf_keep)``.
@@ -88,9 +101,24 @@ def score_documents(
     ONE corpus scan: the per-doc term count rides along the explode
     (``explode_outer`` keeps term-less docs, which score at the bias), the
     weights table joins broadcast (vocab-bounded -- see module docstring),
-    and the per-doc reduce is a map-side-combined sum. ``clf_score`` is
-    rounded before the threshold compare so both engines gate on the same
-    stored value.
+    and the per-doc reduce is a map-side-combined BIGINT sum of
+    ``floor(weight * WEIGHT_FP_SCALE)`` -- order-independent and therefore
+    bit-reproducible across partial-aggregation orders and engines (see
+    ``WEIGHT_FP_SCALE``). ``clf_score`` is rounded before the threshold
+    compare so both engines gate on the same stored value.
+
+    ``terms_col`` (a column name or Column over ``df``) supplies a
+    PRECOMPUTED term array instead of re-deriving it from ``text_col`` --
+    e.g. the quality gate already materializes the filtered word and bigram
+    arrays (``keep_cols=("_wt", "_bg")``), so the composed gate+classifier
+    pass normalizes and splits each document exactly once.
+
+    ``gate_col`` names a BOOLEAN carry column (must appear in ``carry``):
+    only rows where it is true are exploded and scored -- the DCLM ordering,
+    heuristic-gate first, classifier on survivors -- cutting the explode to
+    the surviving fraction of the corpus. Gated-out rows still come back
+    (full per-doc coverage) with ``n_terms = 0`` and NULL
+    ``clf_score``/``clf_keep``.
 
     ``carry`` names row-wise columns of ``df`` to ride through the explode
     and back out -- composing an upstream projection (e.g. the heuristic
@@ -101,7 +129,17 @@ def score_documents(
     aggregate to SortAggregate, while compound keys keep the map-side-
     combined HashAggregate. Scalars only: each carried value is duplicated
     per term row until the partial aggregate collapses it."""
-    t = terms_array(F.col(text_col), bigrams=bigrams)
+    if terms_col is None:
+        t = terms_array(F.col(text_col), bigrams=bigrams)
+    else:
+        t = F.col(terms_col) if isinstance(terms_col, str) else terms_col
+    if gate_col is not None:
+        if gate_col not in carry:
+            raise ValueError(
+                f"gate_col {gate_col!r} must be one of the carry columns "
+                f"{carry!r} so the verdict can NULL gated-out scores"
+            )
+        t = F.when(F.col(gate_col), t).otherwise(F.array().cast("array<string>"))
     rows = df.select(
         F.col(id_col),
         *[F.col(c) for c in carry],
@@ -111,16 +149,26 @@ def score_documents(
     agg = (
         rows.join(F.broadcast(weights), "term", "left")
         .groupBy(id_col, *carry, "_n")
-        .agg(F.sum("weight").alias("_wsum"))
+        .agg(
+            F.sum(F.floor(F.col("weight") * F.lit(float(WEIGHT_FP_SCALE))))
+            .alias("_wsum")
+        )
     )
-    z = F.lit(float(bias)) + F.coalesce(F.col("_wsum"), F.lit(0.0))
+    z = F.lit(float(bias)) + (
+        F.coalesce(F.col("_wsum"), F.lit(0)).cast("double")
+        / F.lit(float(WEIGHT_FP_SCALE))
+    )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
+    keep = score >= F.lit(float(threshold))
+    if gate_col is not None:
+        score = F.when(F.col(gate_col), score)
+        keep = F.when(F.col(gate_col), keep)
     return agg.select(
         id_col,
         *carry,
         F.col("_n").cast("bigint").alias("n_terms"),
         score.alias("clf_score"),
-        (score >= F.lit(float(threshold))).alias("clf_keep"),
+        keep.alias("clf_keep"),
     )
 
 

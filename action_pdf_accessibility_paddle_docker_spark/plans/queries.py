@@ -817,8 +817,10 @@ def _qclf_model(spark: SparkSession):
       SELECT weight AS bias FROM read_parquet('{_QCLF_PATH}')
       WHERE term = chr(0) || '<bias>'
     ), wda AS (
-      SELECT doc_id, list_filter({_TOKS_SQL}, x -> length(x) > 0) AS wt
-      FROM documents
+      -- DCLM ordering: only gate SURVIVORS are tokenized and scored
+      SELECT g.doc_id, list_filter({_TOKS_SQL}, x -> length(x) > 0) AS wt
+      FROM documents JOIN gated g USING (doc_id)
+      WHERE g.reject_reasons = ''
     ), tm AS (
       SELECT doc_id, unnest(list_concat(wt,
                list_filter(list_transform(range(1, len(wt)),
@@ -826,19 +828,27 @@ def _qclf_model(spark: SparkSession):
                            x -> length(x) > 0))) AS term
       FROM wda
     ), zs AS (
-      SELECT tm.doc_id, sum(qw.weight) AS wsum
+      -- order-independent fixed-point sum (WEIGHT_FP_SCALE = 2^26): every
+      -- addend is an exact BIGINT, so the score cannot flip with the
+      -- engine's partial-aggregation order
+      SELECT tm.doc_id,
+             sum(CAST(floor(qw.weight * 67108864.0) AS BIGINT)) AS wsum
       FROM tm JOIN qw USING (term) GROUP BY tm.doc_id
     ), clf AS (
       SELECT w.doc_id,
              round(1.0 / (1.0 + exp(-((SELECT bias FROM qb)
-                                      + coalesce(z.wsum, 0.0)))), 6) AS clf_score
+                                      + coalesce(z.wsum, 0) / 67108864.0))),
+                   6) AS clf_score
       FROM wda w LEFT JOIN zs z USING (doc_id)
     )
     SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
            distinct_word_frac, top_bigram_frac,
            reject_reasons, reject_reasons = '' AS keep,
-           c.clf_score, c.clf_score >= 0.5 AS clf_keep
-    FROM gated JOIN clf c USING (doc_id) ORDER BY doc_id
+           -- unscored (gate-rejected) docs carry sentinels, not NULLs: the
+           -- driver canonicalizer cannot sort mixed None/float rows
+           coalesce(c.clf_score, -1.0) AS clf_score,
+           coalesce(c.clf_score >= 0.5, false) AS clf_keep
+    FROM gated LEFT JOIN clf c USING (doc_id) ORDER BY doc_id
     """,
 )
 def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -847,26 +857,39 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     signals -> keep/reject_reasons; include_signals exposes the raw signal
     columns, formerly the separate q_repetition_signals entry) AND the
     trained fastText/DCLM-style classifier score under the committed
-    weights fixture (``clf_score``/``clf_keep`` -- round 6).
+    weights fixture (``clf_score``/``clf_keep`` -- round 6; NULL for docs
+    the gate rejects, round 7).
 
-    ONE corpus scan: the gate is a row-wise projection that passes ``text``
-    through (``keep_cols``), and the classifier's explode/broadcast-join/
-    sum carries the gate columns back via ``first()`` (``carry=``) -- no
-    second scan, no doc_id re-join. The DuckDB oracle replays the scoring
-    sum from the same fixture parquet."""
+    ONE corpus scan, DCLM stage order (round 7): the gate is a row-wise
+    projection whose already-materialized word/bigram arrays feed the
+    classifier directly (``keep_cols=("_wt","_bg")`` + ``terms_col`` -- the
+    document is normalized and split exactly once), and ``gate_col="keep"``
+    restricts the explode/broadcast-join/sum to gate SURVIVORS -- the
+    classifier never pays for documents the cheap heuristic already
+    rejected, which is both the DCLM composition and what cut this row from
+    4.9 s back under its budget. Gate columns ride the aggregate via
+    ``carry=`` (group-key, not first()) -- no second scan, no doc_id
+    re-join. The DuckDB oracle replays the survivor-only fixed-point
+    scoring sum from the same fixture parquet."""
     from ..operators import quality_clf as QC
 
     docs = _read(spark, sf_dir, "documents")
-    g = T.quality_gate(docs, include_signals=True, keep_cols=("text",))
+    g = T.quality_gate(docs, include_signals=True, keep_cols=("_wt", "_bg"))
     weights, bias = _qclf_model(spark)
+    scored = QC.score_documents(
+        g, weights, bias=bias,
+        terms_col=F.concat("_wt", "_bg"),
+        gate_col="keep",
+        carry=("n_tokens", "punct_ratio", "stopword_ratio",
+               "distinct_word_frac", "top_bigram_frac",
+               "reject_reasons", "keep"),
+    )
+    # sentinels, not NULLs, for the unscored gate-rejected docs: the driver
+    # canonicalizer cannot sort mixed None/float rows (the q_tag_tree lesson)
     return (
-        QC.score_documents(
-            g, weights, bias=bias,
-            carry=("n_tokens", "punct_ratio", "stopword_ratio",
-                   "distinct_word_frac", "top_bigram_frac",
-                   "reject_reasons", "keep"),
-        )
-        .drop("n_terms")
+        scored.drop("n_terms")
+        .withColumn("clf_score", F.coalesce("clf_score", F.lit(-1.0)))
+        .withColumn("clf_keep", F.coalesce("clf_keep", F.lit(False)))
         .orderBy("doc_id")
     )
 

@@ -147,20 +147,78 @@ def test_fixture_scores_replay_in_duckdb(spark):
                                   i -> wt[i] || ' ' || wt[i+1]))) AS term
           FROM wda
         ), zs AS (
-          SELECT tm.doc_id, sum(qw.weight) AS wsum
+          SELECT tm.doc_id,
+                 sum(CAST(floor(qw.weight * 67108864.0) AS BIGINT)) AS wsum
           FROM tm JOIN qw USING (term) GROUP BY tm.doc_id
         )
         SELECT w.doc_id,
                round(1.0 / (1.0 + exp(-((SELECT bias FROM qb)
-                                        + coalesce(z.wsum, 0.0)))), 6) AS s
+                                        + coalesce(z.wsum, 0) / 67108864.0))),
+                     6) AS s
         FROM wda w LEFT JOIN zs z USING (doc_id)
         """
     ).fetchall()
     assert len(oracle) == len(got) > 0
     for doc_id, s in oracle:
-        assert got[doc_id]["clf_score"] == pytest.approx(s, abs=1e-6)
+        # the fixed-point sum is EXACT on both engines, so this is equality,
+        # not tolerance (the former double-sum replay was order-hazarded)
+        assert got[doc_id]["clf_score"] == s
     verdicts = {bool(r["clf_keep"]) for r in got.values()}
     assert verdicts == {True, False}
+
+
+def test_gate_col_scores_survivors_only(spark):
+    """DCLM ordering: gate_col restricts scoring to surviving rows -- their
+    scores equal the ungated run exactly; gated-out rows come back with
+    n_terms=0 and NULL score/verdict; gate_col must be carried."""
+    labeled = _toy_labeled(spark)
+    weights, bias = C.train_quality_classifier(labeled, vocab_size=512, max_iter=100)
+    gated = labeled.withColumn("ok", F.col("doc_id") < 100)
+    out = {
+        r["doc_id"]: r
+        for r in C.score_documents(
+            gated, weights, bias=bias, gate_col="ok", carry=("ok",)
+        ).collect()
+    }
+    ungated = {
+        r["doc_id"]: r
+        for r in C.score_documents(labeled, weights, bias=bias).collect()
+    }
+    assert len(out) == len(ungated)
+    for doc_id, r in out.items():
+        if doc_id < 100:
+            assert r["clf_score"] == ungated[doc_id]["clf_score"]
+            assert r["clf_keep"] == ungated[doc_id]["clf_keep"]
+            assert r["n_terms"] == ungated[doc_id]["n_terms"]
+        else:
+            assert r["clf_score"] is None and r["clf_keep"] is None
+            assert r["n_terms"] == 0
+    with pytest.raises(ValueError, match="carry"):
+        C.score_documents(gated, weights, bias=bias, gate_col="ok")
+
+
+def test_terms_col_reuses_gate_arrays(spark):
+    """Feeding the gate's materialized _wt/_bg arrays through terms_col
+    produces scores identical to the from-text derivation (the composed
+    q_quality_gate shape normalizes each document exactly once)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        textstats as T,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weights, bias = C.load_classifier(spark, FIXTURE)
+    g = T.quality_gate(docs, include_signals=True, keep_cols=("_wt", "_bg"))
+    via_arrays = {
+        r["doc_id"]: (r["n_terms"], r["clf_score"], r["clf_keep"])
+        for r in C.score_documents(
+            g, weights, bias=bias, terms_col=F.concat("_wt", "_bg")
+        ).collect()
+    }
+    via_text = {
+        r["doc_id"]: (r["n_terms"], r["clf_score"], r["clf_keep"])
+        for r in C.score_documents(docs, weights, bias=bias).collect()
+    }
+    assert via_arrays == via_text
 
 
 def test_plan_jvm_only_and_broadcast(spark):
