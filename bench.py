@@ -163,15 +163,21 @@ def _gen_control_texts(n: int) -> list[str]:
     return texts
 
 
+_CONTROL_TEXTS: dict[int, list[str]] = {}
+
+
 def run_control(big: int, small: int, per_core: int = 8000) -> dict:
     """Pure-python multiprocessing of the extraction kernel at `big` and
     `small` process counts (constant work per core). Returns per-core rates
     + efficiency -- the hardware ceiling for ANY sustained python workload
-    in this window."""
+    in this window. Text generation is cached so per-round controls pay
+    only the measurement, not the synthesis."""
     import multiprocessing as mp
     import time as _t
 
-    texts = _gen_control_texts(per_core * big)
+    if per_core * big not in _CONTROL_TEXTS:
+        _CONTROL_TEXTS[per_core * big] = _gen_control_texts(per_core * big)
+    texts = _CONTROL_TEXTS[per_core * big]
 
     def measure(nproc: int) -> float:
         work = texts[: per_core * nproc]
@@ -270,10 +276,48 @@ def main() -> None:
         # window benefits BOTH modes; min-of-rounds per mode is then a
         # steady-state estimate for each under comparable conditions.
         rounds = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
-        big_times, small_times = [], []
-        for _ in range(rounds):
+        # CONTENDED-WINDOW AUTO-RETRY (round-6 verdict item 2): every round
+        # measures its OWN hardware control right after the extraction pair,
+        # so the artifact carries per-round evidence of whether the box was
+        # quiet. If the raw gate (>= `gate`) fails after the base rounds,
+        # the pair re-runs up to SPARK_GRAFT_EXTRA_ROUNDS more times --
+        # stopping early once TWO rounds were demonstrably quiet (control
+        # eff >= quiet threshold) with the gate still failing, at which
+        # point more retries would be re-rolling dice on a real result.
+        # The artifact thus records either a clean raw pass or the
+        # round-by-round proof the box never went quiet.
+        max_extra = int(os.environ.get("SPARK_GRAFT_EXTRA_ROUNDS", "4"))
+        quiet_eff = float(os.environ.get("SPARK_GRAFT_QUIET_CTL_EFF", "0.75"))
+        gate = float(os.environ.get("SPARK_GRAFT_SCALING_GATE", "0.8"))
+        big_times: list[float] = []
+        small_times: list[float] = []
+        round_controls: list[dict] = []
+
+        def one_round() -> None:
             big_times.append(run_extraction(f"local[{CPUS}]", transcripts_path, reps=2))
             small_times.append(run_extraction(f"local[{small}]", transcripts_path, reps=1))
+            try:
+                round_controls.append(run_control(CPUS, small))
+            except Exception as e:  # control is evidence, not a gate
+                round_controls.append({"control_error": f"{type(e).__name__}: {e}"})
+
+        def current_eff() -> float:
+            return ((n_turns / min(big_times)) / (n_turns / min(small_times))) / (
+                CPUS / small
+            )
+
+        for _ in range(rounds):
+            one_round()
+        extra_used = 0
+        while current_eff() < gate and extra_used < max_extra:
+            n_quiet = sum(
+                1 for c in round_controls if c.get("control_eff", 0.0) >= quiet_eff
+            )
+            if n_quiet >= 2:
+                break  # the box went quiet twice; the reading is real
+            extra_used += 1
+            one_round()
+
         sec_big, sec_small = min(big_times), min(small_times)
         thr_big, thr_small = n_turns / sec_big, n_turns / sec_small
         extraction[f"local[{CPUS}]_sec"] = round(sec_big, 3)
@@ -284,18 +328,24 @@ def main() -> None:
         extraction[f"local[{small}]_sec_rounds"] = [round(t, 2) for t in small_times]
         extraction[f"scaling_efficiency_{small}_{CPUS}"] = round(
             (thr_big / thr_small) / (CPUS / small), 3)
-        # same-window hardware control: pure-python multiprocessing of the
-        # SAME kernel (no Spark/JVM/Arrow) at both widths -- the box's own
-        # scaling ceiling this window; engine_vs_control ~= 1.0 means the
-        # engine adds no scaling penalty beyond the machine itself
-        try:
-            ctl = run_control(CPUS, small)
-            extraction.update(ctl)
-            if ctl.get("control_eff"):
-                extraction["engine_vs_control"] = round(
-                    extraction[f"scaling_efficiency_{small}_{CPUS}"] / ctl["control_eff"], 3)
-        except Exception as e:  # control is evidence, not a gate
-            extraction["control_error"] = f"{type(e).__name__}: {e}"
+        extraction["scaling_gate"] = gate
+        extraction["extra_rounds_used"] = extra_used
+        extraction["quiet_control_eff_threshold"] = quiet_eff
+        extraction["control_rounds"] = round_controls
+        # headline control fields: the QUIETEST round is the best available
+        # estimate of the box's uncontended ceiling, exactly as min-of-rounds
+        # is the best estimate of the engine's uncontended pair -- the two
+        # estimators deliberately match
+        best = max(
+            (c for c in round_controls if "control_eff" in c),
+            key=lambda c: c["control_eff"],
+            default=None,
+        )
+        if best is not None:
+            extraction["control_per_core_tps"] = best["control_per_core_tps"]
+            extraction["control_eff"] = best["control_eff"]
+            extraction["engine_vs_control"] = round(
+                extraction[f"scaling_efficiency_{small}_{CPUS}"] / best["control_eff"], 3)
         # supplementary uncontended-core pair (2 -> 8 on the default config):
         # the box loses ~25% per-core under 32 sustained workers even for
         # pure-python multiprocessing of the same kernel (hardware ceiling,
