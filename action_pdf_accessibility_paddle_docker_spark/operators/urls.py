@@ -20,15 +20,24 @@ dedup key):
   * trailing slashes stripped from the path (root ``/`` collapses to '')
   * query: empty params and tracking params (``utm_*``, fbclid, gclid, …)
     dropped, the rest sorted lexicographically as whole ``k=v`` strings
-  * no percent-encoding or IDN normalization (out of scope; documented)
+  * percent-encoding (RFC 3986 §6.2.2): escapes of UNRESERVED characters
+    (letters, digits, ``-._~``) are decoded (``%7Euser`` -> ``~user``);
+    every other valid escape keeps its meaning but gets uppercase hex
+    (``%2f`` -> ``%2F``); a ``%`` not followed by two hex digits stays
+    verbatim. Decoding only unreserved bytes can never introduce a
+    delimiter, so it runs once on the whole fragment-stripped string
+    before parsing. IDN/punycode normalization stays out of scope
+    (documented): ``bücher.de`` and ``xn--bcher-kva.de`` remain distinct.
   * inputs with no ``scheme://`` parse to NULL — unparseable URLs are
     passed through untouched by the consuming forms, never silently merged
 
-``registered_domain`` is a public-suffix HEURISTIC, not the PSL: a short
-literal list of common two-level suffixes (co.uk, com.au, …) plus the
-last-two-labels fallback; IPv4 hosts return themselves. At 100 TB the full
-PSL would ride the same expression as a generated CASE (bounded, ~9k rules)
-— the plan shape does not change.
+``registered_domain`` implements the Public Suffix List algorithm over the
+vendored snapshot in ``operators/psl.py`` (exact + wildcard + exception
+rules, longest match, exceptions prevail), compiled to ONE bounded CASE of
+label-slice membership tests; IPv4 and single-label hosts return
+themselves, and a host that IS a public suffix returns itself (documented
+deviations, see psl.py). Swapping in the full ~9k-rule list is a data-only
+change — the plan stays one projection.
 
 Scale shape: normalization and blocklist are embarrassingly parallel
 codegen'd projections; ``url_dedup`` is ONE hash groupBy on the (fixed
@@ -49,26 +58,90 @@ TRACKING_PARAMS = (
     "fbclid", "gclid", "msclkid", "igshid", "ref", "mc_cid", "mc_eid", "_ga",
 )
 TRACKING_PREFIX = "utm_"
-TWO_LEVEL_SUFFIXES = (
-    "co.uk", "org.uk", "ac.uk", "gov.uk", "co.jp", "ne.jp", "or.jp",
-    "com.au", "net.au", "org.au", "co.in", "co.nz", "com.br", "com.cn",
-    "com.mx", "com.tr", "com.sg", "co.za", "com.ar",
-)
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _REST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(.*)$"
 
+#: codepoints of RFC 3986 unreserved punctuation: ``- . _ ~``
+_UNRESERVED_PUNCT = (45, 46, 95, 126)
 
-def _parts(url: Column) -> tuple[Column, Column, Column, Column]:
-    """(scheme, authority, path, query) of the fragment-stripped url.
-    scheme is '' when unparseable (no ``://``)."""
-    s = F.substring_index(F.trim(url), "#", 1)  # strip fragment
+
+def percent_normalize(s: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization (see module
+    docstring): decode unreserved-char escapes, uppercase the hex of the
+    rest, keep invalid ``%`` runs verbatim.
+
+    Shape: split on ``%`` -- every piece after the first independently
+    starts a potential escape (escapes cannot contain ``%``, so the
+    mapping is exact) -- one array transform, rejoin. Pure JVM, no UDF;
+    the no-``%`` fast path (virtually every URL) is a size check."""
+    parts = F.split(s, "%")
+
+    def fix(p: Column) -> Column:
+        hex2 = F.upper(F.substring(p, 1, 2))
+        valid = p.rlike("^[0-9A-Fa-f]{2}")
+        code = F.conv(hex2, 16, 10).cast("int")
+        unres = (
+            ((code >= 48) & (code <= 57))
+            | ((code >= 65) & (code <= 90))
+            | ((code >= 97) & (code <= 122))
+            | code.isin(*_UNRESERVED_PUNCT)
+        )
+        rest = F.substring(p, 3, 2147483647)
+        return (
+            F.when(valid & unres, F.concat(F.char(code), rest))
+            .when(valid, F.concat(F.lit("%"), hex2, rest))
+            .otherwise(F.concat(F.lit("%"), p))
+        )
+
+    fixed = F.transform(F.slice(parts, 2, F.size(parts) - 1), fix)
+    return F.when(F.size(parts) <= 1, s).otherwise(
+        F.concat(F.element_at(parts, 1), F.array_join(fixed, ""))
+    )
+
+
+def percent_normalize_sql(s: str) -> str:
+    """DuckDB replay of ``percent_normalize`` over the SQL expression ``s``
+    -- generated here so the two engines share one spec (the psl.py
+    pattern). ``code`` is parsed via the '0x' cast the other oracles use."""
+    punct = ",".join(str(c) for c in _UNRESERVED_PUNCT)
+    code = "(('0x' || substr(p, 1, 2))::INTEGER)"
+    return f"""
+    CASE WHEN len(string_split({s}, '%')) <= 1 THEN {s}
+         ELSE string_split({s}, '%')[1] || array_to_string(
+           list_transform(string_split({s}, '%')[2:], p ->
+             CASE WHEN NOT regexp_matches(p, '^[0-9A-Fa-f]{{2}}')
+                  THEN '%' || p
+                  WHEN {code} BETWEEN 48 AND 57 OR {code} BETWEEN 65 AND 90
+                       OR {code} BETWEEN 97 AND 122 OR {code} IN ({punct})
+                  THEN chr({code}) || substr(p, 3)
+                  ELSE '%' || upper(substr(p, 1, 2)) || substr(p, 3)
+             END), '')
+    END"""
+
+
+def stripped_url(url: Column) -> Column:
+    """Stage 0 of the chain: fragment-stripped, percent-normalized url
+    string. ``with_url_columns`` materializes this ONCE as a projection
+    column; everything downstream derives from it."""
+    return percent_normalize(F.substring_index(F.trim(url), "#", 1))
+
+
+def _parts_from(s: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, authority, path, query) of an already ``stripped_url``'d
+    string. scheme is '' when unparseable (no ``://``)."""
     scheme = F.lower(F.regexp_extract(s, _SCHEME_RE, 1))
     rest = F.regexp_extract(s, _REST_RE, 1)
     authority = F.regexp_extract(rest, r"^([^/?]*)", 1)
     path = F.regexp_extract(rest, r"^[^/?]*([^?]*)", 1)
     query = F.regexp_extract(rest, r"^[^?]*\?(.*)$", 1)
     return scheme, authority, path, query
+
+
+def _parts(url: Column) -> tuple[Column, Column, Column, Column]:
+    """(scheme, authority, path, query) of the fragment-stripped,
+    percent-normalized url. scheme is '' when unparseable (no ``://``)."""
+    return _parts_from(stripped_url(url))
 
 
 def _host_port(authority: Column) -> tuple[Column, Column]:
@@ -99,9 +172,12 @@ def _strip_www(host: Column) -> Column:
     ).otherwise(host)
 
 
-def normalize_url(url: Column) -> Column:
-    """The canonical URL (see module docstring), or NULL if unparseable."""
-    scheme, authority, path, query = _parts(url)
+def normalize_url_from(s: Column) -> Column:
+    """``normalize_url`` over an already ``stripped_url``'d string -- the
+    staged form ``with_url_columns`` composes (pass an ATTRIBUTE, not a
+    deep expression; see the expression-staging note on
+    ``with_url_columns``)."""
+    scheme, authority, path, query = _parts_from(s)
     host, port = _host_port(authority)
     host = _strip_www(host)
     default = ((scheme == "http") & (port == "80")) | (
@@ -120,23 +196,34 @@ def normalize_url(url: Column) -> Column:
     )
 
 
-def url_host(url: Column) -> Column:
-    """Lowercased host (www. kept — it is part of the real host), or NULL."""
-    scheme, authority, _, _ = _parts(url)
+def normalize_url(url: Column) -> Column:
+    """The canonical URL (see module docstring), or NULL if unparseable.
+
+    Column-composition form: fine on an attribute input, but do NOT nest it
+    inside further column functions at corpus scale -- use
+    ``with_url_columns`` (see its expression-staging note)."""
+    return normalize_url_from(stripped_url(url))
+
+
+def url_host_from(s: Column) -> Column:
+    """``url_host`` over an already ``stripped_url``'d string."""
+    scheme, authority, _, _ = _parts_from(s)
     host, _ = _host_port(authority)
     return F.when((scheme != "") & (host != ""), host)
 
 
+def url_host(url: Column) -> Column:
+    """Lowercased host (www. kept — it is part of the real host), or NULL."""
+    return url_host_from(stripped_url(url))
+
+
 def registered_domain(host: Column) -> Column:
-    """Heuristic registered domain of a (lowercased) host — see docstring."""
-    labels = F.split(host, r"\.")
-    n = F.size(labels)
-    last2 = F.array_join(F.slice(labels, -2, 2), ".")
-    last3 = F.array_join(F.slice(labels, -3, 3), ".")
-    is_ip = host.rlike(r"^[0-9]+(\.[0-9]+){3}$")
-    return F.when(host.isNull(), F.lit(None).cast("string")).when(
-        is_ip | (n <= 2), host
-    ).when(last2.isin(*TWO_LEVEL_SUFFIXES) & (n >= 3), last3).otherwise(last2)
+    """Registered domain of a (lowercased) host under the vendored Public
+    Suffix List snapshot (``operators/psl.py``) — exact/wildcard/exception
+    rules, longest match, exceptions prevail; one bounded CASE."""
+    from .psl import registered_domain_expr
+
+    return registered_domain_expr(host)
 
 
 def url_domain(url: Column) -> Column:
@@ -146,18 +233,54 @@ def url_domain(url: Column) -> Column:
     return registered_domain(_strip_www(url_host(url)))
 
 
+def with_url_columns(
+    df: DataFrame,
+    url: Union[str, Column] = "url",
+    *,
+    norm_url: str | None = None,
+    host: str | None = None,
+    url_domain: str | None = None,
+) -> DataFrame:
+    """Add URL curation columns (each keyword names the OUTPUT column;
+    None skips it) via STAGED projections -- the corpus-scale composition
+    every DataFrame-level consumer here uses.
+
+    Why staging matters (round 7): these operators are built from Column
+    functions that reference their input several times (percent split ~5x,
+    host extraction ~4x, www-strip 3x, the PSL CASE ~25x). Nesting them as
+    ONE expression multiplies those fan-outs -- ``url_domain`` inlined is
+    ~1000 copies of the input subtree, and Catalyst spends SECONDS per
+    query just walking the tree (measured: q_doc_stats 2.3 s -> 25 s).
+    Materializing each stage as a projection column makes every reference
+    an attribute, and ``CollapseProject`` keeps the stages separate
+    because the staged aliases are non-cheap and multi-referenced. Same
+    values, same single scan, linear-size plan."""
+    u = F.col(url) if isinstance(url, str) else url
+    staged = ["_u_s"]
+    out = df.withColumn("_u_s", stripped_url(u))
+    if host is not None or url_domain is not None:
+        staged.append("_u_h")
+        out = out.withColumn("_u_h", url_host_from(F.col("_u_s")))
+    if norm_url is not None:
+        out = out.withColumn(norm_url, normalize_url_from(F.col("_u_s")))
+    if host is not None:
+        out = out.withColumn(host, F.col("_u_h"))
+    if url_domain is not None:
+        staged.append("_u_hs")
+        out = out.withColumn("_u_hs", _strip_www(F.col("_u_h")))
+        out = out.withColumn(url_domain, registered_domain(F.col("_u_hs")))
+    return out.drop(*staged)
+
+
 def url_stats(
     df: DataFrame, id_col: str = "doc_id", url_col: str = "url"
 ) -> DataFrame:
     """Per-document URL signals: canonical url, host, registered domain.
-    One codegen'd projection; NULLs mark unparseable inputs."""
-    u = F.col(url_col)
-    return df.select(
-        F.col(id_col),
-        normalize_url(u).alias("norm_url"),
-        url_host(u).alias("host"),
-        url_domain(u).alias("url_domain"),
-    )
+    One staged projection pipeline; NULLs mark unparseable inputs."""
+    return with_url_columns(
+        df.select(id_col, url_col), url_col,
+        norm_url="norm_url", host="host", url_domain="url_domain",
+    ).select(id_col, "norm_url", "host", "url_domain")
 
 
 def url_dedup(
@@ -182,8 +305,11 @@ def url_dedup(
     mapper); the unparseable branch is a filter union, no join anywhere."""
     if policy not in ("min_id", "longest"):
         raise ValueError(f"policy must be 'min_id' or 'longest', got {policy!r}")
-    norm = normalize_url(F.col(url_col))
-    with_key = df.withColumn("_u", F.md5(norm))
+    with_key = (
+        df.withColumn("_u_s", stripped_url(F.col(url_col)))
+        .withColumn("_u", F.md5(normalize_url_from(F.col("_u_s"))))
+        .drop("_u_s")
+    )
     other_cols = [c for c in with_key.columns if c not in (id_col, "_u")]
     if policy == "longest":
         # order key: (n_chars desc, id asc) via min over (-n_chars, id);
@@ -219,28 +345,23 @@ def filter_blocked_domains(
     LEFT ANTI — the corpus streams map-only). Unparseable URLs (NULL
     domain) are KEPT: the blocklist is an exclusion signal, absence of a
     URL is not membership."""
-    dom = url_domain(F.col(url_col))
+    staged = with_url_columns(df, url_col, url_domain="_dom")
     if isinstance(blocked, DataFrame):
         # normalize the blocklist side exactly like the iterable form --
         # url_domain is always lowercase, so a raw 'Example.com ' row
         # would silently match nothing
-        return (
-            df.withColumn("_dom", dom)
-            .join(
-                F.broadcast(
-                    blocked.select(
-                        F.lower(F.trim(F.col("domain"))).alias("_dom")
-                    )
-                ),
-                "_dom",
-                "left_anti",
-            )
-            .drop("_dom")
-        )
+        return staged.join(
+            F.broadcast(
+                blocked.select(F.lower(F.trim(F.col("domain"))).alias("_dom"))
+            ),
+            "_dom",
+            "left_anti",
+        ).drop("_dom")
     domains = sorted(set(str(d).strip().lower() for d in blocked if str(d).strip()))
     if not domains:
         return df
-    return df.where(dom.isNull() | ~dom.isin(*domains))
+    dom = F.col("_dom")
+    return staged.where(dom.isNull() | ~dom.isin(*domains)).drop("_dom")
 
 
 def domain_stats(
@@ -252,9 +373,9 @@ def domain_stats(
     combined aggregate; NULL domains grouped under the NULL row so the
     report is a partition of the corpus."""
     return (
-        df.select(
-            url_domain(F.col(url_col)).alias("url_domain"),
-            F.length(F.col(text_col)).alias("_n"),
+        with_url_columns(
+            df.select(url_col, F.length(F.col(text_col)).alias("_n")),
+            url_col, url_domain="url_domain",
         )
         .groupBy("url_domain")
         .agg(

@@ -47,6 +47,16 @@ NORM_CASES = [
     ("https://a.com/x?b=2&&a=1", "https://a.com/x?a=1&b=2"),
     # query directly after authority (no path)
     ("https://a.com?b=2&a=1", "https://a.com?a=1&b=2"),
+    # percent-encoding normalization (RFC 3986 6.2.2, round 7):
+    # unreserved escapes decode; other valid escapes get uppercase hex;
+    # invalid/truncated '%' runs stay verbatim; hosts normalize too
+    ("https://a.com/%7Euser", "https://a.com/~user"),
+    ("https://a.com/a%2fb", "https://a.com/a%2Fb"),
+    ("https://a.com/%41%62%39%2D%2e", "https://a.com/Ab9-."),
+    ("https://a.com/x%zz%4", "https://a.com/x%zz%4"),
+    ("https://a.com/%%41", "https://a.com/%A"),
+    ("https://ex%61mple.com/x", "https://example.com/x"),
+    ("https://a.com/x?%62=1&a=2", "https://a.com/x?a=2&b=1"),
     # www.<single-label> is itself the host -- never stripped to a TLD
     ("https://www.com/page", "https://www.com/page"),
     # unparseable -> NULL
@@ -76,6 +86,19 @@ DOMAIN_CASES = [
     ("https://localhost/x", "localhost"),               # single label
     ("http://192.168.0.1:8080/x", "192.168.0.1"),       # IPv4 literal
     ("https://www.com/x", "www.com"),                   # www. kept: 2 labels
+    # PSL snapshot cases (round 7): ccTLD registries the old two-level
+    # heuristic missed, private registries, wildcard + exception rules
+    ("https://shop.example.com.hk/x", "example.com.hk"),
+    ("https://news.daum.co.kr/x", "daum.co.kr"),
+    ("https://user.github.io/proj", "user.github.io"),   # private suffix
+    ("https://www.user.github.io/p", "user.github.io"),
+    ("https://myblog.blogspot.com/p", "myblog.blogspot.com"),
+    ("https://deep.sub.user.github.io/p", "user.github.io"),
+    ("https://a.b.ck/x", "a.b.ck"),                      # wildcard *.ck
+    ("https://foo.www.ck/x", "www.ck"),                  # exception !www.ck
+    ("https://sub.city.kobe.jp/x", "city.kobe.jp"),      # !city.kobe.jp
+    ("https://a.ward.kobe.jp/x", "a.ward.kobe.jp"),      # *.kobe.jp
+    ("https://vm.x1.compute.amazonaws.com/x", "vm.x1.compute.amazonaws.com"),
     ("nope", None),
 ]
 

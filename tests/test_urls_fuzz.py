@@ -10,13 +10,37 @@ from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+from action_pdf_accessibility_paddle_docker_spark.operators.psl import (
+    registered_domain_py,
+)
 from action_pdf_accessibility_paddle_docker_spark.operators.urls import (
     TRACKING_PARAMS,
     TRACKING_PREFIX,
-    TWO_LEVEL_SUFFIXES,
     normalize_url,
     url_domain,
 )
+
+
+def pct_py(s):
+    """Scalar reference of percent_normalize: decode unreserved escapes,
+    uppercase the hex of valid others, keep invalid '%' runs verbatim."""
+    parts = s.split("%")
+    if len(parts) == 1:
+        return s
+    out = [parts[0]]
+    for p in parts[1:]:
+        if re.match(r"^[0-9A-Fa-f]{2}", p):
+            code = int(p[:2], 16)
+            if (
+                48 <= code <= 57 or 65 <= code <= 90 or 97 <= code <= 122
+                or code in (45, 46, 95, 126)
+            ):
+                out.append(chr(code) + p[2:])
+            else:
+                out.append("%" + p[:2].upper() + p[2:])
+        else:
+            out.append("%" + p)
+    return "".join(out)
 
 
 def norm_py(url):
@@ -29,7 +53,7 @@ def norm_py(url):
     the right verdict for a crawl artifact."""
     if url is None:
         return None
-    s = url.strip(" ").split("#", 1)[0]
+    s = pct_py(url.strip(" ").split("#", 1)[0])
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", s)
     if not m:
         return None
@@ -71,7 +95,7 @@ def domain_py(url):
     port strip on both engines), and the reference must agree."""
     if url is None:
         return None
-    s = url.strip(" ").split("#", 1)[0]
+    s = pct_py(url.strip(" ").split("#", 1)[0])
     m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://(.*)$", s)
     if not m:
         return None
@@ -83,19 +107,24 @@ def domain_py(url):
         return None
     if re.match(r"^www\..+\.", host):
         host = re.sub(r"^www\.", "", host, count=1)
-    if re.search(r"^[0-9]+(\.[0-9]+){3}$", host):
-        return host
-    labels = host.split(".")
-    if len(labels) <= 2:
-        return host
-    if ".".join(labels[-2:]) in TWO_LEVEL_SUFFIXES:
-        return ".".join(labels[-3:])
-    return ".".join(labels[-2:])
+    # registered-domain step: the psl module's own scalar reference (an
+    # independent control-flow restatement of the PSL walk over the same
+    # vendored rule sets the Spark CASE is compiled from)
+    return registered_domain_py(host)
 
 
-_label = st.text(
-    alphabet="abcdefgHIJ0129-_", min_size=1, max_size=6
-).filter(lambda s: "." not in s)
+_label = st.one_of(
+    st.text(alphabet="abcdefgHIJ0129-_", min_size=1, max_size=6).filter(
+        lambda s: "." not in s
+    ),
+    # PSL-loaded labels so composed hosts regularly hit exact, wildcard and
+    # exception rules of the vendored snapshot (e.g. a.co.uk, x.kobe.jp,
+    # city.kobe.jp, foo.www.ck, siteN.github.io)
+    st.sampled_from(
+        ["co", "uk", "jp", "kobe", "city", "ck", "www", "github", "io",
+         "com", "hk", "blogspot", "amazonaws", "compute", "kr"]
+    ),
+)
 
 # whitespace shapes around and inside the url -- F.trim only strips
 # ASCII spaces, and interior newlines must parse to NULL on both sides
@@ -113,7 +142,16 @@ _urlish = st.builds(
     labels=st.lists(_label, min_size=1, max_size=4),
     port=st.sampled_from(["", ":80", ":443", ":8080", ":0080"]),
     segs=st.lists(
-        st.text(alphabet="abcXYZ019._-", min_size=0, max_size=5), max_size=3
+        st.one_of(
+            st.text(alphabet="abcXYZ019._-", min_size=0, max_size=5),
+            # percent-escape shapes: unreserved (decode), reserved (hex
+            # uppercase), invalid, truncated, doubled, lowercase hex
+            st.sampled_from(
+                ["%7Euser", "%41b", "%2fq", "%2Fq", "%zz", "%4", "%",
+                 "%%41", "a%20b", "%2e%2e", "%Ff", "%fF1"]
+            ),
+        ),
+        max_size=3,
     ),
     slash=st.booleans(),
     params=st.lists(
