@@ -1040,30 +1040,40 @@ def incremental_dedup(
       map-only instead of shuffling them."""
     if method not in ("join", "probe"):
         raise ValueError(f"method must be 'join' or 'probe', got {method!r}")
+    # validate the key ITSELF before comparing it to the table's stamp --
+    # an invalid key must fail as "invalid key", not as a confusing
+    # stamp-mismatch against a perfectly fine table
+    if key not in ("content", "url"):
+        raise ValueError(f"key must be 'content' or 'url', got {key!r}")
     # key-space provenance guard at the LIBRARY level (the
     # incremental_near_dedup/check_bucket_family pattern) so every caller
     # -- CLI, notebook, future job -- is protected, not just corpus_job
     check_fps_key(seen_fps, key)
-    if key not in ("content", "url"):
-        raise ValueError(f"key must be 'content' or 'url', got {key!r}")
     if key == "url":
         # recrawl CDC: the state table is every CANONICAL URL ever kept;
         # unparseable URLs fall back to the content fingerprint (they must
         # join against SOMETHING stable, and NULL keys would all collapse
         # into one row at the groupBy)
-        from .urls import normalize_url
+        from .urls import normalize_url_from, stripped_url
 
         fp = F.coalesce(
-            F.md5(normalize_url(F.col(url_col))),
+            F.md5(normalize_url_from(F.col("_u_s"))),
             F.md5(F.concat(F.lit("content:"), normalized(F.col(text_col)))),
             # url AND text both NULL: a per-row unique (but rerun-stable)
             # key -- a shared NULL fingerprint would merge unrelated rows
             # at the groupBy (the streaming urldedup path's same fallback)
             F.md5(F.concat(F.lit("row:"), F.col(id_col).cast("string"))),
         )
+        # staged: the normalizer references its input many times over
+        stamped = (
+            new_df.withColumn("_u_s", stripped_url(F.col(url_col)))
+            .withColumn("fingerprint", fp)
+            .drop("_u_s")
+        )
     else:
-        fp = F.md5(normalized(F.col(text_col)))
-    stamped = new_df.withColumn("fingerprint", fp)
+        stamped = new_df.withColumn(
+            "fingerprint", F.md5(normalized(F.col(text_col)))
+        )
     other_cols = [c for c in stamped.columns if c not in (id_col, "fingerprint")]
     collapsed = (
         stamped.groupBy("fingerprint")
@@ -1152,23 +1162,38 @@ def check_fps_key(seen_fps: DataFrame, key: str) -> None:
     silently treats every seen document as new and appends a second key
     space into the state forever.
 
-    Absent or NULL stamps are UNKNOWN provenance and pass — the
+    Absent or all-NULL stamps are UNKNOWN provenance and pass — the
     ``check_bucket_family`` posture: pre-stamp state exists under BOTH
     keys (the url key predates the stamp), so asserting a key for it
     would reject valid chains and falsely bless invalid ones; mixed
     legacy+stamped directories read with mergeSchema carry NULL fp_key on
-    the legacy rows. The residual risk (an unvalidated legacy chain) ends
-    at the first stamped append. One sampled row suffices for the stamped
-    case (uniform stamp by construction)."""
+    the legacy rows. Validation is against the DISTINCT non-NULL stamp
+    set (round 7) — a ``head(1)`` sample could land on a legacy-NULL row
+    and mask a genuinely mismatched stamped append, the exact scenario
+    the stamp exists for. The set is at most the number of key spaces
+    ever appended (a handful; the column is an RLE constant per file), so
+    the collect stays bounded; two DIFFERENT non-NULL stamps mean the
+    table is already polluted and fail regardless of ``key``."""
     if "fp_key" not in seen_fps.columns:
         return
-    first = seen_fps.select("fp_key").head(1)
-    if not first or first[0]["fp_key"] is None:
+    stamps = sorted(
+        r["fp_key"]
+        for r in seen_fps.select("fp_key")
+        .where(F.col("fp_key").isNotNull())
+        .distinct()
+        .collect()
+    )
+    if not stamps:
         return
-    stamped = first[0]["fp_key"]
-    if stamped != key:
+    if len(stamps) > 1:
         raise ValueError(
-            f"fingerprint state table carries fp_key={stamped!r} but this "
+            f"fingerprint state table carries MULTIPLE fp_key stamps "
+            f"{stamps!r} -- two key spaces were appended into one table; "
+            "it must be rebuilt (split by fp_key) before further use"
+        )
+    if stamps[0] != key:
+        raise ValueError(
+            f"fingerprint state table carries fp_key={stamps[0]!r} but this "
             f"run uses key={key!r}; the two key spaces never match -- "
             "re-run with the table's key or rebuild the table"
         )

@@ -391,6 +391,13 @@ def test_fps_key_stamp_validates(spark, tmp_path):
         check_fps_key(seen, "url")  # matching key passes
         with pytest.raises(ValueError, match="fp_key"):
             check_fps_key(seen, "content")
+        # an INVALID key against a stamped table fails as "invalid key",
+        # not as a confusing stamp mismatch (key validated first)
+        shard = spark.createDataFrame(
+            [(1, "t", "https://a.com/x")], "doc_id bigint, text string, url string"
+        )
+        with pytest.raises(ValueError, match="must be 'content' or 'url'"):
+            incremental_dedup(shard, seen, key="bogus")
         # legacy fingerprint-only schema = UNKNOWN provenance (pre-stamp
         # state exists under BOTH keys -- the url key predates the stamp),
         # so it passes either key; validation begins at the first stamped
@@ -404,5 +411,24 @@ def test_fps_key_stamp_validates(spark, tmp_path):
             [("ef", None)], "fingerprint string, fp_key string"
         )
         check_fps_key(mixed, "url")
+        # round 7: a legacy-NULL row that SORTS/SAMPLES first must not mask
+        # a mismatched stamped append -- validation is against the distinct
+        # non-NULL stamp set, not one sampled row
+        masked = spark.createDataFrame(
+            [("aa", None), ("bb", None), ("cc", "url")],
+            "fingerprint string, fp_key string",
+        ).coalesce(1)  # one partition => head() would see the NULL row first
+        assert masked.select("fp_key").head()[0] is None  # the masking shape
+        check_fps_key(masked, "url")
+        with pytest.raises(ValueError, match="fp_key"):
+            check_fps_key(masked, "content")
+        # two different non-NULL stamps = polluted table: fails either way
+        polluted = spark.createDataFrame(
+            [("aa", "url"), ("bb", "content")],
+            "fingerprint string, fp_key string",
+        )
+        for k in ("url", "content"):
+            with pytest.raises(ValueError, match="MULTIPLE"):
+                check_fps_key(polluted, k)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
