@@ -682,10 +682,20 @@ def cap_per_stratum(
     4x instead of 2x). Off by default to keep the operator a pure lazy
     plan; at warehouse scale write the funnel to a table instead of
     executor blocks (same contract as unigram_logprob_score's
-    ``checkpoint_tf``). Values are unchanged either way."""
+    ``checkpoint_tf``). Values are unchanged either way. The exact form
+    references its input exactly once (one window pass), so
+    ``checkpoint=True`` would be a silent no-op there -- rejected loudly
+    instead (round 7): a reader assuming the double-execution guard is
+    active must find out it is not needed, not be misled."""
     from pyspark.sql import Window
 
-    if checkpoint and method == "rate":
+    if checkpoint:
+        if method != "rate":
+            raise ValueError(
+                "checkpoint=True only applies to method='rate' (the exact "
+                "form references its input once; a checkpoint would be a "
+                "silent no-op) -- drop the flag"
+            )
         df = df.localCheckpoint(eager=False)
     h = F.concat(
         F.lit("cap:"),

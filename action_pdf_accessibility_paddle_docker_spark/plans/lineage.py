@@ -143,6 +143,53 @@ def _commit_lineage(
         raise IOError(f"lineage commit rename failed: {tmp} -> {final}")
 
 
+def ensure_run_config(
+    output_root: str, config: dict, spark: SparkSession | None = None
+) -> None:
+    """Pin the parameters that define what a bucket index MEANS across
+    resume cycles. Lineage records carry only bucket indices, so resuming
+    with a different ``--buckets``, stage set, or bucket-key kind would
+    silently skip the WRONG buckets and leave stale partitions from the
+    old keying in <output>/data (dynamic overwrite never clears dirs it
+    does not write) -- duplicated or missing rows with no error.
+
+    First run commits ``config`` atomically to
+    ``<output>/_lineage/run_config.json``; every later run must present an
+    EQUAL dict or this raises with both versions. Call before reading
+    ``completed_buckets``."""
+    spark = spark or _active_spark()
+    d = _lineage_dir(output_root)
+    fs, dpath, jvm = _fs_and_path(spark, d)
+    final = jvm.org.apache.hadoop.fs.Path(f"{d}/run_config.json")
+    if fs.exists(final):
+        stream = fs.open(final)
+        try:
+            stored = json.loads(
+                bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                ).decode("utf-8")
+            )
+        finally:
+            stream.close()
+        if stored != config:
+            raise ValueError(
+                "resume configuration mismatch: this output was started "
+                f"with {stored!r} but the current invocation is "
+                f"{config!r}; resume with the original parameters or use "
+                "a fresh output path"
+            )
+        return
+    fs.mkdirs(dpath)
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{d}/.run_config.json.tmp")
+    stream = fs.create(tmp, True)
+    try:
+        stream.write(bytearray(json.dumps(config, sort_keys=True).encode("utf-8")))
+    finally:
+        stream.close()
+    if not fs.rename(tmp, final):
+        raise IOError(f"run-config commit rename failed: {tmp} -> {final}")
+
+
 _COUNTER_COLS = ("turns", "regions", "artifacts", "pages", "errors")
 
 
@@ -203,6 +250,19 @@ def run_resumable(
     crash; a subsequent call resumes from the lineage records.
     """
     df = spark.read.parquet(input_path)
+    # a bucket index only means something under the parameters that
+    # produced it -- refuse to resume under different ones (stale
+    # partitions + wrongly-skipped buckets otherwise, silently)
+    ensure_run_config(
+        output_root,
+        {
+            "kind": "extraction",
+            "n_buckets": int(n_buckets),
+            "bucket_key": "conv_id",
+            "iceberg_table": iceberg_table,
+        },
+        spark,
+    )
     done = completed_buckets(output_root, spark)
     pending = [b for b in range(n_buckets) if b not in done]
     data_root = output_root.rstrip("/") + "/data"

@@ -522,6 +522,14 @@ def run_pipeline(spark, args, stages) -> dict:
     # that drops everything is then visible in the JSON line instead of a
     # bare output=0.
     observations: list[tuple[str, Observation, "object"]] = []
+    # State-mutating side effects (e.g. the --fps-table appendix) deferred
+    # until AFTER the curated output commits: appending the shard's
+    # fingerprints first would, on a crash between the append and the
+    # output write, permanently mark every doc of the shard as seen -- a
+    # rerun would then emit ZERO rows (silent data loss on retry). The
+    # frames feeding these callbacks are eagerly checkpointed, so running
+    # them late recomputes nothing.
+    post_commit: list = []
 
     def observed(frame, stage: str):
         obs = Observation(f"after_{stage}")
@@ -620,10 +628,15 @@ def run_pipeline(spark, args, stages) -> dict:
             # (the append is an eager action; without this the whole
             # upstream stage chain executes twice)
             survivors = survivors.localCheckpoint(eager=True)
-            D.append_fingerprints(
-                survivors.select("fingerprint"), args.fps_table,
-                n_buckets=n_buckets,
-                key=(None if legacy_schema else fps_key),
+            # the appendix itself runs POST-COMMIT (see post_commit above):
+            # state must only record docs whose curated rows are durable
+            post_commit.append(
+                lambda s=survivors, nb=n_buckets, k=(
+                    None if legacy_schema else fps_key
+                ): D.append_fingerprints(
+                    s.select("fingerprint"), args.fps_table,
+                    n_buckets=nb, key=k,
+                )
             )
             df = survivors.drop("fingerprint")
         elif args.seen_fps:
@@ -731,7 +744,7 @@ def run_pipeline(spark, args, stages) -> dict:
             # composition in test_similarity.
             keep = T.cap_per_stratum(
                 keep, cap=cap_n, stratum_col="cid", id_col=args.id_col,
-                method="exact", checkpoint=True,
+                method="exact",
             )
         df = observed(
             df.join(keep.select(args.id_col), args.id_col), "semdedup"
@@ -778,9 +791,11 @@ def run_pipeline(spark, args, stages) -> dict:
         if getattr(args, "cap_by_domain", False):
             from action_pdf_accessibility_paddle_docker_spark.operators import urls as U
 
-            # derive the registered domain row-wise; NULL (unparseable)
-            # is one stratum -- cap_per_stratum's sentinel handles it
-            df = df.withColumn("_cap_domain", U.url_domain(F.col(args.url_col)))
+            # derive the registered domain row-wise (staged projections --
+            # the inlined PSL CASE would blow up the plan); NULL
+            # (unparseable) is one stratum -- cap_per_stratum's sentinel
+            # handles it
+            df = U.with_url_columns(df, args.url_col, url_domain="_cap_domain")
             cap_stratum = "_cap_domain"
         df = df.localCheckpoint(eager=True)
         df = observed(
@@ -873,6 +888,11 @@ def run_pipeline(spark, args, stages) -> dict:
             path.getFileSystem(jsc.hadoopConfiguration()).delete(path, True)
         except Exception:  # noqa: BLE001 -- staging leftovers are harmless
             pass
+    # the curated output is durable from here on: apply deferred state
+    # mutations (fps-table appendix) -- a crash BEFORE this point reruns
+    # cleanly because the state table never saw the shard
+    for fn in post_commit:
+        fn()
     for stage, obs, frame in observations:
         # When a stage empties the corpus, AQE empty-relation propagation
         # can replace the downstream subtree (incl. the CollectMetrics
@@ -965,6 +985,7 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
     from action_pdf_accessibility_paddle_docker_spark.plans.lineage import (
         _commit_lineage,
         completed_buckets,
+        ensure_run_config,
     )
 
     df = spark.read.parquet(args.input)
@@ -994,6 +1015,23 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
         "bucket", F.pmod(F.xxhash64(key), F.lit(n_buckets)).cast("int")
     )
 
+    # pin everything a bucket index's MEANING depends on: the count, the
+    # key kind (dedup fingerprints over the post-clean/pii text vs raw
+    # ids), and the stage/column set that shapes that key. A resume under
+    # different values would silently skip wrong buckets and leave stale
+    # partitions from the old keying in <output>/data.
+    ensure_run_config(
+        args.output,
+        {
+            "kind": "corpus",
+            "n_buckets": int(n_buckets),
+            "bucket_key": ("fingerprint" if "dedup" in stages else "id"),
+            "stages": list(stages),
+            "id_col": args.id_col,
+            "text_col": args.text_col,
+        },
+        spark,
+    )
     done = completed_buckets(args.output, spark)
     pending = [b for b in range(n_buckets) if b not in done]
     data_root = args.output.rstrip("/") + "/data"
@@ -1131,15 +1169,16 @@ def run_pipeline_streaming(spark, args, stages) -> dict:
         ts = (F.col(args.ts_col) if args.ts_col in schema.names
               else F.current_timestamp())
         key = F.coalesce(
-            F.md5(U.normalize_url(F.col(args.url_col))),
+            F.md5(U.normalize_url_from(F.col("_u_s"))),
             F.concat(F.lit("row:"), F.col(args.id_col).cast("string")),
         )
         df = (
             df.withColumn("_ts", ts)
+            .withColumn("_u_s", U.stripped_url(F.col(args.url_col)))
             .withColumn("_ukey", key)
             .withWatermark("_ts", args.dedup_horizon)
             .dropDuplicatesWithinWatermark(["_ukey"])
-            .drop("_ukey", "_ts")
+            .drop("_ukey", "_ts", "_u_s")
         )
     if "clean" in stages:
         df = L.apply_line_filter(

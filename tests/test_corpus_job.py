@@ -536,6 +536,80 @@ def test_fps_table_incremental_loop(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_fps_table_appendix_is_post_commit(spark, tmp_path):
+    """The --fps-table appendix must land AFTER the curated output commits:
+    when the output write fails, the state table must NOT have recorded the
+    shard (otherwise a retry of the same shard emits zero rows -- silent
+    data loss), and the retry must then produce the full output."""
+    import pytest
+
+    table = "fps_pc_" + tmp_path.name.replace("-", "_")
+    src = tmp_path / "s1"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text="alpha beta gamma", source="web"),
+        dict(doc_id=1, text="delta epsilon zeta", source="web"),
+    ])
+    # sabotage the output: its parent is a plain FILE, so the parquet
+    # write fails after the dedup stage built (and checkpointed) survivors
+    blocker = tmp_path / "blocker"
+    blocker.write_text("not a directory")
+    kw = dict(fps_table=table, fps_buckets=8)
+    try:
+        with pytest.raises(Exception):
+            run_pipeline(
+                spark,
+                _ns(input=str(src), output=str(blocker / "out"), **kw),
+                ["dedup"],
+            )
+        # the crash happened BEFORE the appendix: no state recorded
+        assert not spark.catalog.tableExists(table)
+        # retry of the SAME shard with a healthy output emits everything
+        r = run_pipeline(
+            spark, _ns(input=str(src), output=str(tmp_path / "o1"), **kw),
+            ["dedup"],
+        )
+        assert r["counters"]["output"] == 2
+        assert spark.table(table).count() == 2
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_resumable_refuses_config_switch(spark, tmp_path):
+    """Resuming with a different --buckets or stage set must fail loudly:
+    lineage records carry only bucket indices, so a silent resume under a
+    different keying would skip wrong buckets and leave stale partitions."""
+    import pytest
+
+    from jobs.corpus_job import run_pipeline_resumable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, text=GOOD + f"\nunique tail {i} ends here.",
+             source="web")
+        for i in range(6)
+    ])
+    root = tmp_path / "res"
+    kw = dict(input=str(src), rate=[])
+    run_pipeline_resumable(
+        spark, _ns(output=str(root), buckets=4, **kw), ["gate", "dedup"]
+    )
+    with pytest.raises(ValueError, match="resume configuration mismatch"):
+        run_pipeline_resumable(
+            spark, _ns(output=str(root), buckets=8, **kw), ["gate", "dedup"]
+        )
+    with pytest.raises(ValueError, match="resume configuration mismatch"):
+        run_pipeline_resumable(
+            spark, _ns(output=str(root), buckets=4, **kw), ["gate"]
+        )
+    # the original parameters still resume cleanly (no-op second pass)
+    res = run_pipeline_resumable(
+        spark, _ns(output=str(root), buckets=4, **kw), ["gate", "dedup"]
+    )
+    assert res["ran_buckets"] == 0 and res["resumed_buckets"] == 4
+
+
 def test_url_stages_compose(spark, tmp_path):
     """urlfilter (blocklist) then urldedup (canonical-URL dedup) run FIRST
     in the canonical order, before any text pass."""

@@ -129,6 +129,13 @@ def test_cap_per_stratum_exact_and_rate(spark):
     rate_b = {r["doc_id"] for r in cap_per_stratum(df.repartition(13), 50).collect()}
     assert rate_a == rate_b
 
+    # -- checkpoint=True is rate-form-only: the exact form references its
+    # input once, so the flag would be a silent no-op -- rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="rate"):
+        cap_per_stratum(df, cap=7, method="exact", checkpoint=True)
+
 
 def test_cap_per_stratum_rate_form_has_no_window(spark):
     """The rate form is the scale path precisely because it has NO per-key
