@@ -581,11 +581,17 @@ def _synth_url_col() -> "F.Column":
         F.concat(
             F.when(d % 2 == 0, s("https://WWW.")).otherwise(s("http://")),
             s("Site"), (d % 7).cast("string"),
-            F.when(d % 3 == 0, s(".example.co.uk")).otherwise(s(".example.com")),
+            F.when(d % 3 == 0, s(".example.co.uk"))
+            .when(d % 9 == 1, s(".example.com.hk"))
+            .when(d % 9 == 2, s(".github.io"))
+            .otherwise(s(".example.com")),
             F.when(d % 2 == 0, s(":443"))
             .when(d % 5 == 0, s(":8080"))
             .otherwise(s(":80")),
             s("/Path/"), (d % 11).cast("string"),
+            # percent-escape coverage: unreserved decode (%7E, %41),
+            # hex-case canonicalization (%2f -> %2F), invalid escape (%zz)
+            F.when(d % 6 == 2, s("/%7Edir%2fq%zz%41")).otherwise(s("")),
             F.when(d % 4 == 0, s("/")).otherwise(s("")),
             F.when(d % 3 == 0, s("?utm_source=news&b=2&a=1"))
             .when(d % 3 == 1, s("?z=9&fbclid=abc"))
@@ -599,10 +605,14 @@ _SYNTH_URL_SQL = """
     CASE WHEN doc_id % 13 = 0 THEN 'not a url' ELSE
       (CASE WHEN doc_id % 2 = 0 THEN 'https://WWW.' ELSE 'http://' END)
       || 'Site' || (doc_id % 7)::VARCHAR
-      || (CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk' ELSE '.example.com' END)
+      || (CASE WHEN doc_id % 3 = 0 THEN '.example.co.uk'
+               WHEN doc_id % 9 = 1 THEN '.example.com.hk'
+               WHEN doc_id % 9 = 2 THEN '.github.io'
+               ELSE '.example.com' END)
       || (CASE WHEN doc_id % 2 = 0 THEN ':443'
                WHEN doc_id % 5 = 0 THEN ':8080' ELSE ':80' END)
       || '/Path/' || (doc_id % 11)::VARCHAR
+      || (CASE WHEN doc_id % 6 = 2 THEN '/%7Edir%2fq%zz%41' ELSE '' END)
       || (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END)
       || (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=news&b=2&a=1'
                WHEN doc_id % 3 = 1 THEN '?z=9&fbclid=abc' ELSE '' END)
@@ -613,19 +623,22 @@ _SYNTH_URL_SQL = """
 
 def _url_leg_sql() -> str:
     """DuckDB replay of operators/urls.py's normalization chain (every
-    regex and list lambda mirrored literally; constants imported so the two
-    sides cannot drift), producing (doc_id, norm_url, url_domain)."""
+    regex and list lambda mirrored literally; constants imported and the
+    registered-domain CASE GENERATED from the same parsed PSL snapshot so
+    the two sides cannot drift), producing (doc_id, norm_url, url_domain)."""
+    from ..operators.psl import registered_domain_sql
     from ..operators.urls import (
         TRACKING_PARAMS,
         TRACKING_PREFIX,
-        TWO_LEVEL_SUFFIXES,
+        percent_normalize_sql,
     )
 
     track = "[" + ",".join(f"'{p}'" for p in TRACKING_PARAMS) + "]"
-    two = "[" + ",".join(f"'{sfx}'" for sfx in TWO_LEVEL_SUFFIXES) + "]"
+    regdom = registered_domain_sql("host")
+    pctnorm = percent_normalize_sql("split_part(trim(raw_url), '#', 1)")
     return f"""
     u0 AS (SELECT doc_id, {_SYNTH_URL_SQL} AS raw_url FROM documents),
-    u1 AS (SELECT doc_id, split_part(trim(raw_url), '#', 1) AS s FROM u0),
+    u1 AS (SELECT doc_id, {pctnorm} AS s FROM u0),
     u2 AS (SELECT doc_id,
              lower(regexp_extract(s, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
              regexp_extract(s, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
@@ -661,13 +674,7 @@ def _url_leg_sql() -> str:
                        || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
              END AS norm_url,
              CASE WHEN scheme = '' OR host = '' THEN NULL
-                  WHEN regexp_matches(host, '^[0-9]+(\\.[0-9]+){{3}}$')
-                       OR len(string_split(host, '.')) <= 2 THEN host
-                  WHEN list_contains({two},
-                         array_to_string(string_split(host, '.')[-2:], '.'))
-                       AND len(string_split(host, '.')) >= 3
-                  THEN array_to_string(string_split(host, '.')[-3:], '.')
-                  ELSE array_to_string(string_split(host, '.')[-2:], '.')
+                  ELSE ({regdom})
              END AS url_domain
            FROM u5)
     """
@@ -703,14 +710,19 @@ def _url_leg_sql() -> str:
 def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc text stats + the URL curation leg (round 6): norm_url /
     url_domain over a deterministic synthetic URL, riding the SAME single
-    scan via document_stats(extra=) — no join-back. The oracle replays the
-    whole normalization chain (operators/urls.py) in DuckDB."""
+    scan via document_stats(extra=) — no join-back; the url columns are
+    STAGED projections (with_url_columns — the PSL CASE inlined would blow
+    the expression tree up ~1000x, round 7). The oracle replays the whole
+    normalization chain (operators/urls.py + psl.py) in DuckDB."""
     from ..operators import urls as U
 
-    u = _synth_url_col()
+    staged = U.with_url_columns(
+        _read(spark, sf_dir, "documents"), _synth_url_col(),
+        norm_url="_nu", url_domain="_ud",
+    )
     return T.document_stats(
-        _read(spark, sf_dir, "documents"),
-        extra={"norm_url": U.normalize_url(u), "url_domain": U.url_domain(u)},
+        staged,
+        extra={"norm_url": F.col("_nu"), "url_domain": F.col("_ud")},
     ).orderBy("doc_id")
 
 
@@ -2248,11 +2260,27 @@ _INC_DEDUP_SQL = (
       SELECT l.doc_id FROM labels l
       WHERE l.doc_id = l.cluster_id
         AND l.cluster_id NOT IN (SELECT cluster_id FROM hit_clusters)
+    ),
+    url_win AS (
+      -- url_dedup(policy='longest') leg (round 7): synthetic recrawl URL
+      -- groups of ~10 docs (doc_id % 50); the fullest capture wins, ties
+      -- to min id -- decided differently from min_id in most groups, and
+      -- the d % 4 rows carry a trailing slash the normalizer must strip
+      -- before the groups merge
+      SELECT doc_id, fp, row_number() OVER (
+               PARTITION BY fp ORDER BY length(text) DESC, doc_id ASC
+             ) AS rk
+      FROM (SELECT doc_id, text,
+                   md5('https://ex.com/p/' || (doc_id % 50)::VARCHAR) AS fp
+            FROM documents) s
     )
     SELECT 'exact' AS leg, doc_id, fingerprint FROM exact_surv
     UNION ALL
     SELECT 'near' AS leg, n.doc_id, f.fingerprint
     FROM near_surv n JOIN f ON f.doc_id = n.doc_id
+    UNION ALL
+    SELECT 'url_longest' AS leg, doc_id, fp AS fingerprint
+    FROM url_win WHERE rk = 1
     ORDER BY leg, doc_id
     """
 )
@@ -2278,9 +2306,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       admit/drop semantics end-to-end. The near leg's fingerprint column
       is the doc's identity hash (md5 of normalized text), keeping the
       two legs schema-identical.
+    * leg 'url_longest' (round 7): survivors of
+      ``url_dedup(policy='longest')`` over a synthetic recrawl URL
+      (groups of ~10 docs at sf0.01 via doc_id % 50, trailing-slash
+      variants normalized before grouping). The fullest capture of a
+      canonical URL supersedes, ties to min id -- BINDING: at sf0.01 the
+      longest-wins winner differs from min_id in 46 of 50 groups, so a
+      min-id regression flips the hash. The leg's fingerprint is
+      md5(norm_url) -- the dedup key itself.
 
     Builder note: the near leg's connected-components loop executes
     Spark jobs at build time (same as q_dedup_clusters)."""
+    from ..operators import urls as U
+
     doc = _read(spark, sf_dir, "documents")
     corpus = doc.where(F.col("doc_id") % 2 == 0)
     shard = doc.where(F.col("doc_id") % 2 == 1)
@@ -2295,7 +2333,19 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("near").alias("leg"), "doc_id",
         F.md5(D.normalized(F.col("text"))).alias("fingerprint"),
     )
-    return leg1.unionByName(leg2).orderBy("leg", "doc_id")
+    d = F.col("doc_id")
+    u = F.concat(
+        F.lit("https://ex.com/p/"), (d % 50).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    leg3 = U.with_url_columns(
+        U.url_dedup(doc.withColumn("url", u), policy="longest"),
+        "url", norm_url="_nu",
+    ).select(
+        F.lit("url_longest").alias("leg"), "doc_id",
+        F.md5("_nu").alias("fingerprint"),
+    )
+    return leg1.unionByName(leg2).unionByName(leg3).orderBy("leg", "doc_id")
 
 
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}

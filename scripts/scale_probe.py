@@ -45,7 +45,18 @@ QUERIES = [
     # round 5: the md5mix-default MinHash pipeline and the composed
     # gate->dedup->cap->split funnel under 10x rows AND 10x key cardinality
     "q_minhash_lsh", "q_training_mix",
+    # round 7: the gate->classifier composition -- the salted replicas grow
+    # the vocab-JOIN key space 10x while the broadcast weights stay fixed
+    # (the committed fixture); plan shape asserted below
+    "q_quality_gate",
 ]
+
+#: queries whose 10x plan must keep its shape: the weights join stays a
+#: broadcast (vocab-bounded by training) and the per-doc reduce stays a
+#: map-side-combined HashAggregate (no SortAggregate demotion)
+PLAN_CHECKS = {
+    "q_quality_gate": (("BroadcastHashJoin",), ("SortAggregate",)),
+}
 
 
 def make_spark():
@@ -138,6 +149,15 @@ def main() -> None:
                 "sf1_sec": t_big,
                 "ratio": round(t_big / t_small, 2),
             }
+            if name in PLAN_CHECKS:
+                must, must_not = PLAN_CHECKS[name]
+                plan = (
+                    fn(spark, PROBE_DIR)
+                    ._jdf.queryExecution().executedPlan().toString()
+                )
+                out[name]["plan_ok"] = all(m in plan for m in must) and not any(
+                    m in plan for m in must_not
+                )
         print(json.dumps({"replicas": REPLICAS, "cpus": CPUS, "queries": out}))
     finally:
         spark.stop()
