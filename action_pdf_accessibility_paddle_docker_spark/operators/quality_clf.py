@@ -181,17 +181,58 @@ def apply_classifier(
     text_col: str = "text",
     id_col: str = "doc_id",
     bigrams: bool = True,
+    top_frac: float | None = None,
 ) -> DataFrame:
-    """Filtering form: keep rows scoring >= threshold, original columns
+    """Filtering form: keep rows scoring >= threshold -- or, with
+    ``top_frac``, the top fraction by score regardless of calibration (the
+    DCLM selection rule; ``threshold`` is then ignored) -- original columns
     preserved. Unlike the row-wise heuristic gate this needs a per-doc
     aggregate, so the verdict joins back LEFT SEMI on the id -- batch-only
     (the streaming form would need a watermarked aggregate; gate first,
-    classify in the batch pass)."""
-    kept = score_documents(
+    classify in the batch pass). ``top_frac`` is also a GLOBAL aggregate
+    over the scored set: it must not run bucket-locally (a per-bucket
+    quantile is not the corpus quantile)."""
+    scored = score_documents(
         df, weights, bias=bias, threshold=threshold, text_col=text_col,
         id_col=id_col, bigrams=bigrams,
-    ).where(F.col("clf_keep"))
+    )
+    if top_frac is not None:
+        kept = top_fraction(scored, top_frac, "clf_score")
+    else:
+        kept = scored.where(F.col("clf_keep"))
     return df.join(kept.select(id_col), id_col, "left_semi")
+
+
+def top_fraction(
+    df: DataFrame,
+    frac: float,
+    score_col: str = "clf_score",
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """Keep the TOP ``frac`` of rows by ``score_col`` -- the DCLM selection
+    rule (Li et al. 2024 keep the top ~10% by fastText score; a fixed 0.5
+    threshold is calibration-dependent, a fraction is not). Rows at the
+    cutpoint score are kept (ties admit slightly more than ``frac``).
+
+    Scale shape: ONE aggregate computes the (1-frac) quantile cutpoint,
+    broadcast back as a 1-row cross join (the CCNet-buckets pattern --
+    never a global sort or Window). ``approx=True`` swaps the exact
+    interpolated percentile for ``approx_percentile`` (t-digest, one pass,
+    no per-group sort buffer) -- the form to run at 100 TB; exact is the
+    default because the DuckDB oracle replays it bit-for-bit
+    (``quantile_cont``)."""
+    if not 0.0 < frac <= 1.0:
+        raise ValueError(f"frac must be in (0, 1], got {frac}")
+    if frac == 1.0:
+        return df
+    fn = "approx_percentile" if approx else "percentile"
+    cut = df.agg(F.expr(f"{fn}({score_col}, {1.0 - frac!r})").alias("_cut"))
+    return (
+        df.crossJoin(F.broadcast(cut))
+        .where(F.col(score_col) >= F.col("_cut"))
+        .drop("_cut")
+    )
 
 
 def label_from_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:

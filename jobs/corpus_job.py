@@ -133,6 +133,11 @@ def main() -> None:
                          "required with the classify stage")
     ap.add_argument("--clf-threshold", type=float, default=0.5,
                     help="classify: keep docs with sigmoid score >= this")
+    ap.add_argument("--clf-top-frac", type=float, default=None,
+                    help="classify: instead of the fixed threshold, keep "
+                         "the TOP fraction of docs by classifier score "
+                         "(the DCLM selection rule; calibration-free). "
+                         "Batch-only: the cutpoint is a GLOBAL quantile")
     ap.add_argument("--seen-fps", default=None,
                     help="dedup: persisted fingerprint table (parquet); when "
                          "set, dedup is INCREMENTAL against it")
@@ -357,6 +362,17 @@ def main() -> None:
     if ("classify" in stages) and not args.clf_weights:
         ap.error("the classify stage requires --clf-weights (train one with "
                  "jobs/train_clf_job.py)")
+    if getattr(args, "clf_top_frac", None) is not None:
+        if "classify" not in stages:
+            ap.error("--clf-top-frac only applies to the classify stage")
+        if not 0.0 < args.clf_top_frac <= 1.0:
+            ap.error("--clf-top-frac must be in (0, 1]")
+        if getattr(args, "resumable", False):
+            ap.error("--clf-top-frac conflicts with --resumable: the "
+                     "cutpoint is a GLOBAL score quantile, and a "
+                     "bucket-local quantile is not the corpus quantile -- "
+                     "run it as a one-shot pass (the fixed --clf-threshold "
+                     "form stays bucket-local-safe)")
     if args.mix_temperature is not None and args.rate:
         ap.error("--mix-temperature and --rate are exclusive")
     if args.mix_temperature is not None and args.mix_temperature <= 0:
@@ -593,10 +609,12 @@ def run_pipeline(spark, args, stages) -> dict:
         # materialization costs nothing extra (the pipeline always
         # executes) and the observations fire with real values
         weights, bias = QC.load_classifier(spark, args.clf_weights)
+        df = df.localCheckpoint(eager=True)
         df = observed(
             QC.apply_classifier(
                 df, weights, bias=bias, threshold=args.clf_threshold,
                 text_col=args.text_col, id_col=args.id_col,
+                top_frac=getattr(args, "clf_top_frac", None),
             ),
             "classify",
         )

@@ -493,6 +493,17 @@ def test_classify_stage_filters_by_model_score(spark, tmp_path):
     )
     assert got == [0, 2] and res2["output"] == 2
 
+    # --clf-top-frac: DCLM top-fraction selection keeps FEWER than the
+    # threshold form here (top ~1/3 of 3 docs = the single best-scoring
+    # prose doc + ties) -- binding against both the threshold verdict and
+    # keep-everything
+    res3 = run_pipeline(
+        spark,
+        _ns(output=str(tmp_path / "out_tf"), clf_top_frac=0.34, **kw),
+        ["classify"],
+    )
+    assert 1 <= res3["counters"]["after_classify"] < 3
+
 
 def test_fps_table_incremental_loop(spark, tmp_path):
     """--fps-table: shard 1 creates the bucketed fingerprint table, shard 2

@@ -167,6 +167,65 @@ def test_fixture_scores_replay_in_duckdb(spark):
     assert verdicts == {True, False}
 
 
+def test_top_fraction_matches_duckdb_quantile(spark):
+    """DCLM top-fraction selection: survivors == an independent DuckDB
+    replay (quantile_cont cutpoint, ties kept); frac=1.0 is a no-op and
+    out-of-range fractions fail loudly."""
+    import duckdb
+
+    rows = [(i, round(((i * 37) % 101) / 101.0, 6)) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, clf_score double")
+    for frac in (0.1, 0.25, 0.5):
+        got = sorted(
+            r["doc_id"] for r in C.top_fraction(df, frac).collect()
+        )
+        want = sorted(
+            r[0]
+            for r in duckdb.sql(
+                f"""
+                SELECT doc_id FROM (VALUES {",".join(map(str, rows))})
+                  t(doc_id, s)
+                WHERE s >= (SELECT quantile_cont(s, {1 - frac}) FROM (
+                  VALUES {",".join(map(str, rows))}) q(doc_id, s))
+                """
+            ).fetchall()
+        )
+        assert got == want, frac
+        assert len(got) >= int(200 * frac)  # ties admit, never starve
+    assert C.top_fraction(df, 1.0) is df
+    for bad in (0.0, -0.1, 1.5):
+        with pytest.raises(ValueError, match="frac"):
+            C.top_fraction(df, bad)
+    # approx form: same shape, count within t-digest tolerance
+    n_approx = C.top_fraction(df, 0.25, approx=True).count()
+    assert abs(n_approx - 50) <= 10
+
+
+def test_apply_classifier_top_frac(spark):
+    """apply_classifier(top_frac=) keeps exactly the rows a python replay
+    of the rule keeps (>= the interpolated quantile cutpoint, ties admit).
+    On this toy corpus the GOOD scores saturate the sigmoid and tie at the
+    rounded cutpoint, so top_frac=0.25 keeps all 4 GOOD docs -- binding
+    against the BAD side and against keep-everything, and a live example
+    of the documented ties-admit behavior."""
+    import numpy as np
+
+    labeled = _toy_labeled(spark)
+    weights, bias = C.train_quality_classifier(labeled, vocab_size=512, max_iter=100)
+    docs = labeled.drop("label")
+    top = C.apply_classifier(docs, weights, bias=bias, top_frac=0.25)
+    scores = {
+        r["doc_id"]: r["clf_score"]
+        for r in C.score_documents(docs, weights, bias=bias).collect()
+    }
+    # Spark percentile() interpolates linearly == numpy default
+    cut = float(np.percentile(sorted(scores.values()), 75))
+    want = sorted(d for d, s in scores.items() if s >= cut)
+    got = sorted(r["doc_id"] for r in top.collect())
+    assert got == want
+    assert set(got) <= {0, 1, 2, 3} and len(got) < len(scores)
+
+
 def test_gate_col_scores_survivors_only(spark):
     """DCLM ordering: gate_col restricts scoring to surviving rows -- their
     scores equal the ungated run exactly; gated-out rows come back with
