@@ -1167,36 +1167,42 @@ def check_fps_key(seen_fps: DataFrame, key: str) -> None:
     keys (the url key predates the stamp), so asserting a key for it
     would reject valid chains and falsely bless invalid ones; mixed
     legacy+stamped directories read with mergeSchema carry NULL fp_key on
-    the legacy rows. Validation is against the DISTINCT non-NULL stamp
-    set (round 7) — a ``head(1)`` sample could land on a legacy-NULL row
-    and mask a genuinely mismatched stamped append, the exact scenario
-    the stamp exists for. The set is at most the number of key spaces
-    ever appended (a handful; the column is an RLE constant per file), so
-    the collect stays bounded; two DIFFERENT non-NULL stamps mean the
-    table is already polluted and fail regardless of ``key``."""
+    the legacy rows. Validation scans for FOREIGN stamps (round 7,
+    revised): every non-NULL stamp must equal ``key``, so the probe is a
+    filter ``fp_key != key`` — a ``head(1)`` sample could land on a
+    legacy-NULL row and mask a mismatched stamped append, and a blanket
+    ``distinct()`` would pay a full-column pass on every shard run of an
+    ever-growing state table. The stamp is written as a per-file CONSTANT
+    (``F.lit`` at append time), so parquet row-group min/max stats prune
+    every matching file at the reader: a healthy table costs footer reads
+    only, and only genuinely foreign files are ever scanned (then we
+    raise anyway). The foreign-stamp set is at most the number of key
+    spaces ever appended, so the collect stays bounded."""
     if "fp_key" not in seen_fps.columns:
         return
-    stamps = sorted(
+    foreign = sorted(
         r["fp_key"]
         for r in seen_fps.select("fp_key")
-        .where(F.col("fp_key").isNotNull())
+        .where(F.col("fp_key").isNotNull() & (F.col("fp_key") != F.lit(key)))
         .distinct()
         .collect()
     )
-    if not stamps:
+    if not foreign:
         return
-    if len(stamps) > 1:
+    if len(foreign) > 1:
         raise ValueError(
-            f"fingerprint state table carries MULTIPLE fp_key stamps "
-            f"{stamps!r} -- two key spaces were appended into one table; "
-            "it must be rebuilt (split by fp_key) before further use"
+            f"fingerprint state table carries MULTIPLE foreign fp_key "
+            f"stamps {foreign!r} -- several key spaces were appended into "
+            "one table; it must be rebuilt (split by fp_key) before "
+            "further use"
         )
-    if stamps[0] != key:
-        raise ValueError(
-            f"fingerprint state table carries fp_key={stamps[0]!r} but this "
-            f"run uses key={key!r}; the two key spaces never match -- "
-            "re-run with the table's key or rebuild the table"
-        )
+    raise ValueError(
+        f"fingerprint state table carries fp_key={foreign[0]!r} but this "
+        f"run uses key={key!r}; the two key spaces never match -- "
+        "re-run with the table's key or rebuild the table (a mix of "
+        f"{foreign[0]!r} and {key!r} stamps likewise means the table is "
+        "polluted)"
+    )
 
 
 def append_fingerprints(

@@ -179,6 +179,24 @@ def ensure_run_config(
                 "a fresh output path"
             )
         return
+    # No pinned config but bucket records exist: a pre-pinning (or
+    # sabotaged) output. Adopting the CURRENT invocation's config would
+    # bless exactly the mis-keyed resume this guard exists to block (a
+    # --buckets 8 resume of a --buckets 4 output would commit 8 as truth,
+    # skip buckets 0-3 under the NEW keying, and leave the old pmod-4
+    # partitions in place -- silent duplicates). Refuse; migration is the
+    # user writing the ORIGINAL parameters to run_config.json by hand.
+    pre_existing = completed_buckets(output_root, spark)
+    if pre_existing:
+        raise ValueError(
+            f"output {output_root!r} carries {len(pre_existing)} committed "
+            "bucket records but no run_config.json (written before "
+            "run-config pinning, or the pin was deleted); resuming cannot "
+            "verify the bucket keying. Either restart with a fresh output "
+            "path, or -- if the original parameters are known -- write "
+            f"them to {d}/run_config.json "
+            f"(this invocation would have pinned {config!r})"
+        )
     fs.mkdirs(dpath)
     tmp = jvm.org.apache.hadoop.fs.Path(f"{d}/.run_config.json.tmp")
     stream = fs.create(tmp, True)

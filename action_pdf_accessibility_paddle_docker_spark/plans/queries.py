@@ -760,6 +760,13 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _QCLF_PATH = _os.path.join(_FIXTURE_DIR, "qclf_weights.parquet")
 
+# fixed-point quantum interpolated into the oracle SQL from the SAME
+# constant the Spark side uses -- retuning WEIGHT_FP_SCALE cannot desync
+# the engines (the TRACKING_PARAMS / PSL-CASE pattern)
+from ..operators.quality_clf import WEIGHT_FP_SCALE as _WFP_INT  # noqa: E402
+
+_WFP = repr(float(_WFP_INT))
+
 _QCLF_STATE: Optional[list] = None
 
 
@@ -840,16 +847,16 @@ def _qclf_model(spark: SparkSession):
                            x -> length(x) > 0))) AS term
       FROM wda
     ), zs AS (
-      -- order-independent fixed-point sum (WEIGHT_FP_SCALE = 2^26): every
-      -- addend is an exact BIGINT, so the score cannot flip with the
-      -- engine's partial-aggregation order
+      -- order-independent fixed-point sum (WEIGHT_FP_SCALE, interpolated
+      -- from the module constant): every addend is an exact BIGINT, so
+      -- the score cannot flip with the engine's partial-aggregation order
       SELECT tm.doc_id,
-             sum(CAST(floor(qw.weight * 67108864.0) AS BIGINT)) AS wsum
+             sum(CAST(floor(qw.weight * {_WFP}) AS BIGINT)) AS wsum
       FROM tm JOIN qw USING (term) GROUP BY tm.doc_id
     ), clf AS (
       SELECT w.doc_id,
              round(1.0 / (1.0 + exp(-((SELECT bias FROM qb)
-                                      + coalesce(z.wsum, 0) / 67108864.0))),
+                                      + coalesce(z.wsum, 0) / {_WFP}))),
                    6) AS clf_score
       FROM wda w LEFT JOIN zs z USING (doc_id)
     )

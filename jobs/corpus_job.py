@@ -1025,6 +1025,17 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
             quality_clf as _QC,
         )
 
+        # own the invariant here, not just at the argparse layer: the
+        # top-fraction cutpoint is a GLOBAL score quantile, and this
+        # function scores bucket-locally -- silently filtering by the
+        # fixed threshold instead would produce a different corpus
+        if getattr(args, "clf_top_frac", None) is not None:
+            raise ValueError(
+                "clf_top_frac is incompatible with the resumable pipeline: "
+                "the cutpoint is a global score quantile and buckets are "
+                "scored independently; run the classify stage as a "
+                "one-shot pass (run_pipeline) or use the fixed threshold"
+            )
         clf_weights, clf_bias = _QC.load_classifier(spark, args.clf_weights)
     n_buckets = int(getattr(args, "buckets", 64))
     key = (F.md5(D.normalized(F.col(args.text_col))) if "dedup" in stages

@@ -619,6 +619,39 @@ def test_resumable_refuses_config_switch(spark, tmp_path):
         spark, _ns(output=str(root), buckets=4, **kw), ["gate", "dedup"]
     )
     assert res["ran_buckets"] == 0 and res["resumed_buckets"] == 4
+    # bucket records WITHOUT a pinned config (pre-pinning output, or the
+    # pin was deleted): adopting the current invocation's config would
+    # bless exactly the mis-keyed resume the pin exists to block -- refuse
+    import os
+
+    os.remove(root / "_lineage" / "run_config.json")
+    with pytest.raises(ValueError, match="no run_config.json"):
+        run_pipeline_resumable(
+            spark, _ns(output=str(root), buckets=8, **kw), ["gate", "dedup"]
+        )
+
+
+def test_resumable_rejects_top_frac_in_library(spark, tmp_path):
+    """The --clf-top-frac/--resumable conflict is owned by the function
+    that scores bucket-locally, not just the argparse layer: a programmatic
+    caller must get a loud error, never a silent fixed-threshold filter."""
+    import pytest
+
+    from jobs.corpus_job import run_pipeline_resumable
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, text=GOOD + f"\ntail {i}.", source="web")
+        for i in range(3)
+    ])
+    with pytest.raises(ValueError, match="clf_top_frac"):
+        run_pipeline_resumable(
+            spark,
+            _ns(input=str(src), output=str(tmp_path / "o"), buckets=2,
+                rate=[], clf_weights="unused", clf_top_frac=0.5),
+            ["classify"],
+        )
 
 
 def test_url_stages_compose(spark, tmp_path):

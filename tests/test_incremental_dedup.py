@@ -422,13 +422,18 @@ def test_fps_key_stamp_validates(spark, tmp_path):
         check_fps_key(masked, "url")
         with pytest.raises(ValueError, match="fp_key"):
             check_fps_key(masked, "content")
-        # two different non-NULL stamps = polluted table: fails either way
+        # two different non-NULL stamps = polluted table: fails either way.
+        # Validation is a FOREIGN-stamp probe (fp_key != key, so parquet
+        # row-group stats prune every healthy file): under either appended
+        # key exactly one foreign stamp shows, under a third key both do
         polluted = spark.createDataFrame(
             [("aa", "url"), ("bb", "content")],
             "fingerprint string, fp_key string",
         )
         for k in ("url", "content"):
-            with pytest.raises(ValueError, match="MULTIPLE"):
+            with pytest.raises(ValueError, match="fp_key"):
                 check_fps_key(polluted, k)
+        with pytest.raises(ValueError, match="MULTIPLE"):
+            check_fps_key(polluted, "sha1")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -148,12 +148,14 @@ def test_fixture_scores_replay_in_duckdb(spark):
           FROM wda
         ), zs AS (
           SELECT tm.doc_id,
-                 sum(CAST(floor(qw.weight * 67108864.0) AS BIGINT)) AS wsum
+                 sum(CAST(floor(qw.weight * {float(C.WEIGHT_FP_SCALE)!r})
+                     AS BIGINT)) AS wsum
           FROM tm JOIN qw USING (term) GROUP BY tm.doc_id
         )
         SELECT w.doc_id,
                round(1.0 / (1.0 + exp(-((SELECT bias FROM qb)
-                                        + coalesce(z.wsum, 0) / 67108864.0))),
+                                        + coalesce(z.wsum, 0)
+                                          / {float(C.WEIGHT_FP_SCALE)!r}))),
                      6) AS s
         FROM wda w LEFT JOIN zs z USING (doc_id)
         """
