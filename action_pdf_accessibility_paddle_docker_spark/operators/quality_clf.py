@@ -226,13 +226,27 @@ def top_fraction(
         raise ValueError(f"frac must be in (0, 1], got {frac}")
     if frac == 1.0:
         return df
-    fn = "approx_percentile" if approx else "percentile"
-    cut = df.agg(F.expr(f"{fn}({score_col}, {1.0 - frac!r})").alias("_cut"))
     return (
-        df.crossJoin(F.broadcast(cut))
+        df.crossJoin(F.broadcast(quantile_cut(df, frac, score_col, approx=approx)))
         .where(F.col(score_col) >= F.col("_cut"))
         .drop("_cut")
     )
+
+
+def quantile_cut(
+    df: DataFrame,
+    frac: float,
+    score_col: str = "clf_score",
+    *,
+    approx: bool = False,
+) -> DataFrame:
+    """1-row DataFrame holding the ``(1-frac)`` quantile of ``score_col``
+    as ``_cut`` -- the broadcastable cutpoint behind ``top_fraction``,
+    exposed so compositions can mark membership (a boolean column) instead
+    of filtering. Spark ``percentile`` and DuckDB ``quantile_cont`` both
+    use type-7 linear interpolation, so the oracle replays it exactly."""
+    fn = "approx_percentile" if approx else "percentile"
+    return df.agg(F.expr(f"{fn}({score_col}, {1.0 - frac!r})").alias("_cut"))
 
 
 def label_from_gate(df: DataFrame, text_col: str = "text", **overrides) -> DataFrame:

@@ -866,7 +866,13 @@ def _qclf_model(spark: SparkSession):
            -- unscored (gate-rejected) docs carry sentinels, not NULLs: the
            -- driver canonicalizer cannot sort mixed None/float rows
            coalesce(c.clf_score, -1.0) AS clf_score,
-           coalesce(c.clf_score >= 0.5, false) AS clf_keep
+           coalesce(c.clf_score >= 0.5, false) AS clf_keep,
+           -- DCLM top-fraction selection (round 7): the cutpoint is the
+           -- GLOBAL 0.8-quantile of the survivor scores (quantile_cont ==
+           -- Spark percentile, both type-7 linear interpolation over the
+           -- bit-identical fixed-point scores)
+           coalesce(c.clf_score >= (SELECT quantile_cont(clf_score, 0.8)
+                                    FROM clf), false) AS clf_top20
     FROM gated LEFT JOIN clf c USING (doc_id) ORDER BY doc_id
     """,
 )
@@ -877,7 +883,10 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns, formerly the separate q_repetition_signals entry) AND the
     trained fastText/DCLM-style classifier score under the committed
     weights fixture (``clf_score``/``clf_keep`` -- round 6; NULL for docs
-    the gate rejects, round 7).
+    the gate rejects, round 7), plus the DCLM top-fraction membership
+    (``clf_top20``: score >= the global 0.8-quantile of survivor scores --
+    the calibration-free selection rule, certified against a
+    ``quantile_cont`` replay; round 7).
 
     ONE corpus scan, DCLM stage order (round 7): the gate is a row-wise
     projection whose already-materialized word/bigram arrays feed the
@@ -903,10 +912,25 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                "distinct_word_frac", "top_bigram_frac",
                "reject_reasons", "keep"),
     )
+    # DCLM top-fraction membership rides the scores already computed: one
+    # 1-row percentile aggregate over the survivors, broadcast back -- no
+    # second explode, no Window (the top_fraction shape, round 7). The
+    # scored frame is referenced TWICE (cut + output) and AQE compiles
+    # subplans independently (no cross-reference exchange reuse -- the
+    # q_lm_quality lesson), so checkpoint the tiny per-doc frame: the
+    # explode/join/sum runs ONCE
+    scored = scored.localCheckpoint(eager=False)
+    cut = QC.quantile_cut(scored.where(F.col("keep")), 0.2)
     # sentinels, not NULLs, for the unscored gate-rejected docs: the driver
     # canonicalizer cannot sort mixed None/float rows (the q_tag_tree lesson)
     return (
         scored.drop("n_terms")
+        .crossJoin(F.broadcast(cut))
+        .withColumn(
+            "clf_top20",
+            F.coalesce(F.col("clf_score") >= F.col("_cut"), F.lit(False)),
+        )
+        .drop("_cut")
         .withColumn("clf_score", F.coalesce("clf_score", F.lit(-1.0)))
         .withColumn("clf_keep", F.coalesce("clf_keep", F.lit(False)))
         .orderBy("doc_id")
