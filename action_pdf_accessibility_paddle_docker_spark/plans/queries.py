@@ -791,6 +791,28 @@ def _qclf_model(spark: SparkSession):
     return spark.createDataFrame(w, "term string, weight double"), b
 
 
+def _quality_gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pre-checkpoint half of q_quality_gate: gate projection +
+    survivor-only classifier scoring on ONE documents scan. Factored out so
+    the plan gate (test_plan_quality) can pin the scoring shape -- the
+    checkpoint in q_quality_gate hides this subtree behind a LogicalRDD in
+    the final plan. (NOT between the @register decorator and the query
+    function: the decorator binds to whatever ``def`` follows it.)"""
+    from ..operators import quality_clf as QC
+
+    docs = _read(spark, sf_dir, "documents")
+    g = T.quality_gate(docs, include_signals=True, keep_cols=("_wt", "_bg"))
+    weights, bias = _qclf_model(spark)
+    return QC.score_documents(
+        g, weights, bias=bias,
+        terms_col=F.concat("_wt", "_bg"),
+        gate_col="keep",
+        carry=("n_tokens", "punct_ratio", "stopword_ratio",
+               "distinct_word_frac", "top_bigram_frac",
+               "reject_reasons", "keep"),
+    )
+
+
 @register(
     "q_quality_gate",
     f"""
@@ -901,17 +923,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     scoring sum from the same fixture parquet."""
     from ..operators import quality_clf as QC
 
-    docs = _read(spark, sf_dir, "documents")
-    g = T.quality_gate(docs, include_signals=True, keep_cols=("_wt", "_bg"))
-    weights, bias = _qclf_model(spark)
-    scored = QC.score_documents(
-        g, weights, bias=bias,
-        terms_col=F.concat("_wt", "_bg"),
-        gate_col="keep",
-        carry=("n_tokens", "punct_ratio", "stopword_ratio",
-               "distinct_word_frac", "top_bigram_frac",
-               "reject_reasons", "keep"),
-    )
+    scored = _quality_gate_scored(spark, sf_dir)
     # DCLM top-fraction membership rides the scores already computed: one
     # 1-row percentile aggregate over the survivors, broadcast back -- no
     # second explode, no Window (the top_fraction shape, round 7). The

@@ -192,16 +192,40 @@ def test_quality_gate_entry_composed_shape(spark):
     grouping keys -- no doc_id re-join, no SortAggregate demotion from
     first()-over-strings, no sort-merge join anywhere), the weights side a
     broadcast hash join."""
-    plan = _plan(spark, "q_quality_gate")
-    final = plan.split("== Initial Plan ==")[0]
+    from action_pdf_accessibility_paddle_docker_spark.plans.queries import (
+        _quality_gate_scored,
+    )
+
+    scoring_plan = (
+        _quality_gate_scored(spark, SF_DIR)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
     doc_scans = [
-        ln for ln in final.splitlines()
+        ln for ln in scoring_plan.splitlines()
         if "Scan parquet" in ln and "documents" in ln
     ]
-    assert len(doc_scans) == 1, final
-    assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
-    assert "SortAggregate" not in plan
+    assert len(doc_scans) == 1, scoring_plan
+    assert "BroadcastHashJoin" in scoring_plan
+    assert "SortMergeJoin" not in scoring_plan
+    assert "SortAggregate" not in scoring_plan
+    # the full row checkpoints the tiny per-doc scored frame (round 7: the
+    # top-fraction cut references it a second time, and AQE gives no
+    # cross-reference exchange reuse) -- the EXECUTED final plan must read
+    # the checkpoint on both branches (zero parquet re-scans), with the
+    # 1-row percentile cutpoint broadcast back (BNLJ Cross on one row is
+    # the deliberate 1-row-cross-join pattern, not an accident)
+    fn, _ = Q.REGISTRY["q_quality_gate"]
+    df = fn(spark, SF_DIR)
+    # pin the query execution BEFORE the action: once the lazy checkpoint
+    # has materialized, a fresh _jdf.queryExecution() hands back the
+    # CHECKPOINT's own execution (the scored frame), not the final query's
+    qe = df._jdf.queryExecution()
+    df.collect()  # materializes the lazy checkpoint; AQE finalizes
+    final = qe.executedPlan().toString().split("== Initial Plan ==")[0]
+    assert "Scan parquet" not in final and "FileScan" not in final, final
+    assert "Scan ExistingRDD" in final
+    assert "SortMergeJoin" not in final
+    assert "BroadcastExchange" in final
 
 
 def test_lm_quality_has_no_global_window_and_no_model_broadcast_hint(spark):
