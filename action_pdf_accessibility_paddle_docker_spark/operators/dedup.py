@@ -558,6 +558,69 @@ def minhash_signatures(
     return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
 
 
+def lsh_collision_prob(s: float, bands: int, rows_per_band: int) -> float:
+    """Probability that a pair with Jaccard similarity ``s`` shares at
+    least one LSH band bucket under banding (b, r): 1 - (1 - s^r)^b --
+    the S-curve of Leskovec/Rajaraman/Ullman, *Mining of Massive
+    Datasets* section 3.4.2 (public)."""
+    return 1.0 - (1.0 - s ** rows_per_band) ** bands
+
+
+def lsh_tuning(
+    num_hashes: int = NUM_MINHASHES,
+    threshold: float = 0.7,
+    grid: int = 2000,
+) -> dict:
+    """Principled (bands, rows_per_band) choice for a TARGET Jaccard
+    threshold, instead of hand-picked constants: among the factorizations
+    b*r == num_hashes, minimize the total selection error around the
+    threshold t --
+
+        error = integral_0^t p(s) ds  (false-positive area)
+              + integral_t^1 (1 - p(s)) ds  (false-negative area)
+
+    with p(s) the S-curve above (MMDS section 3.4.3: the ideal p is a step
+    function at t; this picks the banding whose S-curve is closest to that
+    step in L1). Midpoint Riemann sum on a fixed grid -- deterministic, no
+    RNG, pure python driver-side math (runs once per job, never per row).
+
+    Returns {"bands", "rows_per_band", "approx_threshold", "error"};
+    ``approx_threshold`` is the conventional (1/b)^(1/r) inflection
+    estimate. The module defaults (16 hashes, 4 bands x 4 rows) sit at
+    approx_threshold 0.707 -- this function is how a user targets
+    something else (e.g. 0.85 for strict recrawl dedup) without guessing.
+    Feed the result into ``minhash_band_buckets``/``minhash_lsh_candidates``
+    via ``bands=``, or pass ``threshold=`` there directly."""
+    if not 0.0 < threshold < 1.0:
+        raise ValueError(f"threshold must be in (0, 1), got {threshold}")
+    if num_hashes < 1:
+        raise ValueError(f"num_hashes must be >= 1, got {num_hashes}")
+    best = None
+    for r in range(1, num_hashes + 1):
+        if num_hashes % r:
+            continue
+        b = num_hashes // r
+        step_fp = threshold / grid
+        fp = sum(
+            lsh_collision_prob((i + 0.5) * step_fp, b, r) for i in range(grid)
+        ) * step_fp
+        step_fn = (1.0 - threshold) / grid
+        fn = sum(
+            1.0 - lsh_collision_prob(threshold + (i + 0.5) * step_fn, b, r)
+            for i in range(grid)
+        ) * step_fn
+        err = fp + fn
+        if best is None or err < best["error"]:
+            best = {
+                "bands": b,
+                "rows_per_band": r,
+                "approx_threshold": round((1.0 / b) ** (1.0 / r), 6) if b > 1 else 1.0,
+                "error": err,
+            }
+    best["error"] = round(best["error"], 6)
+    return best
+
+
 def minhash_band_buckets(
     df: DataFrame,
     num_hashes: int = NUM_MINHASHES,
@@ -565,11 +628,22 @@ def minhash_band_buckets(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "md5mix",
+    threshold: Optional[float] = None,
 ) -> DataFrame:
     """(doc_id, band, bucket) LSH membership rows: band hash = md5 of the
     band's signature slice. The exploded form both the batch candidate
     pairing and the incremental (persisted bucket table) near-dedup key
-    on."""
+    on. ``threshold=`` derives ``bands`` from a target Jaccard similarity
+    via ``lsh_tuning`` instead of the hand-picked default (exclusive with
+    an explicit ``bands``: a persisted bucket table keyed under one
+    banding never matches another, so the choice must be deliberate)."""
+    if threshold is not None:
+        if bands != LSH_BANDS:
+            raise ValueError(
+                "pass bands= or threshold=, not both: the banding is part "
+                "of the bucket keying and must be chosen one way"
+            )
+        bands = lsh_tuning(num_hashes, threshold)["bands"]
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, id_col, text_col, hash_family)
     band_cols = []
@@ -610,11 +684,14 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "md5mix",
+    threshold: Optional[float] = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: docs sharing any LSH band bucket.
-    band hash = md5 of the band's signature slice."""
+    band hash = md5 of the band's signature slice. ``threshold=`` picks
+    the banding for a target Jaccard similarity (see ``lsh_tuning``)."""
     buckets = minhash_band_buckets(
-        df, num_hashes, bands, id_col, text_col, hash_family
+        df, num_hashes, bands, id_col, text_col, hash_family,
+        threshold=threshold,
     )
     # Bucket-local pair expansion instead of a self-join: a self-join would
     # recompute the whole signature pipeline on both sides (Spark does not

@@ -257,3 +257,74 @@ def test_md5mix_signatures_match_independent_python_reference(spark):
     got = {r["doc_id"]: list(r["sig"]) for r in minhash_signatures(df).collect()}
     for doc_id, text in docs:
         assert got[doc_id] == py_signature(text), doc_id
+
+
+def test_lsh_tuning_matches_independent_integration():
+    """The (bands, rows) choice equals an independent numpy integration of
+    the MMDS S-curve L1 error; monotonicity and the documented default
+    inflection hold; invalid inputs fail loudly."""
+    import numpy as np
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        lsh_collision_prob,
+        lsh_tuning,
+    )
+
+    # S-curve endpoints and the conventional inflection
+    assert lsh_collision_prob(0.0, 4, 4) == 0.0
+    assert lsh_collision_prob(1.0, 4, 4) == 1.0
+    # the module default (16 hashes, 4x4) sits at (1/4)^(1/4) ~ 0.707
+    assert lsh_tuning(16, 0.707)["bands"] == 4
+
+    def np_error(b, r, t, n=200_000):
+        s = (np.arange(n) + 0.5) / n
+        p = 1.0 - (1.0 - s**r) ** b
+        fp = p[s < t].sum() / n
+        fn = (1.0 - p[s >= t]).sum() / n
+        return fp + fn
+
+    for n_hashes, t in [(16, 0.5), (16, 0.85), (128, 0.8), (12, 0.3)]:
+        got = lsh_tuning(n_hashes, t)
+        assert got["bands"] * got["rows_per_band"] == n_hashes
+        errs = {
+            r: np_error(n_hashes // r, r, t)
+            for r in range(1, n_hashes + 1)
+            if n_hashes % r == 0
+        }
+        best_r = min(errs, key=errs.get)
+        assert got["rows_per_band"] == best_r, (n_hashes, t, errs)
+        assert got["error"] == pytest.approx(errs[best_r], abs=1e-3)
+    # a stricter threshold never LOWERS the chosen inflection point
+    approx = [
+        lsh_tuning(128, t)["approx_threshold"] for t in (0.3, 0.5, 0.7, 0.9)
+    ]
+    assert approx == sorted(approx)
+    with pytest.raises(ValueError, match="threshold"):
+        lsh_tuning(16, 1.0)
+    with pytest.raises(ValueError, match="num_hashes"):
+        lsh_tuning(0, 0.5)
+
+
+def test_lsh_candidates_threshold_param(spark):
+    """threshold= derives the banding: a strict threshold (high t -> more
+    rows per band) pairs only the nearest duplicates, a loose one admits
+    more candidate pairs; an explicit bands= alongside threshold= errors."""
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        minhash_band_buckets,
+        minhash_lsh_candidates,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    docs = [(0, base), (1, base + "lambda"), (2, base + "mu nu xi omicron pi rho")]
+    docs += [(10 + i, f"totally different text number {i} " * 8) for i in range(3)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    loose = minhash_lsh_candidates(df, threshold=0.3).collect()
+    strict = minhash_lsh_candidates(df, threshold=0.95).collect()
+    assert len(strict) <= len(loose)
+    pairs = {(r["id_a"], r["id_b"]) for r in loose}
+    assert (0, 1) in pairs  # near-identical docs always pair loosely
+    with pytest.raises(ValueError, match="not both"):
+        minhash_band_buckets(df, bands=8, threshold=0.5)
