@@ -1066,6 +1066,101 @@ def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", tex
     return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    by: str = "id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions -- the data-ops companion
+    to the CDC dedup family (what changed between crawl N and crawl N+1,
+    between a pre- and post-curation corpus, or across a retention prune).
+
+    * ``by='id'``: per-document verdict keyed on ``id_col``; content
+      compared by fingerprint (md5 of the normalized text -- the exact
+      key ``exact_dedup`` and the fingerprint state table use). Returns
+      ``(id_col, old_fp, new_fp, status)`` with status in
+      added / removed / changed / unchanged.
+    * ``by='content'``: id-free set diff of content fingerprints (recrawls
+      that renumber documents). Returns
+      ``(fingerprint, n_old, n_new, status)`` with status in
+      added / removed / common -- the counts expose growth/shrink of a
+      duplicate group without a separate query.
+
+    Scale shape: ONE shuffle -- both sides union with a side tag and
+    aggregate on the key with map-side combine. A full-outer join would
+    also shuffle both sides but adds null-key handling and a second
+    operator for the duplicate-id case; the union-aggregate form is the
+    same cost and AQE skew-splits a single aggregate cleanly. Within a
+    side, duplicate keys collapse deterministically (max fingerprint /
+    counts), documented rather than hidden.
+
+    No reference analog (engine extension: the reference curates nothing).
+    """
+    if by not in ("id", "content"):
+        raise ValueError(f"by must be 'id' or 'content', got {by!r}")
+    fp = F.md5(normalized(F.col(text_col)))
+    if by == "id":
+        def tag(df: DataFrame, side: str) -> DataFrame:
+            return df.select(
+                F.col(id_col).alias("_key"), fp.alias("_fp"),
+                F.lit(side).alias("_side"),
+            )
+
+        agg = (
+            tag(old, "old").unionByName(tag(new, "new"))
+            .groupBy("_key")
+            .agg(
+                F.max(F.when(F.col("_side") == "old", F.col("_fp"))).alias("old_fp"),
+                F.max(F.when(F.col("_side") == "new", F.col("_fp"))).alias("new_fp"),
+            )
+        )
+        status = (
+            F.when(F.col("old_fp").isNull(), F.lit("added"))
+            .when(F.col("new_fp").isNull(), F.lit("removed"))
+            .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+            .otherwise(F.lit("changed"))
+        )
+        return agg.select(
+            F.col("_key").alias(id_col), "old_fp", "new_fp",
+            status.alias("status"),
+        )
+    def tag_fp(df: DataFrame, side: str) -> DataFrame:
+        return df.select(fp.alias("fingerprint"), F.lit(side).alias("_side"))
+
+    agg = (
+        tag_fp(old, "old").unionByName(tag_fp(new, "new"))
+        .groupBy("fingerprint")
+        .agg(
+            F.count(F.when(F.col("_side") == "old", 1)).alias("n_old"),
+            F.count(F.when(F.col("_side") == "new", 1)).alias("n_new"),
+        )
+    )
+    status = (
+        F.when(F.col("n_old") == 0, F.lit("added"))
+        .when(F.col("n_new") == 0, F.lit("removed"))
+        .otherwise(F.lit("common"))
+    )
+    return agg.select("fingerprint", "n_old", "n_new", status.alias("status"))
+
+
+def corpus_diff_summary(
+    old: DataFrame,
+    new: DataFrame,
+    by: str = "id",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Bounded driver-side rollup of ``corpus_diff``: {status: count}.
+    The collect is at most 4 rows (the status domain), never the corpus."""
+    rows = (
+        corpus_diff(old, new, by=by, id_col=id_col, text_col=text_col)
+        .groupBy("status").count().collect()
+    )
+    return {r["status"]: r["count"] for r in rows}
+
+
 def incremental_dedup(
     new_df: DataFrame,
     seen_fps: DataFrame,

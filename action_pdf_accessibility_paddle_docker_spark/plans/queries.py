@@ -2316,6 +2316,40 @@ _INC_DEDUP_SQL = (
       FROM (SELECT doc_id, text,
                    md5('https://ex.com/p/' || (doc_id % 50)::VARCHAR) AS fp
             FROM documents) s
+    ),
+    newsnap AS (
+      -- corpus_diff leg (round 7): the synthetic next snapshot -- docs
+      -- divisible by 7 removed, by 5 rewritten, by 11 re-added under a
+      -- shifted id
+      SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+      FROM documents WHERE doc_id % 7 <> 0
+      UNION ALL
+      SELECT doc_id + 100000, 'added doc ' || doc_id::VARCHAR
+      FROM documents WHERE doc_id % 11 = 0
+    ),"""
+    + f"""
+    diffu AS (
+      SELECT doc_id, fingerprint AS fp, 'old' AS side FROM f
+      UNION ALL
+      SELECT doc_id, md5({_NORM_SQL}), 'new' FROM newsnap
+    ),
+    diffg AS (
+      SELECT doc_id,
+             max(CASE WHEN side = 'old' THEN fp END) AS ofp,
+             max(CASE WHEN side = 'new' THEN fp END) AS nfp
+      FROM diffu GROUP BY doc_id
+    ),
+    diffleg AS (
+      -- the leg's fingerprint binds on status AND both content hashes
+      SELECT doc_id,
+             md5(concat_ws('|',
+                 CASE WHEN ofp IS NULL THEN 'added'
+                      WHEN nfp IS NULL THEN 'removed'
+                      WHEN ofp = nfp THEN 'unchanged'
+                      ELSE 'changed' END,
+                 coalesce(ofp, ''), coalesce(nfp, ''))) AS fingerprint
+      FROM diffg
     )
     SELECT 'exact' AS leg, doc_id, fingerprint FROM exact_surv
     UNION ALL
@@ -2324,6 +2358,8 @@ _INC_DEDUP_SQL = (
     UNION ALL
     SELECT 'url_longest' AS leg, doc_id, fp AS fingerprint
     FROM url_win WHERE rk = 1
+    UNION ALL
+    SELECT 'diff' AS leg, doc_id, fingerprint FROM diffleg
     ORDER BY leg, doc_id
     """
 )
@@ -2357,6 +2393,11 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       longest-wins winner differs from min_id in 46 of 50 groups, so a
       min-id regression flips the hash. The leg's fingerprint is
       md5(norm_url) -- the dedup key itself.
+    * leg 'diff' (round 7): ``corpus_diff`` verdicts over a synthetic
+      next snapshot (%7 removed, %5 rewritten, %11 re-added under
+      shifted ids) -- every status class populated at sf0.01; the leg
+      fingerprint is md5(status|old_fp|new_fp), binding on the verdict
+      and both content hashes.
 
     Builder note: the near leg's connected-components loop executes
     Spark jobs at build time (same as q_dedup_clusters)."""
@@ -2388,7 +2429,35 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("url_longest").alias("leg"), "doc_id",
         F.md5("_nu").alias("fingerprint"),
     )
-    return leg1.unionByName(leg2).unionByName(leg3).orderBy("leg", "doc_id")
+    # leg 'diff' (round 7): corpus_diff over a synthetic next snapshot --
+    # %7 removed, %5 rewritten, %11 re-added under shifted ids; the leg's
+    # fingerprint binds on the status verdict AND both content hashes
+    old_snap = doc.select("doc_id", "text")
+    new_snap = (
+        doc.where(d % 7 != 0)
+        .select(
+            "doc_id",
+            F.when(d % 5 == 0, F.concat("text", F.lit(" v2")))
+            .otherwise(F.col("text")).alias("text"),
+        )
+        .unionByName(
+            doc.where(d % 11 == 0).select(
+                (d + 100000).alias("doc_id"),
+                F.concat(F.lit("added doc "), d.cast("string")).alias("text"),
+            )
+        )
+    )
+    leg4 = D.corpus_diff(old_snap, new_snap).select(
+        F.lit("diff").alias("leg"), "doc_id",
+        F.md5(F.concat_ws(
+            "|", F.col("status"),
+            F.coalesce("old_fp", F.lit("")), F.coalesce("new_fp", F.lit("")),
+        )).alias("fingerprint"),
+    )
+    return (
+        leg1.unionByName(leg2).unionByName(leg3).unionByName(leg4)
+        .orderBy("leg", "doc_id")
+    )
 
 
 _SAMPLE_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.2}

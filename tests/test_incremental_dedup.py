@@ -437,3 +437,81 @@ def test_fps_key_stamp_validates(spark, tmp_path):
             check_fps_key(polluted, "sha1")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_corpus_diff_both_modes_vs_duckdb(spark):
+    """Snapshot diff: per-id statuses and the id-free content set diff both
+    equal an independent DuckDB replay (union + group + case); the summary
+    dict is the bounded rollup; invalid mode fails loudly."""
+    import duckdb
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        corpus_diff,
+        corpus_diff_summary,
+    )
+
+    old_rows = [(i, f"stable document {i} body") for i in range(8)]
+    new_rows = (
+        [(i, f"stable document {i} body") for i in range(6)]      # 0-5 kept
+        + [(4, "stable  DOCUMENT 4 body"),]                        # dup id, same normalized content
+        + [(6, "rewritten document six entirely")]                 # changed
+        # 7 removed
+        + [(100, "brand new document"), (101, "another new one")]  # added
+    )
+    old = spark.createDataFrame(old_rows, "doc_id long, text string")
+    new = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    got = {
+        r["doc_id"]: r["status"]
+        for r in corpus_diff(old, new).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE o(doc_id BIGINT, text VARCHAR)")
+    con.execute("CREATE TABLE n(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO o VALUES (?, ?)", old_rows)
+    con.executemany("INSERT INTO n VALUES (?, ?)", new_rows)
+    oracle = dict(con.sql(
+        """
+        WITH u AS (
+          SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) fp,
+                 'old' side FROM o
+          UNION ALL
+          SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))),
+                 'new' FROM n
+        ), g AS (
+          SELECT doc_id,
+                 max(CASE WHEN side = 'old' THEN fp END) ofp,
+                 max(CASE WHEN side = 'new' THEN fp END) nfp
+          FROM u GROUP BY doc_id
+        )
+        SELECT doc_id, CASE WHEN ofp IS NULL THEN 'added'
+                            WHEN nfp IS NULL THEN 'removed'
+                            WHEN ofp = nfp THEN 'unchanged'
+                            ELSE 'changed' END
+        FROM g
+        """
+    ).fetchall())
+    assert got == oracle
+    # the shape is binding: every status present, the dup-id row collapses
+    # to its side's max fingerprint (same normalized content -> unchanged)
+    assert got[4] == "unchanged" and got[6] == "changed"
+    assert got[7] == "removed" and got[100] == "added" and got[0] == "unchanged"
+
+    by_content = {
+        r["fingerprint"]: (r["n_old"], r["n_new"], r["status"])
+        for r in corpus_diff(old, new, by="content").collect()
+    }
+    n_added = sum(1 for v in by_content.values() if v[2] == "added")
+    n_removed = sum(1 for v in by_content.values() if v[2] == "removed")
+    # content view: doc 6's old body vanished, doc 7 vanished; the new body
+    # of 6 and the two new docs appeared; doc 4's dup-id capture is the
+    # SAME content so it lands in 'common' with n_new=2
+    assert n_added == 3 and n_removed == 2
+    assert (2,) == tuple({v[1] for v in by_content.values() if v[0] == 1 and v[1] == 2})
+
+    assert corpus_diff_summary(old, new) == {
+        "unchanged": 6, "changed": 1, "removed": 1, "added": 2
+    }
+    with pytest.raises(ValueError, match="by"):
+        corpus_diff(old, new, by="bogus")
