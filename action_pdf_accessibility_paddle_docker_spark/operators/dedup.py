@@ -624,26 +624,33 @@ def lsh_tuning(
 def minhash_band_buckets(
     df: DataFrame,
     num_hashes: int = NUM_MINHASHES,
-    bands: int = LSH_BANDS,
+    bands: Optional[int] = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "md5mix",
     threshold: Optional[float] = None,
 ) -> DataFrame:
-    """(doc_id, band, bucket) LSH membership rows: band hash = md5 of the
-    band's signature slice. The exploded form both the batch candidate
-    pairing and the incremental (persisted bucket table) near-dedup key
-    on. ``threshold=`` derives ``bands`` from a target Jaccard similarity
-    via ``lsh_tuning`` instead of the hand-picked default (exclusive with
-    an explicit ``bands``: a persisted bucket table keyed under one
-    banding never matches another, so the choice must be deliberate)."""
+    """(doc_id, band, bucket, hash_family, banding) LSH membership rows:
+    band hash = md5 of the band's signature slice. The exploded form both
+    the batch candidate pairing and the incremental (persisted bucket
+    table) near-dedup key on. ``threshold=`` derives ``bands`` from a
+    target Jaccard similarity via ``lsh_tuning`` instead of the
+    hand-picked default (exclusive with an explicit ``bands`` -- a None
+    sentinel, so passing the DEFAULT band count explicitly alongside a
+    threshold is also rejected rather than silently overridden: a
+    persisted bucket table keyed under one banding never matches another,
+    so the choice must be deliberate -- and it is STAMPED in the
+    ``banding`` column so ``check_bucket_family`` can refuse a mismatched
+    probe)."""
+    if threshold is not None and bands is not None:
+        raise ValueError(
+            "pass bands= or threshold=, not both: the banding is part "
+            "of the bucket keying and must be chosen one way"
+        )
     if threshold is not None:
-        if bands != LSH_BANDS:
-            raise ValueError(
-                "pass bands= or threshold=, not both: the banding is part "
-                "of the bucket keying and must be chosen one way"
-            )
         bands = lsh_tuning(num_hashes, threshold)["bands"]
+    elif bands is None:
+        bands = LSH_BANDS
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, id_col, text_col, hash_family)
     band_cols = []
@@ -656,11 +663,13 @@ def minhash_band_buckets(
         )
     return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
-        # provenance stamp: bucket values are md5 hex in EVERY family, so
-        # a family mismatch between a persisted table and a later shard
-        # run would silently match nothing; the stamp lets the
-        # incremental path fail loudly instead
+        # provenance stamps: bucket values are md5 hex in EVERY family and
+        # band slices under one banding never match another's, so either
+        # mismatch between a persisted table and a later shard run would
+        # silently match nothing; the stamps let the incremental path
+        # fail loudly instead (check_bucket_family)
         F.lit(hash_family).alias("hash_family"),
+        F.lit(f"{num_hashes}x{bands}").alias("banding"),
     )
 
 
@@ -680,7 +689,7 @@ def _candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
 def minhash_lsh_candidates(
     df: DataFrame,
     num_hashes: int = NUM_MINHASHES,
-    bands: int = LSH_BANDS,
+    bands: Optional[int] = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     hash_family: str = "md5mix",
@@ -803,27 +812,52 @@ def dedup_clusters(
     return connected_component_labels(nodes, pairs, max_iter=max_iter)
 
 
-def check_bucket_family(seen_buckets: DataFrame, hash_family: str) -> None:
-    """Fail loudly when a persisted bucket table's ``hash_family`` stamp
-    (when present) differs from the one this run would signature with:
-    bucket values are md5 hex in every family, so a mismatch silently
-    admits near-dups of corpus content instead of erroring. One sampled
-    row suffices -- the operators only ever write a uniform stamp, so a
-    full-table distinct would pay a corpus-scale aggregate per shard to
-    detect hand-made mixed unions the error already tells the user to
-    rebuild. Shared by the batch (``incremental_near_dedup``) and
-    streaming (``streaming_incremental_near_dedup``) probes."""
-    if "hash_family" not in seen_buckets.columns:
-        return
-    first = seen_buckets.select("hash_family").head(1)
-    if first and first[0]["hash_family"] != hash_family:
-        raise ValueError(
-            f"seen bucket table carries hash_family="
-            f"{first[0]['hash_family']!r} but this run uses "
-            f"{hash_family!r}; bucket values never match across "
-            "families -- re-run with the table's family or rebuild "
-            "the table"
+def check_bucket_family(
+    seen_buckets: DataFrame, hash_family: str, banding: Optional[str] = None,
+) -> None:
+    """Fail loudly when a persisted bucket table's provenance stamps
+    (when present) differ from what this run would signature with:
+
+    * ``hash_family``: bucket values are md5 hex in every family, so a
+      family mismatch silently admits near-dups of corpus content
+      instead of erroring.
+    * ``banding`` (round 7, stamped as ``"<num_hashes>x<bands>"``): band
+      indices and slice hashes under one banding never match another's
+      (a 16x4 probe against a 16x2 table matches NOTHING), so a banding
+      mismatch -- now an advertised path via ``threshold=`` -- is the
+      same silent-admission failure.
+
+    Both probes are FOREIGN-stamp filters (``stamp != expected``), the
+    ``check_fps_key`` posture: the stamps are per-file constants, so
+    parquet row-group stats prune every healthy file and a clean table
+    costs footer reads only; a ``head(1)`` sample could land on a
+    legacy-NULL row of a mergeSchema mix and mask a real mismatch.
+    Absent columns are unknown provenance and pass. Shared by the batch
+    (``incremental_near_dedup``) and streaming
+    (``streaming_incremental_near_dedup``) probes."""
+    checks = [("hash_family", hash_family,
+               "bucket values never match across families")]
+    if banding is not None:
+        checks.append(("banding", banding,
+                       "band indices and slice hashes never match across "
+                       "bandings"))
+    for col_name, expected, why in checks:
+        if col_name not in seen_buckets.columns:
+            continue
+        foreign = sorted(
+            r[col_name]
+            for r in seen_buckets.select(col_name)
+            .where(F.col(col_name).isNotNull()
+                   & (F.col(col_name) != F.lit(expected)))
+            .distinct()
+            .collect()
         )
+        if foreign:
+            raise ValueError(
+                f"seen bucket table carries {col_name}={foreign[0]!r} but "
+                f"this run uses {expected!r}; {why} -- re-run with the "
+                "table's parameters or rebuild the table"
+            )
 
 
 def incremental_near_dedup(
@@ -895,7 +929,9 @@ def incremental_near_dedup(
             f"persist_buckets must be 'cluster' or 'canonical', "
             f"got {persist_buckets!r}"
         )
-    check_bucket_family(seen_buckets, hash_family)
+    check_bucket_family(
+        seen_buckets, hash_family, banding=f"{num_hashes}x{bands}"
+    )
     buckets = minhash_band_buckets(
         new_df, num_hashes, bands, id_col, text_col, hash_family
     ).localCheckpoint(eager=False)
@@ -1114,12 +1150,21 @@ def corpus_diff(
             .agg(
                 F.max(F.when(F.col("_side") == "old", F.col("_fp"))).alias("old_fp"),
                 F.max(F.when(F.col("_side") == "new", F.col("_fp"))).alias("new_fp"),
+                # presence comes from ROW EXISTENCE, not fingerprint
+                # nullability: a NULL-text row (extraction failure)
+                # fingerprints to NULL but the document is still PRESENT
+                # in its snapshot -- conflating the two would misreport it
+                # as added/removed
+                F.count(F.when(F.col("_side") == "old", 1)).alias("_n_old"),
+                F.count(F.when(F.col("_side") == "new", 1)).alias("_n_new"),
             )
         )
         status = (
-            F.when(F.col("old_fp").isNull(), F.lit("added"))
-            .when(F.col("new_fp").isNull(), F.lit("removed"))
-            .when(F.col("old_fp") == F.col("new_fp"), F.lit("unchanged"))
+            F.when(F.col("_n_old") == 0, F.lit("added"))
+            .when(F.col("_n_new") == 0, F.lit("removed"))
+            # null-safe: NULL text on both sides is the same (absent)
+            # content -> unchanged; NULL on one side only -> changed
+            .when(F.col("old_fp").eqNullSafe(F.col("new_fp")), F.lit("unchanged"))
             .otherwise(F.lit("changed"))
         )
         return agg.select(

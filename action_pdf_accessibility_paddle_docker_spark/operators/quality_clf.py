@@ -197,6 +197,13 @@ def apply_classifier(
         id_col=id_col, bigrams=bigrams,
     )
     if top_frac is not None:
+        # top_fraction references the scored frame TWICE (the broadcast
+        # quantile cutpoint and the filter), and AQE compiles subplans
+        # independently (no cross-reference exchange reuse -- the
+        # q_lm_quality lesson): without a checkpoint the dominant scoring
+        # work (explode + weights join + per-doc sum over the corpus)
+        # executes twice. The checkpointed frame is per-doc, tiny.
+        scored = scored.localCheckpoint(eager=False)
         kept = top_fraction(scored, top_frac, "clf_score")
     else:
         kept = scored.where(F.col("clf_keep"))

@@ -217,10 +217,12 @@ def streaming_near_dedup_against_corpus(
     as in the batch path: bucket values are md5 hex in every family, so a
     mismatch silently admits near-dups of corpus content."""
     from ..operators.dedup import (
-        LSH_BANDS, check_bucket_family, minhash_buckets_col,
+        LSH_BANDS, NUM_MINHASHES, check_bucket_family, minhash_buckets_col,
     )
 
-    check_bucket_family(seen_buckets, hash_family)
+    check_bucket_family(
+        seen_buckets, hash_family, banding=f"{NUM_MINHASHES}x{LSH_BANDS}"
+    )
     out = stream.withColumn(
         "_bb", minhash_buckets_col(F.col(text_col), hash_family=hash_family)
     )

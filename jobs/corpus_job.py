@@ -344,6 +344,12 @@ def main() -> None:
         ap.error("--seen-buckets requires --new-buckets (batch incremental "
                  "mode writes the shard's appendix; only the --streaming "
                  "corpus probe runs appendix-less)")
+    if args.new_buckets and not args.seen_buckets:
+        ap.error("--new-buckets requires --seen-buckets: plain neardup is "
+                 "the within-corpus batch form and writes no appendix -- "
+                 "bootstrap a bucket table with "
+                 "operators.dedup.minhash_band_buckets over the curated "
+                 "output, then run later shards against it")
     for new_p, seen_p, names in (
         (args.new_fps, args.seen_fps, "--new-fps/--seen-fps"),
         (args.new_buckets, args.seen_buckets, "--new-buckets/--seen-buckets"),

@@ -954,3 +954,19 @@ def test_url_keep_and_fps_key_guards():
             capture_output=True, text=True, timeout=60,
         )
         assert r.returncode == 2 and frag in r.stderr, (argv, r.stderr[-200:])
+
+
+def test_new_buckets_without_seen_guarded():
+    """--new-buckets without --seen-buckets was silently ignored (plain
+    batch neardup writes no appendix) -- must error with the bootstrap
+    recipe instead."""
+    import subprocess
+    import sys
+
+    r = subprocess.run(
+        [sys.executable, "jobs/corpus_job.py", "--input", "/tmp/x",
+         "--output", "/tmp/y", "--stages", "neardup",
+         "--new-buckets", "/tmp/nb"],
+        capture_output=True, text=True, timeout=60,
+    )
+    assert r.returncode == 2 and "requires --seen-buckets" in r.stderr

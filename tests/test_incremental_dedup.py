@@ -506,12 +506,36 @@ def test_corpus_diff_both_modes_vs_duckdb(spark):
     n_removed = sum(1 for v in by_content.values() if v[2] == "removed")
     # content view: doc 6's old body vanished, doc 7 vanished; the new body
     # of 6 and the two new docs appeared; doc 4's dup-id capture is the
-    # SAME content so it lands in 'common' with n_new=2
+    # SAME content so it lands in 'common' with n_new=2 -- pinned on the
+    # SPECIFIC fingerprint, not an existence scan
     assert n_added == 3 and n_removed == 2
-    assert (2,) == tuple({v[1] for v in by_content.values() if v[0] == 1 and v[1] == 2})
+    import hashlib
+
+    fp4 = hashlib.md5(b"stable document 4 body").hexdigest()
+    assert by_content[fp4] == (1, 2, "common")
 
     assert corpus_diff_summary(old, new) == {
         "unchanged": 6, "changed": 1, "removed": 1, "added": 2
     }
     with pytest.raises(ValueError, match="by"):
         corpus_diff(old, new, by="bogus")
+
+
+def test_corpus_diff_null_text_presence(spark):
+    """NULL text must not flip PRESENCE: a doc whose new capture failed
+    extraction (text NULL) is CHANGED, not removed; NULL on both sides is
+    unchanged; a NULL-text doc that truly vanishes is removed."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        corpus_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "body one"), (2, None), (3, None), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(1, None), (2, None), (3, "recovered body")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["status"] for r in corpus_diff(old, new).collect()}
+    assert got == {1: "changed", 2: "unchanged", 3: "changed", 4: "removed"}

@@ -328,3 +328,17 @@ def test_lsh_candidates_threshold_param(spark):
     assert (0, 1) in pairs  # near-identical docs always pair loosely
     with pytest.raises(ValueError, match="not both"):
         minhash_band_buckets(df, bands=8, threshold=0.5)
+    # an explicit bands equal to the DEFAULT alongside threshold= is also
+    # rejected (None sentinel), never silently overridden
+    with pytest.raises(ValueError, match="not both"):
+        minhash_band_buckets(df, bands=4, threshold=0.5)
+    # a threshold-banded PERSISTED table probed under a different banding
+    # would silently match nothing -- the banding stamp fails it loudly
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_near_dedup,
+    )
+
+    seen = minhash_band_buckets(df, threshold=0.95)
+    assert seen.head(1)[0]["banding"] != "16x4"  # the mismatch is real
+    with pytest.raises(ValueError, match="banding"):
+        incremental_near_dedup(df, seen)
