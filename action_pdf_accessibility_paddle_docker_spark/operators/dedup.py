@@ -797,6 +797,7 @@ def dedup_clusters(
     text_col: str = "text",
     max_iter: int = 20,
     hash_family: str = "md5mix",
+    threshold: Optional[float] = None,
 ) -> DataFrame:
     """Near-duplicate CLUSTER assignment: connected components over the
     MinHash-LSH candidate graph, canonical id = min doc_id per component.
@@ -804,9 +805,12 @@ def dedup_clusters(
     own id). This is the keep-one-per-cluster primitive a training-data
     pipeline runs after candidate generation. LSH near-dup components are
     shallow (dupes of a common original), so the propagation rounds stay in
-    single digits."""
+    single digits. ``threshold=`` tunes the banding to a target Jaccard
+    similarity (see ``lsh_tuning``) -- safe here because the WITHIN-corpus
+    form persists no bucket table for later runs to mismatch."""
     pairs = minhash_lsh_candidates(
-        df, id_col=id_col, text_col=text_col, hash_family=hash_family
+        df, id_col=id_col, text_col=text_col, hash_family=hash_family,
+        threshold=threshold,
     )
     nodes = df.select(F.col(id_col).alias("doc_id"))
     return connected_component_labels(nodes, pairs, max_iter=max_iter)

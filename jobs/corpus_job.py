@@ -268,6 +268,13 @@ def main() -> None:
                          "(default; one md5 per shingle + universal mixes, "
                          "DuckDB-replayable), md5 (historical, 16 md5s per "
                          "shingle), xxhash64 (fastest, not replayable)")
+    ap.add_argument("--lsh-threshold", type=float, default=None,
+                    help="neardup (within-corpus batch form only): target "
+                         "Jaccard similarity; the LSH banding is derived "
+                         "via lsh_tuning instead of the 16x4 default. "
+                         "Incompatible with --seen-buckets/--streaming: "
+                         "persisted/streaming probes are keyed under the "
+                         "table's stamped banding")
     ap.add_argument("--report", default=None, metavar="PATH",
                     help="after the write, run the one-pass corpus audit "
                          "(corpus_report: totals, language mix, gate keep "
@@ -379,6 +386,17 @@ def main() -> None:
                      "bucket-local quantile is not the corpus quantile -- "
                      "run it as a one-shot pass (the fixed --clf-threshold "
                      "form stays bucket-local-safe)")
+    if getattr(args, "lsh_threshold", None) is not None:
+        if "neardup" not in stages:
+            ap.error("--lsh-threshold only applies to the neardup stage")
+        if not 0.0 < args.lsh_threshold < 1.0:
+            ap.error("--lsh-threshold must be in (0, 1)")
+        if args.seen_buckets or args.streaming:
+            ap.error("--lsh-threshold is for the within-corpus batch form "
+                     "only: incremental (--seen-buckets) and streaming "
+                     "probes must match the persisted table's stamped "
+                     "banding, which a derived banding would silently "
+                     "break (the stamp errors, this guard errors sooner)")
     if args.mix_temperature is not None and args.rate:
         ap.error("--mix-temperature and --rate are exclusive")
     if args.mix_temperature is not None and args.mix_temperature <= 0:
@@ -710,6 +728,7 @@ def run_pipeline(spark, args, stages) -> dict:
             clusters = D.dedup_clusters(
                 df, id_col=args.id_col, text_col=args.text_col,
                 hash_family=args.hash_family,
+                threshold=getattr(args, "lsh_threshold", None),
             )
             df = observed(
                 df.join(

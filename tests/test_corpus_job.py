@@ -970,3 +970,46 @@ def test_new_buckets_without_seen_guarded():
         capture_output=True, text=True, timeout=60,
     )
     assert r.returncode == 2 and "requires --seen-buckets" in r.stderr
+
+
+def test_lsh_threshold_knob(spark, tmp_path):
+    """--lsh-threshold: the neardup stage under a derived banding. A very
+    loose target (0.2 -> more, shorter bands) must still collapse the
+    identical-shingle pair and keep the unrelated doc; the guards reject
+    out-of-range values, non-neardup stages, and the incremental mode."""
+    import subprocess
+    import sys
+
+    src = tmp_path / "in_lsh"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=GOOD, source="web"),
+        dict(doc_id=1, text=GOOD.upper(), source="web"),
+        dict(doc_id=2, text="entirely different words populate this one "
+                            "document and nothing overlaps at all today.",
+             source="web"),
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_lsh"),
+            lsh_threshold=0.2),
+        ["neardup"],
+    )
+    kept = {r["doc_id"]
+            for r in spark.read.parquet(str(tmp_path / "out_lsh")).collect()}
+    assert kept == {0, 2} and res["counters"]["after_neardup"] == 2
+
+    checks = [
+        (["--stages", "gate", "--lsh-threshold", "0.5"], "neardup stage"),
+        (["--stages", "neardup", "--lsh-threshold", "1.5"], "(0, 1)"),
+        (["--stages", "neardup", "--lsh-threshold", "0.5",
+          "--seen-buckets", "/tmp/sb", "--new-buckets", "/tmp/nb"],
+         "batch form"),
+    ]
+    for argv, frag in checks:
+        r = subprocess.run(
+            [sys.executable, "jobs/corpus_job.py", "--input", "/tmp/x",
+             "--output", "/tmp/y"] + argv,
+            capture_output=True, text=True, timeout=60,
+        )
+        assert r.returncode == 2 and frag in r.stderr, (argv, r.stderr[-300:])
