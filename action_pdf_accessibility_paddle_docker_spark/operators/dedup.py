@@ -864,13 +864,41 @@ def check_bucket_family(
             )
 
 
+def adopt_banding(
+    seen_buckets: DataFrame,
+    num_hashes: Optional[int],
+    bands: Optional[int],
+) -> tuple[int, int]:
+    """Resolve the (num_hashes, bands) a probe must signature with.
+
+    Explicit arguments win (both must then match the table's stamp, which
+    ``check_bucket_family`` enforces). When the caller leaves them None
+    and the table carries a ``banding`` stamp, ADOPT it -- a table built
+    under a tuned banding (``threshold=``) stays probe-able without the
+    caller re-deriving the numbers (the stamp IS the source of truth;
+    uniformity is validated by the foreign-stamp check that follows).
+    Tables without the stamp (pre-round-7) resolve to the module
+    defaults, which is what wrote them."""
+    if num_hashes is not None or bands is not None:
+        return (num_hashes or NUM_MINHASHES), (bands or LSH_BANDS)
+    if "banding" in seen_buckets.columns:
+        row = (
+            seen_buckets.select("banding")
+            .where(F.col("banding").isNotNull()).head(1)
+        )
+        if row:
+            nh, b = row[0]["banding"].split("x")
+            return int(nh), int(b)
+    return NUM_MINHASHES, LSH_BANDS
+
+
 def incremental_near_dedup(
     new_df: DataFrame,
     seen_buckets: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
-    num_hashes: int = NUM_MINHASHES,
-    bands: int = LSH_BANDS,
+    num_hashes: Optional[int] = None,
+    bands: Optional[int] = None,
     hash_family: str = "md5mix",
     max_iter: int = 20,
     persist_buckets: str = "cluster",
@@ -933,6 +961,10 @@ def incremental_near_dedup(
             f"persist_buckets must be 'cluster' or 'canonical', "
             f"got {persist_buckets!r}"
         )
+    # adopt the table's stamped banding when the caller doesn't pin one
+    # (a tuned table stays probe-able without re-deriving its numbers);
+    # then validate -- explicit args that mismatch the stamp still error
+    num_hashes, bands = adopt_banding(seen_buckets, num_hashes, bands)
     check_bucket_family(
         seen_buckets, hash_family, banding=f"{num_hashes}x{bands}"
     )

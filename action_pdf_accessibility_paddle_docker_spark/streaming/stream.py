@@ -217,26 +217,33 @@ def streaming_near_dedup_against_corpus(
     as in the batch path: bucket values are md5 hex in every family, so a
     mismatch silently admits near-dups of corpus content."""
     from ..operators.dedup import (
-        LSH_BANDS, NUM_MINHASHES, check_bucket_family, minhash_buckets_col,
+        adopt_banding, check_bucket_family, minhash_buckets_col,
     )
 
+    # adopt the static table's stamped banding (a tuned table stays
+    # probe-able), then validate -- the stamp is read once at query
+    # construction, not per micro-batch
+    num_hashes, bands = adopt_banding(seen_buckets, None, None)
     check_bucket_family(
-        seen_buckets, hash_family, banding=f"{NUM_MINHASHES}x{LSH_BANDS}"
+        seen_buckets, hash_family, banding=f"{num_hashes}x{bands}"
     )
     out = stream.withColumn(
-        "_bb", minhash_buckets_col(F.col(text_col), hash_family=hash_family)
+        "_bb", minhash_buckets_col(
+            F.col(text_col), num_hashes=num_hashes, bands=bands,
+            hash_family=hash_family,
+        )
     )
-    for b in range(LSH_BANDS):
+    for b in range(bands):
         out = out.withColumn(
             f"_bkt{b}", F.element_at(F.col("_bb"), b + 1)["bucket"]
         )
     out = out.drop("_bb")
-    for b in range(LSH_BANDS):
+    for b in range(bands):
         sb = seen_buckets.where(F.col("band") == b).select(
             F.col("bucket").alias(f"_bkt{b}")
         )
         out = out.join(sb, f"_bkt{b}", "left_anti")
-    return out.drop(*[f"_bkt{b}" for b in range(LSH_BANDS)])
+    return out.drop(*[f"_bkt{b}" for b in range(bands)])
 
 
 def _duration_ms(s: str) -> int:

@@ -332,13 +332,24 @@ def test_lsh_candidates_threshold_param(spark):
     # rejected (None sentinel), never silently overridden
     with pytest.raises(ValueError, match="not both"):
         minhash_band_buckets(df, bands=4, threshold=0.5)
-    # a threshold-banded PERSISTED table probed under a different banding
-    # would silently match nothing -- the banding stamp fails it loudly
+    # a threshold-banded PERSISTED table probed under an EXPLICIT different
+    # banding would silently match nothing -- the banding stamp fails it
+    # loudly; a probe that pins nothing ADOPTS the stamp and drains the
+    # same shard to zero survivors
     from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        adopt_banding,
         incremental_near_dedup,
     )
 
     seen = minhash_band_buckets(df, threshold=0.95)
-    assert seen.head(1)[0]["banding"] != "16x4"  # the mismatch is real
+    stamp = seen.head(1)[0]["banding"]
+    assert stamp != "16x4"  # the mismatch is real
     with pytest.raises(ValueError, match="banding"):
-        incremental_near_dedup(df, seen)
+        incremental_near_dedup(df, seen, bands=4)
+    nh, b = adopt_banding(seen, None, None)
+    assert f"{nh}x{b}" == stamp
+    survivors, appendix = incremental_near_dedup(df, seen)  # adopts
+    assert survivors.count() == 0 and appendix.count() == 0
+    # a pre-stamp (legacy) table resolves to the module defaults
+    legacy = seen.drop("banding")
+    assert adopt_banding(legacy, None, None) == (16, 4)
