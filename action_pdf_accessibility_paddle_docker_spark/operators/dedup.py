@@ -385,6 +385,188 @@ def remove_duplicate_lines(
     )
 
 
+# --- corpus-wide exact duplicate-SPAN removal (ExactSubstr) -----------------
+# Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+# Better" (arXiv:2107.06499): remove every duplicated token span of >= k
+# tokens, keeping the corpus-first occurrence. The reference implementation
+# builds a corpus-wide suffix array on one machine; the Spark re-expression
+# anchors spans on k-token rolling grams instead (a span of length L >= k is
+# duplicated iff all of its L-k+1 grams are), which distributes as one
+# explode + one hash aggregate + one doc-keyed join -- no global ordered
+# structure. Whitespace is tokenizer-level: documents whose text is modified
+# are rejoined with single spaces; untouched documents stay byte-exact.
+
+SPAN_K_DEFAULT = 50  # Lee et al.'s 50-token threshold
+
+
+def _span_base(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
+    """(doc_id, _text, _toks, n_tokens, _grams): whitespace tokens and the
+    md5 of every k-token window (0-based start position). Docs with NULL
+    text or fewer than k tokens carry an empty gram array (sequence() with
+    start > stop would COUNT DOWN, so the short side is guarded)."""
+    toks = F.when(
+        F.col("_text").isNotNull(),
+        F.filter(F.split(F.trim("_text"), r"\s+"), lambda x: x != F.lit("")),
+    )
+    grams = F.when(
+        F.col("n_tokens") >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        _widen(
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        )
+        .withColumn("_toks", toks)
+        .withColumn(
+            "n_tokens",
+            F.coalesce(F.size("_toks"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("_grams", grams)
+    )
+
+
+def _dup_span_table(occ: DataFrame, k: int) -> DataFrame:
+    """Maximal duplicated spans per doc: (doc_id, spans array<struct<s,e>>),
+    token positions [s, e) to remove. An occurrence is removable iff it is
+    not its gram's corpus-first occurrence (min(doc_id, pos) -- a count-1
+    gram's only occurrence IS the winner, so no count filter is needed).
+    Adjacent/overlapping removable grams merge gaps-and-islands style: a new
+    island starts when pos > max(previous pos + k).
+
+    Skew posture mirrors the dup-line join (SCALE.md): the build side is ONE
+    row per distinct gram hash (map-side-combined min), and ``occ`` must
+    arrive checkpointed so the probe side's hot-gram partitions stay
+    AQE-splittable (a reused exchange is excluded from OptimizeSkewedJoin).
+    The island windows partition by doc_id -- bounded by document length,
+    never a corpus-wide key."""
+    from pyspark.sql.window import Window
+
+    winners = occ.groupBy("gh").agg(F.min(F.struct("doc_id", "pos")).alias("w"))
+    dups = (
+        occ.join(winners, "gh")
+        .where(
+            ~(
+                (F.col("w.doc_id") == F.col("doc_id"))
+                & (F.col("w.pos") == F.col("pos"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_end = F.max(F.col("pos") + k).over(w_prev)
+    islands = dups.withColumn(
+        "_new",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn("_isl", F.sum("_new").over(w_run))
+    return (
+        islands.groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + k).cast("bigint").alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
+    )
+
+
+def _span_kept_tokens():
+    """Token filter shared by the stats and consuming forms: drop every
+    token whose position falls inside a removal span."""
+    return F.filter(
+        "_toks",
+        lambda t, p: ~F.exists(
+            "spans", lambda sp: (p >= sp["s"]) & (p < sp["e"])
+        ),
+    )
+
+
+def duplicate_span_stats(
+    df: DataFrame,
+    k: int = SPAN_K_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Report form of ExactSubstr span removal. Returns
+    (doc_id, n_tokens, n_dup_spans, n_removed_tokens, rewritten_fp) for
+    EVERY input doc (NULL-text docs report 0 tokens). rewritten_fp is md5 of
+    the post-removal text -- the ORIGINAL text when no span was removed
+    (byte-exact passthrough), the single-space token rejoin when one was --
+    so it pins exactly what ``remove_duplicate_spans`` would emit."""
+    base = _span_base(df, id_col, text_col, k).localCheckpoint(eager=False)
+    occ = base.select(
+        "doc_id", F.posexplode("_grams").alias("pos", "gh")
+    ).localCheckpoint(eager=False)
+    joined = base.join(_dup_span_table(occ, k), "doc_id", "left")
+    kept = F.when(F.col("spans").isNotNull(), _span_kept_tokens())
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.size("spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.when(
+            F.col("spans").isNotNull(), F.col("n_tokens") - F.size(kept)
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_removed_tokens"),
+        F.md5(
+            F.when(F.col("spans").isNotNull(), F.concat_ws(" ", kept)).otherwise(
+                F.coalesce("_text", F.lit(""))
+            )
+        ).alias("rewritten_fp"),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    k: int = SPAN_K_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_input: bool = True,
+) -> DataFrame:
+    """Consuming form: original columns with ``text_col`` rewritten to the
+    post-removal text. Docs without a removed span (including NULL text and
+    docs shorter than k tokens) pass through BYTE-EXACT; modified docs are
+    rejoined with single spaces (token-level operator). The input is lazily
+    localCheckpointed because it is referenced twice (gram explode + rewrite
+    join) -- pass ``checkpoint_input=False`` when the caller already
+    materialized it (corpus_job does, eagerly)."""
+    if checkpoint_input:
+        df = df.localCheckpoint(eager=False)
+    base = _span_base(df, id_col, text_col, k).localCheckpoint(eager=False)
+    occ = base.select(
+        "doc_id", F.posexplode("_grams").alias("pos", "gh")
+    ).localCheckpoint(eager=False)
+    rewritten = (
+        base.join(_dup_span_table(occ, k), "doc_id")
+        .select(
+            F.col("doc_id").alias("_sp_id"),
+            F.concat_ws(" ", _span_kept_tokens()).alias("_new_text"),
+        )
+    )
+    return (
+        df.join(rewritten, F.col(id_col) == F.col("_sp_id"), "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("_sp_id").isNotNull(), F.col("_new_text")).otherwise(
+                F.col(text_col)
+            ),
+        )
+        .drop("_sp_id", "_new_text")
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.6,

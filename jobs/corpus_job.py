@@ -15,6 +15,11 @@ Stage order mirrors a production curation run (each stage optional):
            MassiveText): the first occurrence (min doc_id, line_idx)
            of any >=--line-min-chars line survives, later copies are
            removed from their documents, text reassembled in order
+  spandedup corpus-wide exact duplicate-SPAN removal (Lee et al. 2021
+           ExactSubstr): every duplicated run of >= --span-k whitespace
+           tokens is removed except its corpus-first occurrence
+           (min doc_id, position); modified docs are rejoined with
+           single spaces, untouched docs pass through byte-exact
   pii      redact emails / IPv4 / payment cards / SSNs / intl + dashed
            phones in place
   gate     composed quality gate (length / punct / stopword / repetition)
@@ -73,9 +78,9 @@ _repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if _repo_root not in sys.path:
     sys.path.insert(0, _repo_root)
 
-STAGES = ("urlfilter", "urldedup", "clean", "linededup", "pii", "gate",
-          "classify", "dedup", "neardup", "semdedup", "decontam", "cap",
-          "split", "sample")
+STAGES = ("urlfilter", "urldedup", "clean", "linededup", "spandedup", "pii",
+          "gate", "classify", "dedup", "neardup", "semdedup", "decontam",
+          "cap", "split", "sample")
 
 # Stages whose bucket-local result equals the global result, so a
 # --resumable run can process hash buckets independently: clean / pii /
@@ -116,6 +121,10 @@ def main() -> None:
     ap.add_argument("--line-min-chars", type=int, default=30,
                     help="linededup: only lines this long (trimmed) are "
                          "dedup keys; shorter lines always survive")
+    ap.add_argument("--span-k", type=int, default=50,
+                    help="spandedup: minimum duplicated run length in "
+                         "whitespace tokens (Lee et al. 2021 use 50); "
+                         "shorter repeats always survive")
     ap.add_argument("--cap-by-domain", action="store_true",
                     help="cap: stratify by the registered domain derived "
                          "from --url-col (the RefinedWeb per-domain "
@@ -463,6 +472,10 @@ def main() -> None:
             ap.error("linededup is batch-only: the corpus-first occurrence "
                      "of a line is a corpus-wide aggregate with unbounded "
                      "streaming state")
+        if "spandedup" in stages:
+            ap.error("spandedup is batch-only: the corpus-first occurrence "
+                     "of a token span is a corpus-wide aggregate with "
+                     "unbounded streaming state")
         if "cap" in stages:
             ap.error("cap (per-source document cap) is batch-only: it needs "
                      "a corpus-wide per-stratum count, which has no bounded "
@@ -614,6 +627,20 @@ def run_pipeline(spark, args, stages) -> dict:
                 min_chars=args.line_min_chars, checkpoint_input=False,
             ),
             "linededup",
+        )
+    if "spandedup" in stages:
+        if args.span_k < 2:
+            raise SystemExit("--span-k must be >= 2")
+        # same shape as linededup: the operator references its input twice,
+        # so materialize eagerly here (observation correctness) and skip its
+        # internal lazy checkpoint
+        df = df.localCheckpoint(eager=True)
+        df = observed(
+            D.remove_duplicate_spans(
+                df, k=args.span_k, id_col=args.id_col,
+                text_col=args.text_col, checkpoint_input=False,
+            ),
+            "spandedup",
         )
     if "pii" in stages:
         df = P.redact(df, text_col=args.text_col)

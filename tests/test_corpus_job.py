@@ -15,7 +15,7 @@ def _ns(**kw):
         id_col="doc_id", text_col="text", min_kept_lines=2,
         seen_fps=None, new_fps=None, rate=[], default_rate=1.0,
         stratum_col="source", cap_per_source=10000, hash_family="md5mix",
-        line_min_chars=30, url_col="url",
+        line_min_chars=30, url_col="url", span_k=50,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -775,6 +775,31 @@ def test_linededup_stage(spark, tmp_path):
     assert out[1] == "unique body line that is long enough to stay."
     assert out[2] == "ok"                     # short line survives
     assert res["counters"]["after_linededup"] == 3  # rewrite, not drop
+
+
+def test_spandedup_stage(spark, tmp_path):
+    """spandedup: a duplicated >=k-token run is removed everywhere but its
+    corpus-first occurrence; untouched docs pass through byte-exact; the
+    counter reflects rewrite-not-drop."""
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    src = tmp_path / "in_sp"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=f"{span} plus a unique zero tail", source="web"),
+        dict(doc_id=1, text=f"one starts differently then {span}", source="web"),
+        dict(doc_id=2, text=GOOD, source="web"),
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_sp"), span_k=8),
+        ["spandedup"],
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "out_sp")).collect()}
+    assert out[0] == f"{span} plus a unique zero tail"  # corpus-first keeps
+    assert out[1] == "one starts differently then"
+    assert out[2] == GOOD                               # byte-exact
+    assert res["counters"]["after_spandedup"] == 3      # rewrite, not drop
 
 
 def test_shuffle_output_order(spark, tmp_path):
