@@ -924,6 +924,51 @@ def decontaminate(
     )
 
 
+def contamination_scores(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-doc contamination MEASUREMENT (GPT-3 Brown et al. 2020
+    appendix C / PaLM-style): the fraction of the doc's distinct bigram
+    shingles that appear anywhere in the benchmark suite. Where
+    ``decontaminate`` answers "which (train, bench) PAIRS overlap enough to
+    drop", this answers "how contaminated is each document overall" -- the
+    number a corpus audit reports and a threshold sweep tunes against. A doc
+    overlapping three benchmark docs at 15% each can score 45% here while no
+    single pair clears ``decontaminate``'s default 30%.
+
+    Returns (doc_id, n_shingles, n_contaminated, contamination_frac) for
+    every training doc with at least one shingle.
+
+    Scale shape: the benchmark's distinct shingle set (eval suites are
+    KB-MB) is BROADCAST; the corpus streams map-only through one shingle
+    explode + one map-side-combined per-doc aggregate -- no shuffle keyed on
+    anything but doc_id."""
+    t = shingle_table(train, id_col, text_col)
+    b_sh = (
+        shingle_table(benchmark, id_col, text_col)
+        .select("shingle")
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    return (
+        t.join(F.broadcast(b_sh), "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.sum(F.coalesce("_hit", F.lit(0))).cast("bigint").alias(
+                "n_contaminated"
+            ),
+        )
+        .withColumn(
+            "contamination_frac",
+            F.round(F.col("n_contaminated") / F.col("n_shingles"), 6),
+        )
+    )
+
+
 def connected_component_labels(
     nodes: DataFrame, pairs: DataFrame, max_iter: int = 50
 ) -> DataFrame:

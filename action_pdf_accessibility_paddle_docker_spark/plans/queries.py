@@ -479,23 +479,54 @@ def _side_shingles(name: str, pred: str) -> str:
       FROM tr JOIN be ON tr.shingle = be.shingle
       GROUP BY 1, 2
     )
-    SELECT train_id, bench_id, n_shared,
+    SELECT 'pairs' AS leg, train_id, bench_id, n_shared,
            round(n_shared / n_shingles, 6) AS overlap_frac
     FROM shared JOIN sizes USING (train_id)
     WHERE round(n_shared / n_shingles, 6) >= 0.3
-    ORDER BY train_id, bench_id
+    UNION ALL
+    SELECT 'scores', t.doc_id, -1::BIGINT,
+           sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)::BIGINT,
+           round(sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END)
+                 / count(*), 6)
+    FROM tr t LEFT JOIN (SELECT DISTINCT shingle FROM be) b USING (shingle)
+    GROUP BY t.doc_id
+    HAVING sum(CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END) > 0
+    ORDER BY leg, train_id, bench_id
     """,
 )
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/eval decontamination: training docs whose bigram sets overlap a
-    benchmark doc by >= 30% (benchmark side broadcast; plan gated in
-    test_plan_quality)."""
+    """Two-leg decontamination row:
+
+    * leg 'pairs': training docs whose bigram sets overlap a benchmark doc
+      by >= 30% (``decontaminate``; benchmark side broadcast; plan gated in
+      test_plan_quality).
+    * leg 'scores' (round 7): per-doc contamination MEASUREMENT
+      (``contamination_scores``) -- the fraction of each training doc's
+      distinct shingles found anywhere in the benchmark suite, reported for
+      every doc with at least one hit. BINDING beyond the pairs leg: the
+      doc-level fraction aggregates hits across ALL benchmark docs, so it
+      certifies the suite-union semantics the pairwise 30% filter never
+      exercises. bench_id is -1 (doc-level), n_shared carries
+      n_contaminated."""
     docs = _read(spark, sf_dir, "documents")
     train = docs.where(F.col("doc_id") % 50 != 0)
     bench = docs.where(F.col("doc_id") % 50 == 0)
-    return D.decontaminate(train, bench, min_overlap_frac=0.3).orderBy(
-        "train_id", "bench_id"
+    pairs = D.decontaminate(train, bench, min_overlap_frac=0.3).select(
+        F.lit("pairs").alias("leg"), "train_id", "bench_id", "n_shared",
+        "overlap_frac",
     )
+    scores = (
+        D.contamination_scores(train, bench)
+        .where(F.col("n_contaminated") > 0)
+        .select(
+            F.lit("scores").alias("leg"),
+            F.col("doc_id").alias("train_id"),
+            F.lit(-1).cast("bigint").alias("bench_id"),
+            F.col("n_contaminated").alias("n_shared"),
+            F.col("contamination_frac").alias("overlap_frac"),
+        )
+    )
+    return pairs.unionByName(scores).orderBy("leg", "train_id", "bench_id")
 
 
 _DEDUP_CLUSTERS_SQL = (
@@ -1471,11 +1502,14 @@ def _winnow_sql(k: int, w: int) -> str:
       FROM picked
     )
     , {_dupline_leg_sql()}
+    , {_span_leg_sql()}
     SELECT w.doc_id, len(fps) AS n_fingerprints,
            array_to_string(list_transform(fps, x -> x::BIGINT::VARCHAR), ',')
              AS fingerprint_csv,
-           s.n_lines, s.n_dup_removed, s.rewritten_fp
-    FROM winnowed w JOIN dlstat s USING (doc_id) ORDER BY doc_id
+           s.n_lines, s.n_dup_removed, s.rewritten_fp,
+           sp.sp_n_tokens, sp.sp_dup_spans, sp.sp_removed, sp.sp_fp
+    FROM winnowed w JOIN dlstat s USING (doc_id)
+    JOIN spstat sp USING (doc_id) ORDER BY doc_id
     """
 
 
@@ -1539,6 +1573,127 @@ def _dupline_leg_sql() -> str:
     )"""
 
 
+# --- q_winnow_fingerprints duplicate-SPAN leg: deterministic token runs ----
+# both engines synthesize the same text from doc_id: a doc-unique prefix of
+# (doc_id%3)+1 tokens (every doc's span sits at a DIFFERENT offset), a
+# 12-token run shared by the doc_id%4 group (group-min doc keeps it,
+# everyone else loses exactly those 12 tokens), doubled back-to-back when
+# doc_id%5==0 (the group winner with an internal repeat keeps copy 1 and
+# loses copy 2; a non-winner loses all 24 as ONE merged island), and a
+# 2-token unique tail. k=8 so only the run (>=12 tokens) is removable.
+
+_SPAN_LEG_K = 8
+
+
+def _span_text_col() -> "F.Column":
+    d = F.col("doc_id").cast("string")
+    g = (F.col("doc_id") % 4).cast("string")
+    prefix = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), (F.col("doc_id") % 3 + 1).cast("int")),
+            lambda j: F.concat(F.lit("p"), d, F.lit("n"), j.cast("string")),
+        ),
+    )
+    run = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(12)),
+            lambda j: F.concat(F.lit("s"), g, F.lit("w"), j.cast("string")),
+        ),
+    )
+    body = F.when(F.col("doc_id") % 5 == 0, F.concat_ws(" ", run, run)).otherwise(run)
+    tail = F.concat(F.lit("t"), d, F.lit("a t"), d, F.lit("b"))
+    return F.concat_ws(" ", prefix, body, tail)
+
+
+def _span_leg_sql() -> str:
+    """DuckDB replay of dedup.duplicate_span_stats over the synthesized
+    text: k-gram md5 windows (0-based start), corpus-first winner
+    (min doc_id, pos), non-winner positions merged gaps-and-islands into
+    [s, e) spans, covered tokens removed, single-space rejoin, md5 of the
+    rewritten text (the ORIGINAL text when nothing was removed)."""
+    k = _SPAN_LEG_K
+    return f"""sp0 AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(1, (doc_id % 3) + 2),
+          j -> 'p' || doc_id::VARCHAR || 'n' || j::VARCHAR), ' ')
+        || ' ' ||
+        CASE WHEN doc_id % 5 = 0 THEN runstr || ' ' || runstr ELSE runstr END
+        || ' t' || doc_id::VARCHAR || 'a t' || doc_id::VARCHAR || 'b' AS t
+      FROM (
+        SELECT doc_id,
+               array_to_string(list_transform(range(1, 13),
+                 j -> 's' || (doc_id % 4)::VARCHAR || 'w' || j::VARCHAR), ' ')
+                 AS runstr
+        FROM documents
+      )
+    ), spt AS (
+      SELECT doc_id, t,
+             list_filter(string_split_regex(trim(t), '\\s+'), x -> x != '')
+               AS toks
+      FROM sp0
+    ), spg AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < {k} THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(toks) - {k} + 2),
+               i -> md5(array_to_string(toks[i:i + {k - 1}], ' ')))
+        END AS grams
+      FROM spt
+    ), spo AS (
+      SELECT doc_id, unnest(grams) AS gh,
+             generate_subscripts(grams, 1) - 1 AS pos
+      FROM spg
+    ), spw AS (
+      SELECT gh, first(doc_id ORDER BY doc_id, pos) AS wd,
+             first(pos ORDER BY doc_id, pos) AS wp
+      FROM spo GROUP BY gh
+    ), spd AS (
+      SELECT o.doc_id, o.pos
+      FROM spo o JOIN spw w USING (gh)
+      WHERE NOT (o.doc_id = w.wd AND o.pos = w.wp)
+    ), spi AS (
+      SELECT doc_id, pos,
+             max(pos + {k}) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      FROM spd
+    ), spii AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM spi
+    ), spsp AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + {k} AS e
+      FROM spii GROUP BY doc_id, isl
+    ), sptk AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS p
+      FROM spt
+    ), spkept AS (
+      SELECT k2.doc_id, k2.p, k2.tok
+      FROM sptk k2 LEFT JOIN spsp s2
+        ON k2.doc_id = s2.doc_id AND k2.p >= s2.s AND k2.p < s2.e
+      WHERE s2.s IS NULL
+    ), spre AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS new_text
+      FROM spkept GROUP BY doc_id
+    ), spstat AS (
+      SELECT t.doc_id, len(t.toks)::BIGINT AS sp_n_tokens,
+             coalesce(sc.n_spans, 0)::BIGINT AS sp_dup_spans,
+             (CASE WHEN sc.n_spans IS NOT NULL
+                   THEN len(t.toks) - coalesce(r.n_kept, 0) ELSE 0
+              END)::BIGINT AS sp_removed,
+             md5(CASE WHEN sc.n_spans IS NOT NULL
+                      THEN coalesce(r.new_text, '') ELSE t.t END) AS sp_fp
+      FROM spt t
+      LEFT JOIN (SELECT doc_id, count(*) AS n_spans FROM spsp GROUP BY doc_id)
+        sc USING (doc_id)
+      LEFT JOIN spre r USING (doc_id)
+    )"""
+
+
 @register("q_winnow_fingerprints", _winnow_sql(8, 5))
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (winnowing) fingerprints, value-checked against a DuckDB
@@ -1551,13 +1706,28 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (dedup.duplicate_line_stats over a deterministic 3-line synthesis --
     shared boilerplate per doc_id%5 group, unique body, ineligible short
     tail); the hash covers winner selection, removal counts, and the
-    byte-exact newline reassembly."""
-    from ..operators.dedup import duplicate_line_stats
+    byte-exact newline reassembly.
+
+    Round 7: + the exact duplicate-SPAN removal leg (ExactSubstr,
+    dedup.duplicate_span_stats over a deterministic token synthesis --
+    group-shared 12-token runs at per-doc offsets, internal repeats,
+    unique bridges); the hash covers gram winners, island merging, removal
+    counts and the rewritten-text md5."""
+    from ..operators.dedup import duplicate_line_stats, duplicate_span_stats
     from ..operators.textstats import winnowing_fingerprints
 
     docs = _read(spark, sf_dir, "documents")
     leg = duplicate_line_stats(
         docs.select("doc_id", _dupline_text_col().alias("text"))
+    )
+    span_leg = duplicate_span_stats(
+        docs.select("doc_id", _span_text_col().alias("text")), k=_SPAN_LEG_K
+    ).select(
+        "doc_id",
+        F.col("n_tokens").alias("sp_n_tokens"),
+        F.col("n_dup_spans").alias("sp_dup_spans"),
+        F.col("n_removed_tokens").alias("sp_removed"),
+        F.col("rewritten_fp").alias("sp_fp"),
     )
     return winnowing_fingerprints(docs).select(
         "doc_id",
@@ -1565,7 +1735,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws(
             ",", F.transform("fingerprints", lambda x: x.cast("string"))
         ).alias("fingerprint_csv"),
-    ).join(leg, "doc_id").orderBy("doc_id")
+    ).join(leg, "doc_id").join(span_leg, "doc_id").orderBy("doc_id")
 
 
 @register(

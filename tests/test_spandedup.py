@@ -97,6 +97,35 @@ def test_span_winner_is_position_independent(spark):
     assert out[5] == "with trailing context words"
 
 
+def test_contamination_scores_union_across_benchmarks(spark):
+    """Doc-level contamination aggregates hits across the WHOLE benchmark
+    suite: a train doc overlapping two bench docs at ~25% each scores ~50%
+    doc-level even though no single pair clears decontaminate's 30%."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        contamination_scores,
+        decontaminate,
+    )
+
+    # 9 tokens -> 8 distinct bigrams; bench0 holds bigrams of the first
+    # half, bench1 of the second half
+    train = spark.createDataFrame(
+        [(0, "aa bb cc dd ee ff gg hh ii"), (1, "zz yy xx ww vv uu tt ss rr")],
+        "doc_id bigint, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "aa bb cc dd"), (101, "ff gg hh ii")],
+        "doc_id bigint, text string",
+    )
+    got = {r["doc_id"]: r for r in contamination_scores(train, bench).collect()}
+    # doc 0: 8 shingles; hits = {aa bb, bb cc, cc dd} + {ff gg, gg hh, hh ii}
+    assert (got[0]["n_shingles"], got[0]["n_contaminated"]) == (8, 6)
+    assert got[0]["contamination_frac"] == 0.75
+    # doc 1: no overlap at all
+    assert got[1]["n_contaminated"] == 0
+    # the pairwise form at 0.5 sees NO pair (each bench covers only 3/8)
+    assert decontaminate(train, bench, min_overlap_frac=0.5).count() == 0
+
+
 def test_span_k_threshold_binds(spark):
     # the shared run is exactly 6 tokens: k=6 still removes it, k=7 cannot
     rows = [(0, f"{SHARED} zero tail"), (1, f"one {SHARED} tail")]
