@@ -400,31 +400,43 @@ SPAN_K_DEFAULT = 50  # Lee et al.'s 50-token threshold
 
 
 def _span_base(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
-    """(doc_id, _text, _toks, n_tokens, _grams): whitespace tokens and the
-    md5 of every k-token window (0-based start position). Docs with NULL
-    text or fewer than k tokens carry an empty gram array (sequence() with
-    start > stop would COUNT DOWN, so the short side is guarded)."""
+    """(doc_id, _text, _toks, n_tokens): whitespace tokens per doc. The
+    gram hashes are deliberately NOT part of this frame: both callers
+    checkpoint it and join it doc-side, and the gram array (~33 bytes/token)
+    is several times the text -- it belongs only on the occurrence branch
+    (``_span_gram_occurrences``), whose checkpoint is its single
+    materialization. n_tokens is guarded explicitly (never via
+    coalesce(size(..)): under legacy/non-ANSI sessions size(NULL) is -1,
+    not NULL)."""
     toks = F.when(
         F.col("_text").isNotNull(),
         F.filter(F.split(F.trim("_text"), r"\s+"), lambda x: x != F.lit("")),
     )
+    staged = _widen(
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    ).withColumn("_toks", toks)
+    return staged.withColumn(
+        "n_tokens",
+        F.when(F.col("_toks").isNotNull(), F.size("_toks"))
+        .otherwise(F.lit(0))
+        .cast("bigint"),
+    )
+
+
+def _span_gram_occurrences(base: DataFrame, k: int) -> DataFrame:
+    """(doc_id, pos, gh): md5 of every k-token window of ``base``'s token
+    array (0-based start position). Docs with fewer than k tokens produce
+    no rows (sequence() with start > stop would COUNT DOWN, so the short
+    side is guarded into an empty array the explode drops)."""
     grams = F.when(
         F.col("n_tokens") >= k,
         F.transform(
-            F.sequence(F.lit(0), F.col("n_tokens") - k),
+            F.sequence(F.lit(0), (F.col("n_tokens") - k).cast("int")),
             lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return (
-        _widen(
-            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        )
-        .withColumn("_toks", toks)
-        .withColumn(
-            "n_tokens",
-            F.coalesce(F.size("_toks"), F.lit(0)).cast("bigint"),
-        )
-        .withColumn("_grams", grams)
+    return base.withColumn("_grams", grams).select(
+        "doc_id", F.posexplode("_grams").alias("pos", "gh")
     )
 
 
@@ -500,20 +512,23 @@ def duplicate_span_stats(
 ) -> DataFrame:
     """Report form of ExactSubstr span removal. Returns
     (doc_id, n_tokens, n_dup_spans, n_removed_tokens, rewritten_fp) for
-    EVERY input doc (NULL-text docs report 0 tokens). rewritten_fp is md5 of
-    the post-removal text -- the ORIGINAL text when no span was removed
-    (byte-exact passthrough), the single-space token rejoin when one was --
-    so it pins exactly what ``remove_duplicate_spans`` would emit."""
+    EVERY input doc (NULL-text docs report 0 tokens and a NULL fp).
+    rewritten_fp is md5 of the post-removal text -- the ORIGINAL text when
+    no span was removed (byte-exact passthrough), the single-space token
+    rejoin when one was, NULL for NULL text -- so it pins exactly what
+    ``remove_duplicate_spans`` would emit (NULL and '' stay distinct: the
+    corpus_diff lesson)."""
     base = _span_base(df, id_col, text_col, k).localCheckpoint(eager=False)
-    occ = base.select(
-        "doc_id", F.posexplode("_grams").alias("pos", "gh")
-    ).localCheckpoint(eager=False)
+    occ = _span_gram_occurrences(base, k).localCheckpoint(eager=False)
     joined = base.join(_dup_span_table(occ, k), "doc_id", "left")
     kept = F.when(F.col("spans").isNotNull(), _span_kept_tokens())
     return joined.select(
         "doc_id",
         "n_tokens",
-        F.coalesce(F.size("spans"), F.lit(0)).cast("bigint").alias("n_dup_spans"),
+        F.when(F.col("spans").isNotNull(), F.size("spans"))
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("n_dup_spans"),
         F.when(
             F.col("spans").isNotNull(), F.col("n_tokens") - F.size(kept)
         )
@@ -522,7 +537,7 @@ def duplicate_span_stats(
         .alias("n_removed_tokens"),
         F.md5(
             F.when(F.col("spans").isNotNull(), F.concat_ws(" ", kept)).otherwise(
-                F.coalesce("_text", F.lit(""))
+                F.col("_text")
             )
         ).alias("rewritten_fp"),
     )
@@ -545,9 +560,7 @@ def remove_duplicate_spans(
     if checkpoint_input:
         df = df.localCheckpoint(eager=False)
     base = _span_base(df, id_col, text_col, k).localCheckpoint(eager=False)
-    occ = base.select(
-        "doc_id", F.posexplode("_grams").alias("pos", "gh")
-    ).localCheckpoint(eager=False)
+    occ = _span_gram_occurrences(base, k).localCheckpoint(eager=False)
     rewritten = (
         base.join(_dup_span_table(occ, k), "doc_id")
         .select(

@@ -1042,6 +1042,19 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
     """
     import time as _time
 
+    # the bucket-local == global invariant is owned HERE, not just by the
+    # argparse layer: a programmatic caller passing a cross-bucket stage
+    # (spandedup, neardup, ...) must get a loud error, never an output
+    # stamped with a stage that silently never ran (review-pass-7 class,
+    # same as the --clf-top-frac fix)
+    bad = sorted(set(stages) - set(RESUMABLE_STAGES))
+    if bad:
+        raise SystemExit(
+            f"stages not resumable (bucket-local result != global): "
+            f"{','.join(bad)}; resumable runs support "
+            f"{','.join(RESUMABLE_STAGES)}"
+        )
+
     from pyspark.sql import functions as F
 
     from action_pdf_accessibility_paddle_docker_spark.operators import dedup as D

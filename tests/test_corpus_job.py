@@ -802,6 +802,29 @@ def test_spandedup_stage(spark, tmp_path):
     assert res["counters"]["after_spandedup"] == 3      # rewrite, not drop
 
 
+def test_resumable_rejects_cross_bucket_stage_in_library(spark, tmp_path):
+    """The bucket-local == global invariant is owned by
+    run_pipeline_resumable itself, not just argparse: a programmatic caller
+    passing a cross-bucket stage (spandedup) must get a loud error, never an
+    output stamped with a stage that silently never ran."""
+    import pytest
+
+    from jobs.corpus_job import run_pipeline_resumable
+
+    src = tmp_path / "in_rg"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=GOOD, source="web"),
+    ])
+    with pytest.raises(SystemExit, match="not resumable.*spandedup"):
+        run_pipeline_resumable(
+            spark,
+            _ns(input=str(src), output=str(tmp_path / "out_rg"), buckets=2,
+                bucket_batch=None, fail_after_batches=None),
+            ["spandedup", "gate"],
+        )
+
+
 def test_shuffle_output_order(spark, tmp_path):
     """--shuffle-output: the written corpus reads back in the deterministic
     md5(salt, id) order (file order x within-file order)."""

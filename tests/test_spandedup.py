@@ -63,14 +63,16 @@ def test_duplicate_span_stats_matches_removal(spark):
             stats[3]["n_removed_tokens"]) == (14, 1, 12)
     assert stats[4]["n_removed_tokens"] == 0
     assert (stats[5]["n_tokens"], stats[7]["n_removed_tokens"]) == (0, 0)
-    # fp contract: md5 of exactly what the consuming form emits
+    # fp contract: md5 of exactly what the consuming form emits -- NULL text
+    # pins a NULL fp (distinct from empty text's md5('')), mirroring the
+    # remover's NULL passthrough
     rewritten = {
         r["doc_id"]: r["text"]
         for r in remove_duplicate_spans(corpus, k=K).collect()
     }
     got = (
         corpus.sparkSession.createDataFrame(
-            [(d, t if t is not None else "") for d, t in rewritten.items()],
+            [(d, t) for d, t in rewritten.items()],
             "doc_id bigint, text string",
         )
         .select("doc_id", F.md5("text").alias("fp"))
@@ -78,6 +80,9 @@ def test_duplicate_span_stats_matches_removal(spark):
     )
     for r in got:
         assert stats[r["doc_id"]]["rewritten_fp"] == r["fp"]
+    assert stats[5]["rewritten_fp"] is None
+    import hashlib
+    assert stats[6]["rewritten_fp"] == hashlib.md5(b"").hexdigest()
 
 
 def test_span_winner_is_position_independent(spark):
