@@ -291,7 +291,11 @@ def main() -> None:
                          "counts, dup estimate) over the CURATED output and "
                          "write the one-row report as JSON to PATH; also "
                          "embedded in the job's JSON line under 'report'. "
-                         "Batch-only (corpus-wide aggregate)")
+                         "With --benchmark, adds a 'contamination' block "
+                         "(doc-level shingle-overlap measurement vs the "
+                         "suite, GPT-3 appendix-C style) even when the "
+                         "decontam drop stage didn't run. Batch-only "
+                         "(corpus-wide aggregate)")
     ap.add_argument("--report-domains", type=int, default=0, metavar="N",
                     help="report: also embed the top-N registered domains "
                          "by doc count (needs --url-col present in the "
@@ -548,6 +552,27 @@ def _read_blocked_domains(path: str) -> list[str]:
             for ln in f
             if ln.strip() and not ln.lstrip().startswith("#")
         ]
+
+
+def _load_benchmark(spark, args):
+    """Read the --benchmark table and align its id/text column names with
+    the corpus's (--benchmark-id-col / --benchmark-text-col); loud error
+    when the expected columns are missing."""
+    bench = spark.read.parquet(args.benchmark)
+    for have, want in (
+        (getattr(args, "benchmark_id_col", None), args.id_col),
+        (getattr(args, "benchmark_text_col", None), args.text_col),
+    ):
+        if have and have != want:
+            bench = bench.withColumnRenamed(have, want)
+    for col, flag in ((args.id_col, "--benchmark-id-col"),
+                      (args.text_col, "--benchmark-text-col")):
+        if col not in bench.columns:
+            raise SystemExit(
+                f"--benchmark table has no {col!r} column "
+                f"(columns: {bench.columns}) -- pass {flag}"
+            )
+    return bench
 
 
 def run_pipeline(spark, args, stages) -> dict:
@@ -820,20 +845,7 @@ def run_pipeline(spark, args, stages) -> dict:
             df.join(keep.select(args.id_col), args.id_col), "semdedup"
         )
     if "decontam" in stages:
-        bench = spark.read.parquet(args.benchmark)
-        for have, want in (
-            (getattr(args, "benchmark_id_col", None), args.id_col),
-            (getattr(args, "benchmark_text_col", None), args.text_col),
-        ):
-            if have and have != want:
-                bench = bench.withColumnRenamed(have, want)
-        for col, flag in ((args.id_col, "--benchmark-id-col"),
-                          (args.text_col, "--benchmark-text-col")):
-            if col not in bench.columns:
-                raise SystemExit(
-                    f"decontam: --benchmark table has no {col!r} column "
-                    f"(columns: {bench.columns}) -- pass {flag}"
-                )
+        bench = _load_benchmark(spark, args)
         flagged = D.decontaminate(
             df, bench,
             min_overlap_frac=getattr(args, "decontam_overlap", 0.3),
@@ -1003,6 +1015,41 @@ def run_pipeline(spark, args, stages) -> dict:
                          F.asc_nulls_last("url_domain"))
                 .limit(n_dom).collect()
             ]
+        if getattr(args, "benchmark", None):
+            # contamination block (GPT-3 appendix-C measurement): doc-level
+            # fraction of shingles found anywhere in the benchmark suite,
+            # folded to one row -- the number a corpus card reports even
+            # when the decontam DROP stage didn't run
+            thr = float(getattr(args, "decontam_overlap", None) or 0.3)
+            crow = (
+                D.contamination_scores(
+                    out_df, _load_benchmark(spark, args),
+                    id_col=args.id_col, text_col=args.text_col,
+                )
+                .agg(
+                    F.count(F.lit(1)).alias("n_docs_scored"),
+                    F.coalesce(
+                        F.sum((F.col("n_contaminated") > 0).cast("bigint")),
+                        F.lit(0),
+                    ).alias("n_docs_hit"),
+                    F.coalesce(
+                        F.sum(
+                            (F.col("contamination_frac") >= thr).cast("bigint")
+                        ),
+                        F.lit(0),
+                    ).alias("n_docs_over_threshold"),
+                    F.round(F.avg("contamination_frac"), 6).alias(
+                        "mean_contamination_frac"
+                    ),
+                    F.max("contamination_frac").alias(
+                        "max_contamination_frac"
+                    ),
+                )
+                .collect()[0]
+                .asDict()
+            )
+            crow["threshold"] = thr
+            row["contamination"] = crow
         with open(args.report, "w") as f:
             json.dump(row, f, indent=1, sort_keys=True)
         result["report"] = row

@@ -802,6 +802,42 @@ def test_spandedup_stage(spark, tmp_path):
     assert res["counters"]["after_spandedup"] == 3      # rewrite, not drop
 
 
+def test_report_contamination_block(spark, tmp_path):
+    """--report + --benchmark embeds the doc-level contamination
+    measurement: docs hit, docs over the decontam threshold, mean/max
+    fractions -- even when the decontam drop stage didn't run."""
+    src = tmp_path / "in_rc"
+    src.mkdir()
+    # doc 0: 8 shingles, 6 contaminated (3 from each bench doc) -> 0.75;
+    # doc 1: clean
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text="aa bb cc dd ee ff gg hh ii", source="web"),
+        dict(doc_id=1, text="zz yy xx ww vv uu tt ss rr", source="web"),
+    ])
+    bench = tmp_path / "bench"
+    bench.mkdir()
+    _write_docs(bench / "b.parquet", [
+        dict(doc_id=100, text="aa bb cc dd"),
+        dict(doc_id=101, text="ff gg hh ii"),
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_rc"),
+            report=str(tmp_path / "rep_rc.json"), report_domains=0,
+            report_exact_dup=False, benchmark=str(bench),
+            benchmark_id_col=None, benchmark_text_col=None,
+            decontam_overlap=0.5),
+        [],
+    )
+    c = res["report"]["contamination"]
+    assert c["n_docs_scored"] == 2
+    assert c["n_docs_hit"] == 1
+    assert c["n_docs_over_threshold"] == 1  # 0.75 >= 0.5
+    assert c["mean_contamination_frac"] == 0.375
+    assert c["max_contamination_frac"] == 0.75
+    assert c["threshold"] == 0.5
+
+
 def test_resumable_rejects_cross_bucket_stage_in_library(spark, tmp_path):
     """The bucket-local == global invariant is owned by
     run_pipeline_resumable itself, not just argparse: a programmatic caller
