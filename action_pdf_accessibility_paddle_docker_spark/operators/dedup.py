@@ -440,24 +440,17 @@ def _span_gram_occurrences(base: DataFrame, k: int) -> DataFrame:
     )
 
 
-def _dup_span_table(occ: DataFrame, k: int) -> DataFrame:
-    """Maximal duplicated spans per doc: (doc_id, spans array<struct<s,e>>),
-    token positions [s, e) to remove. An occurrence is removable iff it is
-    not its gram's corpus-first occurrence (min(doc_id, pos) -- a count-1
-    gram's only occurrence IS the winner, so no count filter is needed).
-    Adjacent/overlapping removable grams merge gaps-and-islands style: a new
-    island starts when pos > max(previous pos + k).
+def _non_winner_positions(occ: DataFrame) -> DataFrame:
+    """(doc_id, pos) of every gram occurrence that is NOT its hash's
+    corpus-first occurrence (min(doc_id, pos) -- a count-1 gram's only
+    occurrence IS the winner, so no count filter is needed).
 
     Skew posture mirrors the dup-line join (SCALE.md): the build side is ONE
     row per distinct gram hash (map-side-combined min), and ``occ`` must
     arrive checkpointed so the probe side's hot-gram partitions stay
-    AQE-splittable (a reused exchange is excluded from OptimizeSkewedJoin).
-    The island windows partition by doc_id -- bounded by document length,
-    never a corpus-wide key."""
-    from pyspark.sql.window import Window
-
+    AQE-splittable (a reused exchange is excluded from OptimizeSkewedJoin)."""
     winners = occ.groupBy("gh").agg(F.min(F.struct("doc_id", "pos")).alias("w"))
-    dups = (
+    return (
         occ.join(winners, "gh")
         .where(
             ~(
@@ -467,6 +460,16 @@ def _dup_span_table(occ: DataFrame, k: int) -> DataFrame:
         )
         .select("doc_id", "pos")
     )
+
+
+def _spans_from_positions(dups: DataFrame, k: int) -> DataFrame:
+    """Merge removable gram start positions into maximal spans per doc:
+    (doc_id, spans array<struct<s,e>>), token positions [s, e) to remove.
+    Adjacent/overlapping grams merge gaps-and-islands style: a new island
+    starts when pos > max(previous pos + k). The island windows partition
+    by doc_id -- bounded by document length, never a corpus-wide key."""
+    from pyspark.sql.window import Window
+
     w_prev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -491,6 +494,12 @@ def _dup_span_table(occ: DataFrame, k: int) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("spans"))
     )
+
+
+def _dup_span_table(occ: DataFrame, k: int) -> DataFrame:
+    """Maximal duplicated spans per doc for the within-corpus form: the
+    non-winner occurrences merged into [s, e) removal spans."""
+    return _spans_from_positions(_non_winner_positions(occ), k)
 
 
 def _span_kept_tokens():
@@ -561,12 +570,22 @@ def remove_duplicate_spans(
         df = df.localCheckpoint(eager=False)
     base = _span_base(df, id_col, text_col, k).localCheckpoint(eager=False)
     occ = _span_gram_occurrences(base, k).localCheckpoint(eager=False)
-    rewritten = (
-        base.join(_dup_span_table(occ, k), "doc_id")
-        .select(
-            F.col("doc_id").alias("_sp_id"),
-            F.concat_ws(" ", _span_kept_tokens()).alias("_new_text"),
-        )
+    return _rewrite_with_spans(df, base, _dup_span_table(occ, k), id_col, text_col)
+
+
+def _rewrite_with_spans(
+    df: DataFrame,
+    base: DataFrame,
+    spans: DataFrame,
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Apply a (doc_id, spans) removal table to ``df``: docs with spans get
+    ``text_col`` rewritten to the surviving tokens (single-space rejoin),
+    everything else passes through byte-exact."""
+    rewritten = base.join(spans, "doc_id").select(
+        F.col("doc_id").alias("_sp_id"),
+        F.concat_ws(" ", _span_kept_tokens()).alias("_new_text"),
     )
     return (
         df.join(rewritten, F.col(id_col) == F.col("_sp_id"), "left")
@@ -578,6 +597,117 @@ def remove_duplicate_spans(
         )
         .drop("_sp_id", "_new_text")
     )
+
+
+#: Stamp column on persisted span-gram tables: gram hashes are k-specific
+#: (an 8-gram table matches nothing a 50-gram probe computes), so a probe
+#: under a different --span-k must error loudly, never silently admit every
+#: duplicated span -- the same discipline as ``fp_key`` / the LSH ``banding``
+#: stamp.
+SPAN_K_STAMP_COL = "span_k"
+
+
+def span_gram_table(
+    df: DataFrame,
+    k: int = SPAN_K_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The persisted CDC state for incremental span dedup: the corpus's
+    DISTINCT k-gram hash set, stamped with k. Bootstrap it once over the
+    curated corpus, then run arriving shards through
+    ``incremental_span_dedup`` and union each shard's ``new_grams`` appendix
+    in after its output commits (the side-path appendix pattern -- a crashed
+    shard run never poisons the state)."""
+    base = _span_base(df, id_col, text_col, k)
+    return (
+        _span_gram_occurrences(base, k)
+        .select("gh")
+        .distinct()
+        .withColumn(SPAN_K_STAMP_COL, F.lit(int(k)))
+    )
+
+
+def check_span_k(seen_grams: DataFrame, k: int) -> None:
+    """Fail loudly when a span-gram table was built under a different k.
+    Foreign-stamp filter (the check_fps_key/check_bucket_family pattern):
+    the stamp is a per-file constant, so parquet row-group min/max stats
+    prune every healthy file and a clean table costs footer reads only."""
+    if SPAN_K_STAMP_COL not in seen_grams.columns:
+        raise ValueError(
+            "span-gram table has no 'span_k' stamp column -- build it with "
+            "dedup.span_gram_table (gram hashes are k-specific; an "
+            "unstamped table cannot be validated)"
+        )
+    foreign = (
+        seen_grams.where(
+            F.col(SPAN_K_STAMP_COL).isNull()
+            | (F.col(SPAN_K_STAMP_COL) != int(k))
+        )
+        .select(SPAN_K_STAMP_COL)
+        .head(1)
+    )
+    if foreign:
+        raise ValueError(
+            f"span-gram table was built under span_k="
+            f"{foreign[0][SPAN_K_STAMP_COL]!r}, probe asked for k={k}: "
+            "a mismatched k matches nothing and would silently admit every "
+            "duplicated span -- rebuild the table or pass the stamped k"
+        )
+
+
+def incremental_span_dedup(
+    shard: DataFrame,
+    seen_grams: DataFrame,
+    k: int = SPAN_K_DEFAULT,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_input: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """CDC form of ExactSubstr span removal -- the arriving shard against
+    the persisted corpus gram table, no corpus rescan ever (completes the
+    incremental dedup triple: exact fingerprints, near-dup band buckets,
+    now spans). Removable positions are the union of
+
+    * within-shard non-winners (the batch rule applied shard-locally), and
+    * EVERY shard occurrence of a corpus-seen gram (the corpus is first by
+      definition -- the shard winner loses too).
+
+    Returns ``(rewritten_shard, new_grams)``: the shard with spans excised
+    (byte-exact passthrough for untouched docs) and the appendix of gram
+    hashes the corpus has not seen, stamped with k -- write it to a SIDE
+    path and union it into the state after the output commits.
+
+    Scale shape (the ``incremental_dedup(method='probe')`` posture): the
+    shard's distinct gram set is BROADCAST and the corpus-age-sized gram
+    table streams through it map-only (one left-semi with the big side
+    probe-only, zero hash exchanges of the state); the resulting hit set is
+    shard-bounded, checkpointed (it is referenced twice: occurrence marking
+    + the appendix anti-join), and broadcast back."""
+    check_span_k(seen_grams, k)
+    if checkpoint_input:
+        shard = shard.localCheckpoint(eager=False)
+    base = _span_base(shard, id_col, text_col, k).localCheckpoint(eager=False)
+    occ = _span_gram_occurrences(base, k).localCheckpoint(eager=False)
+    shard_gh = occ.select("gh").distinct()
+    hits = (
+        seen_grams.select("gh")
+        .join(F.broadcast(shard_gh), "gh", "left_semi")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    corpus_dups = occ.join(F.broadcast(hits), "gh", "left_semi").select(
+        "doc_id", "pos"
+    )
+    dups = _non_winner_positions(occ).unionByName(corpus_dups).distinct()
+    rewritten = _rewrite_with_spans(
+        shard, base, _spans_from_positions(dups, k), id_col, text_col
+    )
+    new_grams = (
+        shard_gh.join(F.broadcast(hits), "gh", "left_anti")
+        .withColumn(SPAN_K_STAMP_COL, F.lit(int(k)))
+    )
+    return rewritten, new_grams
 
 
 def ngram_jaccard_pairs(

@@ -19,7 +19,11 @@ Stage order mirrors a production curation run (each stage optional):
            ExactSubstr): every duplicated run of >= --span-k whitespace
            tokens is removed except its corpus-first occurrence
            (min doc_id, position); modified docs are rejoined with
-           single spaces, untouched docs pass through byte-exact
+           single spaces, untouched docs pass through byte-exact.
+           Incremental (CDC) mode: --seen-grams <k-stamped gram table>
+           + --new-grams <appendix side path> -- the shard loses every
+           corpus-seen span plus its own internal duplicates, and the
+           corpus is never rescanned
   pii      redact emails / IPv4 / payment cards / SSNs / intl + dashed
            phones in place
   gate     composed quality gate (length / punct / stopword / repetition)
@@ -125,6 +129,16 @@ def main() -> None:
                     help="spandedup: minimum duplicated run length in "
                          "whitespace tokens (Lee et al. 2021 use 50); "
                          "shorter repeats always survive")
+    ap.add_argument("--seen-grams", default=None, metavar="DIR",
+                    help="spandedup: persisted corpus span-gram table "
+                         "(parquet, built by dedup.span_gram_table, "
+                         "k-stamped) -- incremental mode: the shard loses "
+                         "every corpus-seen span plus its own internal "
+                         "duplicates; no corpus rescan")
+    ap.add_argument("--new-grams", default=None, metavar="DIR",
+                    help="spandedup incremental: side path for the shard's "
+                         "unseen-gram appendix; union into --seen-grams "
+                         "after the output commits")
     ap.add_argument("--cap-by-domain", action="store_true",
                     help="cap: stratify by the registered domain derived "
                          "from --url-col (the RefinedWeb per-domain "
@@ -370,9 +384,19 @@ def main() -> None:
                  "bootstrap a bucket table with "
                  "operators.dedup.minhash_band_buckets over the curated "
                  "output, then run later shards against it")
+    if ("spandedup" in stages) and bool(args.seen_grams) != bool(args.new_grams):
+        ap.error("--seen-grams and --new-grams come together (batch "
+                 "incremental span dedup writes the shard's appendix to a "
+                 "side path; union it in after the output commits). "
+                 "Bootstrap a gram table with operators.dedup."
+                 "span_gram_table over the curated corpus")
+    if (args.seen_grams or args.new_grams) and "spandedup" not in stages:
+        ap.error("--seen-grams/--new-grams only apply to the spandedup "
+                 "stage")
     for new_p, seen_p, names in (
         (args.new_fps, args.seen_fps, "--new-fps/--seen-fps"),
         (args.new_buckets, args.seen_buckets, "--new-buckets/--seen-buckets"),
+        (args.new_grams, args.seen_grams, "--new-grams/--seen-grams"),
     ):
         # the natural "update in place" reading is a data-loss hazard: the
         # overwrite plan reads the seen table LAZILY while deleting the
@@ -660,13 +684,24 @@ def run_pipeline(spark, args, stages) -> dict:
         # so materialize eagerly here (observation correctness) and skip its
         # internal lazy checkpoint
         df = df.localCheckpoint(eager=True)
-        df = observed(
-            D.remove_duplicate_spans(
-                df, k=args.span_k, id_col=args.id_col,
+        if getattr(args, "seen_grams", None):
+            seen = spark.read.parquet(args.seen_grams)
+            rewritten, new_grams = D.incremental_span_dedup(
+                df, seen, k=args.span_k, id_col=args.id_col,
                 text_col=args.text_col, checkpoint_input=False,
-            ),
-            "spandedup",
-        )
+            )
+            # side-path appendix (crash-safe by construction: the user
+            # unions it in only after the output commit)
+            new_grams.write.mode("overwrite").parquet(args.new_grams)
+            df = observed(rewritten, "spandedup")
+        else:
+            df = observed(
+                D.remove_duplicate_spans(
+                    df, k=args.span_k, id_col=args.id_col,
+                    text_col=args.text_col, checkpoint_input=False,
+                ),
+                "spandedup",
+            )
     if "pii" in stages:
         df = P.redact(df, text_col=args.text_col)
     if "gate" in stages:

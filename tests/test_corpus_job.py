@@ -16,6 +16,7 @@ def _ns(**kw):
         seen_fps=None, new_fps=None, rate=[], default_rate=1.0,
         stratum_col="source", cap_per_source=10000, hash_family="md5mix",
         line_min_chars=30, url_col="url", span_k=50,
+        seen_grams=None, new_grams=None,
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -800,6 +801,63 @@ def test_spandedup_stage(spark, tmp_path):
     assert out[1] == "one starts differently then"
     assert out[2] == GOOD                               # byte-exact
     assert res["counters"]["after_spandedup"] == 3      # rewrite, not drop
+
+
+def test_spandedup_incremental_loop(spark, tmp_path):
+    """spandedup CDC mode: shard 2 run against shard 1's gram table loses
+    the span shard 1 owns; each appendix goes to a side path and unions in;
+    re-running a shard against its own unioned grams drains its text."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        span_gram_table,
+    )
+
+    span = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 tokens
+    s1 = tmp_path / "in_s1"
+    s1.mkdir()
+    _write_docs(s1 / "p.parquet", [
+        dict(doc_id=0, text=f"{span} owner document tail", source="web"),
+    ])
+    # bootstrap: gram table over shard 1 (the documented recipe)
+    span_gram_table(
+        spark.read.parquet(str(s1)), k=8
+    ).write.parquet(str(tmp_path / "grams0"))
+
+    s2 = tmp_path / "in_s2"
+    s2.mkdir()
+    _write_docs(s2 / "p.parquet", [
+        dict(doc_id=10, text=f"later shard repeats {span}", source="web"),
+        dict(doc_id=11, text="a fully original second document", source="web"),
+    ])
+    res = run_pipeline(
+        spark,
+        _ns(input=str(s2), output=str(tmp_path / "out_s2"), span_k=8,
+            seen_grams=str(tmp_path / "grams0"),
+            new_grams=str(tmp_path / "grams_ap")),
+        ["spandedup"],
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "out_s2")).collect()}
+    assert out[10] == "later shard repeats"  # corpus-seen span excised
+    assert out[11] == "a fully original second document"
+    assert res["counters"]["after_spandedup"] == 2
+    # union the appendix, re-run shard 2: every gram now seen -> drained
+    merged = tmp_path / "grams1"
+    (spark.read.parquet(str(tmp_path / "grams0"))
+     .unionByName(spark.read.parquet(str(tmp_path / "grams_ap")))
+     .write.parquet(str(merged)))
+    run_pipeline(
+        spark,
+        _ns(input=str(s2), output=str(tmp_path / "out_s2b"), span_k=8,
+            seen_grams=str(merged), new_grams=str(tmp_path / "grams_ap2")),
+        ["spandedup"],
+    )
+    out2 = {r["doc_id"]: r["text"] for r in
+            spark.read.parquet(str(tmp_path / "out_s2b")).collect()}
+    # doc 10's grams are all seen now -> its gram-covered text drains;
+    # doc 11 (5 tokens < k) has no grams and passes through byte-exact
+    assert out2[10] == ""
+    assert out2[11] == "a fully original second document"
+    assert spark.read.parquet(str(tmp_path / "grams_ap2")).count() == 0
 
 
 def test_report_contamination_block(spark, tmp_path):

@@ -102,6 +102,76 @@ def test_span_winner_is_position_independent(spark):
     assert out[5] == "with trailing context words"
 
 
+def test_incremental_span_dedup_cdc_loop(spark):
+    """CDC form: an arriving shard loses every span the corpus gram table
+    has seen (even the shard-first occurrence), applies the batch rule to
+    shard-internal duplicates, and emits only unseen grams; re-running the
+    shard against the updated table drains it."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_span_dedup,
+        span_gram_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, f"{SHARED} corpus unique tail words")],
+        "doc_id bigint, text string",
+    )
+    seen = span_gram_table(corpus, k=K).localCheckpoint()
+    newspan = "golf hotel india juliet kilo lima"  # 6 tokens, shard-new
+    shard = spark.createDataFrame(
+        [
+            (10, f"{SHARED} shard first has it too"),       # corpus-seen
+            (11, f"{newspan} eleven closing words here"),   # shard-new span
+            (12, f"twelve opens then {newspan}"),           # dup of 11's
+            (13, "thirteen only unique words present here"),
+        ],
+        "doc_id bigint, text string",
+    )
+    rewritten, new_grams = incremental_span_dedup(shard, seen, k=K)
+    out = {r["doc_id"]: r["text"] for r in rewritten.collect()}
+    # corpus-seen span removed even from the shard's FIRST occurrence
+    assert out[10] == "shard first has it too"
+    # shard-internal duplicate: winner (min doc_id) keeps, later loses
+    assert out[11] == f"{newspan} eleven closing words here"
+    assert out[12] == "twelve opens then"
+    assert out[13] == "thirteen only unique words present here"
+    # appendix excludes corpus-seen grams and is stamped
+    seen_set = {r["gh"] for r in seen.collect()}
+    new_set = {r["gh"] for r in new_grams.collect()}
+    assert new_set and not (new_set & seen_set)
+    assert all(r["span_k"] == K for r in new_grams.collect())
+    # drain: same shard against seen + appendix -> every gram is a hit, so
+    # each doc's whole gram-covered prefix [0, n) is excised
+    updated = seen.unionByName(new_grams).localCheckpoint()
+    drained, leftover = incremental_span_dedup(shard, updated, k=K)
+    assert all(r["text"] == "" for r in drained.collect())
+    assert leftover.count() == 0
+
+
+def test_incremental_span_dedup_k_stamp_guard(spark):
+    """A persisted gram table probed under a different k must error loudly
+    (k-specific hashes match nothing -- silent admit-everything otherwise);
+    an unstamped table is rejected outright."""
+    import pytest
+
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        check_span_k,
+        incremental_span_dedup,
+        span_gram_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, f"{SHARED} corpus unique tail words")],
+        "doc_id bigint, text string",
+    )
+    seen = span_gram_table(corpus, k=K)
+    check_span_k(seen, K)  # matching k passes
+    with pytest.raises(ValueError, match="span_k"):
+        incremental_span_dedup(corpus, seen, k=K + 1)
+    with pytest.raises(ValueError, match="stamp"):
+        check_span_k(seen.drop("span_k"), K)
+
+
 def test_contamination_scores_union_across_benchmarks(spark):
     """Doc-level contamination aggregates hits across the WHOLE benchmark
     suite: a train doc overlapping two bench docs at ~25% each scores ~50%
