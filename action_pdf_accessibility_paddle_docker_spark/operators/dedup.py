@@ -663,6 +663,7 @@ def incremental_span_dedup(
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_input: bool = True,
+    broadcast_shard: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """CDC form of ExactSubstr span removal -- the arriving shard against
     the persisted corpus gram table, no corpus rescan ever (completes the
@@ -674,37 +675,61 @@ def incremental_span_dedup(
       definition -- the shard winner loses too).
 
     Returns ``(rewritten_shard, new_grams)``: the shard with spans excised
-    (byte-exact passthrough for untouched docs) and the appendix of gram
-    hashes the corpus has not seen, stamped with k -- write it to a SIDE
-    path and union it into the state after the output commits.
+    (byte-exact passthrough for untouched docs) and the appendix of unseen
+    gram hashes, stamped with k -- write it to a SIDE path and union it into
+    the state after the output commits.
 
-    Scale shape (the ``incremental_dedup(method='probe')`` posture): the
-    shard's distinct gram set is BROADCAST and the corpus-age-sized gram
-    table streams through it map-only (one left-semi with the big side
-    probe-only, zero hash exchanges of the state); the resulting hit set is
-    shard-bounded, checkpointed (it is referenced twice: occurrence marking
-    + the appendix anti-join), and broadcast back."""
+    The appendix is derived from the REWRITTEN text, never the raw shard:
+    a straddle gram (a window crossing the boundary of an excised span)
+    exists in no committed document, and appending it would mark text as
+    corpus-seen that the corpus does not contain -- a later shard's SOLE
+    copy of that text would then be silently excised (permanent content
+    loss; review-pass-8 repro). The cost is a second gram pass, over the
+    rewritten shard. Seam grams created by the rejoin CAN coincidentally
+    already sit in the state (they bypass the hit probe), so the state
+    table may carry rare duplicate rows -- harmless for a semi-join probe.
+    Compose any doc-DROPPING stage (gate, dedup, ...) BEFORE this one in a
+    CDC run, or append grams for documents that never ship.
+
+    Scale shape (the ``incremental_dedup(method='probe')`` posture, with
+    one honest difference): the shard's distinct gram set is BROADCAST and
+    the corpus-age-sized gram table streams through it map-only (one
+    left-semi with the big side probe-only, zero hash exchanges of the
+    state); the resulting hit set is shard-bounded, checkpointed (it is
+    referenced twice: occurrence marking + the appendix anti-join), and
+    broadcast back. Unlike the fps probe (one fingerprint per DOC), the
+    gram set is TOKEN-count-sized (~one md5 per shard token): size shards
+    so it fits the broadcast budget (~10M grams per GB), or pass
+    ``broadcast_shard=False`` to fall back to shuffle joins."""
     check_span_k(seen_grams, k)
+    maybe_bc = F.broadcast if broadcast_shard else (lambda d: d)
     if checkpoint_input:
         shard = shard.localCheckpoint(eager=False)
     base = _span_base(shard, id_col, text_col, k).localCheckpoint(eager=False)
     occ = _span_gram_occurrences(base, k).localCheckpoint(eager=False)
-    shard_gh = occ.select("gh").distinct()
+    shard_gh = occ.select("gh").distinct().localCheckpoint(eager=False)
     hits = (
         seen_grams.select("gh")
-        .join(F.broadcast(shard_gh), "gh", "left_semi")
+        .join(maybe_bc(shard_gh), "gh", "left_semi")
         .distinct()
         .localCheckpoint(eager=False)
     )
-    corpus_dups = occ.join(F.broadcast(hits), "gh", "left_semi").select(
+    corpus_dups = occ.join(maybe_bc(hits), "gh", "left_semi").select(
         "doc_id", "pos"
     )
     dups = _non_winner_positions(occ).unionByName(corpus_dups).distinct()
     rewritten = _rewrite_with_spans(
         shard, base, _spans_from_positions(dups, k), id_col, text_col
+    ).localCheckpoint(eager=False)
+    rew_gh = (
+        _span_gram_occurrences(
+            _span_base(rewritten, id_col, text_col, k), k
+        )
+        .select("gh")
+        .distinct()
     )
     new_grams = (
-        shard_gh.join(F.broadcast(hits), "gh", "left_anti")
+        rew_gh.join(maybe_bc(hits), "gh", "left_anti")
         .withColumn(SPAN_K_STAMP_COL, F.lit(int(k)))
     )
     return rewritten, new_grams

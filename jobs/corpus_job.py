@@ -680,6 +680,16 @@ def run_pipeline(spark, args, stages) -> dict:
     if "spandedup" in stages:
         if args.span_k < 2:
             raise SystemExit("--span-k must be >= 2")
+        # the pairing invariant is owned HERE too, not just argparse: a
+        # library caller with seen_grams but no appendix path would
+        # otherwise crash on parquet(None) AFTER the stage's work ran
+        if bool(getattr(args, "seen_grams", None)) != bool(
+            getattr(args, "new_grams", None)
+        ):
+            raise SystemExit(
+                "--seen-grams and --new-grams come together (the appendix "
+                "is the other half of the CDC contract)"
+            )
         # same shape as linededup: the operator references its input twice,
         # so materialize eagerly here (observation correctness) and skip its
         # internal lazy checkpoint
@@ -1055,7 +1065,10 @@ def run_pipeline(spark, args, stages) -> dict:
             # fraction of shingles found anywhere in the benchmark suite,
             # folded to one row -- the number a corpus card reports even
             # when the decontam DROP stage didn't run
-            thr = float(getattr(args, "decontam_overlap", None) or 0.3)
+            # plain getattr default (never `or`): an explicit 0.0 threshold
+            # must not be silently replaced -- the report has to agree with
+            # what the decontam stage itself gated on
+            thr = float(getattr(args, "decontam_overlap", 0.3))
             crow = (
                 D.contamination_scores(
                     out_df, _load_benchmark(spark, args),

@@ -135,17 +135,55 @@ def test_incremental_span_dedup_cdc_loop(spark):
     assert out[11] == f"{newspan} eleven closing words here"
     assert out[12] == "twelve opens then"
     assert out[13] == "thirteen only unique words present here"
-    # appendix excludes corpus-seen grams and is stamped
+    # appendix = grams of the REWRITTEN (committed) text only, no
+    # corpus-seen grams, stamped
     seen_set = {r["gh"] for r in seen.collect()}
-    new_set = {r["gh"] for r in new_grams.collect()}
+    new_rows = new_grams.collect()
+    new_set = {r["gh"] for r in new_rows}
     assert new_set and not (new_set & seen_set)
-    assert all(r["span_k"] == K for r in new_grams.collect())
-    # drain: same shard against seen + appendix -> every gram is a hit, so
-    # each doc's whole gram-covered prefix [0, n) is excised
+    assert all(r["span_k"] == K for r in new_rows)
+    # resubmitting the same shard against seen + appendix: every doc's
+    # RETAINED >=k-token text is now corpus content, so it deduplicates
+    # away; doc 12's surviving 3-token stub (< k) has no grams and stays
     updated = seen.unionByName(new_grams).localCheckpoint()
     drained, leftover = incremental_span_dedup(shard, updated, k=K)
-    assert all(r["text"] == "" for r in drained.collect())
+    out2 = {r["doc_id"]: r["text"] for r in drained.collect()}
+    assert out2[10] == "" and out2[11] == "" and out2[13] == ""
+    assert out2[12] == "twelve opens then"
     assert leftover.count() == 0
+
+
+def test_incremental_span_appendix_never_claims_excised_text(spark):
+    """Straddle grams (windows crossing an excised-span boundary) exist in
+    no committed document; appending them would mark text as corpus-seen
+    that the corpus does not contain, so a LATER shard's sole copy of that
+    text would be silently destroyed (review-pass-8 repro)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        incremental_span_dedup,
+        span_gram_table,
+    )
+
+    corpus = spark.createDataFrame(
+        [(0, f"{SHARED} corpus tail")], "doc_id bigint, text string"
+    )
+    seen = span_gram_table(corpus, k=K).localCheckpoint()
+    # shard 1: the seen span + a short suffix; excision leaves 'bb cc'
+    # (< k tokens -> contributes nothing), and the straddle windows
+    # ('...foxtrot bb', '...foxtrot bb cc') must NOT enter the appendix
+    s1 = spark.createDataFrame(
+        [(10, f"{SHARED} bb cc")], "doc_id bigint, text string"
+    )
+    r1, ap1 = incremental_span_dedup(s1, seen, k=K)
+    assert r1.collect()[0]["text"] == "bb cc"
+    assert ap1.count() == 0  # nothing >=k tokens survived shard 1
+    # shard 2 holds the ONLY corpus copy of a straddle-like sequence: it
+    # must survive in full
+    updated = seen.unionByName(ap1).localCheckpoint()
+    s2 = spark.createDataFrame(
+        [(20, "echo foxtrot bb cc xx yy")], "doc_id bigint, text string"
+    )
+    r2, _ap2 = incremental_span_dedup(s2, updated, k=K)
+    assert r2.collect()[0]["text"] == "echo foxtrot bb cc xx yy"
 
 
 def test_incremental_span_dedup_k_stamp_guard(spark):
