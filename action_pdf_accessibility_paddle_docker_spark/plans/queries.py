@@ -2520,6 +2520,102 @@ _INC_DEDUP_SQL = (
                       ELSE 'changed' END,
                  coalesce(ofp, ''), coalesce(nfp, ''))) AS fingerprint
       FROM diffg
+    ),
+    -- span leg (round 7): incremental ExactSubstr -- odd docs (the shard)
+    -- against the even docs' k=8 gram table. Synthesis: doc-unique prefix
+    -- of (d%3)+1 tokens, a 12-token run shared across parities via
+    -- (d//2)%4 (every odd doc's run IS corpus-seen), an 8-token run only
+    -- odd docs carry keyed by d%6 (within-shard winners bind), unique tail
+    icsyn AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(1, (doc_id % 3) + 2),
+          j -> 'q' || doc_id::VARCHAR || 'n' || j::VARCHAR), ' ')
+        || ' ' ||
+        array_to_string(list_transform(range(1, 13),
+          j -> 'c' || ((doc_id // 2) % 4)::VARCHAR || 'w' || j::VARCHAR), ' ')
+        || CASE WHEN doc_id % 2 = 1 THEN ' ' ||
+          array_to_string(list_transform(range(1, 9),
+            j -> 's' || (doc_id % 6)::VARCHAR || 'w' || j::VARCHAR), ' ')
+          ELSE '' END
+        || ' t' || doc_id::VARCHAR || 'z' AS t
+      FROM documents
+    ),
+    icst AS (
+      SELECT doc_id, t,
+             list_filter(string_split_regex(trim(t), '\\s+'), x -> x != '')
+               AS toks
+      FROM icsyn
+    ),
+    icsg AS (
+      SELECT doc_id,
+        CASE WHEN len(toks) < 8 THEN []::VARCHAR[]
+        ELSE list_transform(range(1, len(toks) - 8 + 2),
+               i -> md5(array_to_string(toks[i:i + 7], ' ')))
+        END AS grams
+      FROM icst
+    ),
+    icso AS (
+      SELECT doc_id, unnest(grams) AS gh,
+             generate_subscripts(grams, 1) - 1 AS pos
+      FROM icsg WHERE doc_id % 2 = 1
+    ),
+    icsc AS (
+      SELECT DISTINCT unnest(grams) AS gh FROM icsg WHERE doc_id % 2 = 0
+    ),
+    icsw AS (
+      SELECT gh, first(doc_id ORDER BY doc_id, pos) AS wd,
+             first(pos ORDER BY doc_id, pos) AS wp
+      FROM icso GROUP BY gh
+    ),
+    icsd AS (
+      SELECT o.doc_id, o.pos
+      FROM icso o JOIN icsw w USING (gh)
+      WHERE NOT (o.doc_id = w.wd AND o.pos = w.wp)
+      UNION
+      SELECT o.doc_id, o.pos FROM icso o
+      WHERE o.gh IN (SELECT gh FROM icsc)
+    ),
+    icsi AS (
+      SELECT doc_id, pos,
+             max(pos + 8) OVER (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_e
+      FROM icsd
+    ),
+    icsii AS (
+      SELECT doc_id, pos,
+             sum(CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM icsi
+    ),
+    icssp AS (
+      SELECT doc_id, isl, min(pos) AS s, max(pos) + 8 AS e
+      FROM icsii GROUP BY doc_id, isl
+    ),
+    icstk AS (
+      SELECT doc_id, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) - 1 AS p
+      FROM icst WHERE doc_id % 2 = 1
+    ),
+    icskept AS (
+      SELECT k3.doc_id, k3.p, k3.tok
+      FROM icstk k3 LEFT JOIN icssp s3
+        ON k3.doc_id = s3.doc_id AND k3.p >= s3.s AND k3.p < s3.e
+      WHERE s3.s IS NULL
+    ),
+    icsre AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS new_text
+      FROM icskept GROUP BY doc_id
+    ),
+    icsleg AS (
+      SELECT t.doc_id,
+             md5(CASE WHEN sc.doc_id IS NOT NULL
+                      THEN coalesce(r.new_text, '') ELSE t.t END)
+               AS fingerprint
+      FROM icst t
+      LEFT JOIN (SELECT DISTINCT doc_id FROM icssp) sc USING (doc_id)
+      LEFT JOIN icsre r USING (doc_id)
+      WHERE t.doc_id % 2 = 1
     )
     SELECT 'exact' AS leg, doc_id, fingerprint FROM exact_surv
     UNION ALL
@@ -2530,6 +2626,8 @@ _INC_DEDUP_SQL = (
     FROM url_win WHERE rk = 1
     UNION ALL
     SELECT 'diff' AS leg, doc_id, fingerprint FROM diffleg
+    UNION ALL
+    SELECT 'span' AS leg, doc_id, fingerprint FROM icsleg
     ORDER BY leg, doc_id
     """
 )
@@ -2568,6 +2666,12 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       shifted ids) -- every status class populated at sf0.01; the leg
       fingerprint is md5(status|old_fp|new_fp), binding on the verdict
       and both content hashes.
+    * leg 'span' (round 7): ``incremental_span_dedup`` -- the odd-doc
+      shard against the even docs' k=8 gram table over synthesized token
+      runs (a 12-token run shared across parities so every shard doc hits
+      the corpus, an odd-only 8-token run so within-shard winners bind);
+      fingerprint = md5 of the rewritten text. BINDING on every shard doc
+      at sf0.01 (250/250 rewritten).
 
     Builder note: the near leg's connected-components loop executes
     Spark jobs at build time (same as q_dedup_clusters)."""
@@ -2624,8 +2728,49 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("old_fp", F.lit("")), F.coalesce("new_fp", F.lit("")),
         )).alias("fingerprint"),
     )
+    # leg 'span' (round 7): incremental ExactSubstr -- the odd-doc shard
+    # against the even docs' k=8 gram table over a synthesized text whose
+    # 12-token run is shared ACROSS parities ((d//2)%4 keying: every shard
+    # doc's run is corpus-seen) and whose 8-token run only odd docs carry
+    # (d%6 keying: within-shard winner semantics bind); the fingerprint is
+    # md5 of the rewritten text, binding corpus-hit removal, shard-local
+    # winners, island merging and the rejoin
+    ds = d.cast("string")
+    prefix = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), (d % 3 + 1).cast("int")),
+        lambda j: F.concat(F.lit("q"), ds, F.lit("n"), j.cast("string")),
+    ))
+    crun = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(12)),
+        lambda j: F.concat(
+            F.lit("c"), (F.floor(d / 2).cast("long") % 4).cast("string"),
+            F.lit("w"), j.cast("string"),
+        ),
+    ))
+    srun = F.concat_ws(" ", F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda j: F.concat(
+            F.lit("s"), (d % 6).cast("string"), F.lit("w"), j.cast("string")
+        ),
+    ))
+    tail = F.concat(F.lit("t"), ds, F.lit("z"))
+    syn = doc.select(
+        "doc_id",
+        F.when(d % 2 == 1, F.concat_ws(" ", prefix, crun, srun, tail))
+        .otherwise(F.concat_ws(" ", prefix, crun, tail))
+        .alias("text"),
+    )
+    sgrams = D.span_gram_table(syn.where(F.col("doc_id") % 2 == 0), k=8)
+    rew_span, _sp_appendix = D.incremental_span_dedup(
+        syn.where(F.col("doc_id") % 2 == 1), sgrams, k=8
+    )
+    leg5 = rew_span.select(
+        F.lit("span").alias("leg"), "doc_id",
+        F.md5("text").alias("fingerprint"),
+    )
     return (
         leg1.unionByName(leg2).unionByName(leg3).unionByName(leg4)
+        .unionByName(leg5)
         .orderBy("leg", "doc_id")
     )
 
