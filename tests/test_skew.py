@@ -353,3 +353,44 @@ def test_lsh_candidates_threshold_param(spark):
     # a pre-stamp (legacy) table resolves to the module defaults
     legacy = seen.drop("banding")
     assert adopt_banding(legacy, None, None) == (16, 4)
+
+
+def test_span_dedup_hot_gram_exact_under_skew(spark):
+    """duplicate_span_stats' hot-gram posture: a boilerplate span at 95%
+    incidence puts every one of its gram hashes on ONE reducer key, but the
+    winners side is a map-side-combined min (one partial per mapper) and the
+    checkpointed occurrence table keeps the probe AQE-splittable. Evidence:
+    removal counts EXACT on a 95%-hot corpus, and the plan joins only on the
+    gram hash / doc_id -- never a nested-loop or cartesian fallback."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    hot = "please subscribe to our channel for more updates every day"  # 10
+    i = F.col("id").cast("string")
+    # tail tokens each carry the doc id, so bridge windows stay doc-unique
+    # and the removable island is exactly the 10 hot tokens
+    tail = F.concat_ws(
+        " ",
+        F.concat(F.lit("u"), i, F.lit("a")),
+        F.concat(F.lit("u"), i, F.lit("b")),
+        F.concat(F.lit("u"), i, F.lit("c")),
+        F.concat(F.lit("u"), i, F.lit("d")),
+    )
+    docs = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(
+            F.col("id") % 20 != 0, F.concat_ws(" ", F.lit(hot), tail)
+        ).otherwise(
+            F.concat(F.lit("fully original text item "), i),
+        ).alias("text"),
+    )
+    out = duplicate_span_stats(docs, k=6)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    total = out.agg(F.sum("n_removed_tokens").alias("rm")).first()["rm"]
+    # every hot-span holder except the corpus-first (doc 1) loses exactly
+    # the 10 hot tokens; bridges into the doc-unique tails stay
+    n_hot = 4000 - 4000 // 20
+    assert total == (n_hot - 1) * 10
