@@ -108,6 +108,17 @@ def test_conversation_sessions_stateful(spark, tmp_path):
         dict(conv_id="z", turn_idx=0, role="user", text="late", tool="",
              ts=t0 + timedelta(hours=2)),
     ])
+    # the file source orders micro-batches by mtime: under load the two
+    # writes can tie and f1 (the sentinel) can be read FIRST, advancing the
+    # watermark before a/b arrive -- they'd be dropped as late and the test
+    # would flake (the mtime-tie hazard, see test_streaming_near_dedup).
+    # Pin the intended order explicitly.
+    import os as _os
+    import time as _time
+
+    now = _time.time()
+    _os.utime(src / "f0.parquet", (now - 10, now - 10))
+    _os.utime(src / "f1.parquet", (now, now))
 
     stream = (
         spark.readStream.schema(
@@ -125,7 +136,10 @@ def test_conversation_sessions_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    # awaitTermination WITH a timeout returns False instead of raising: a
+    # contended box that blows the budget must fail loudly here, not as a
+    # confusing empty-output assertion below
+    assert q.awaitTermination(300), "stream did not finish within 300s"
 
     got = {
         r["conv_id"]: r
