@@ -63,7 +63,7 @@ def test_conversation_activity_windows(spark, stream_input, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     rows = spark.sql("select * from activity").collect()
     # append mode only emits windows closed by the watermark; with a bounded
     # file source the final watermark closes all but the newest windows
@@ -210,7 +210,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
 
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     fps = [r["fingerprint"] for r in rows]
@@ -351,7 +351,7 @@ def test_stateless_text_ops_compose_on_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(240)
+    assert q.awaitTermination(300), "stream did not finish within 300s"
     streamed = spark.read.parquet(str(tmp_path / "out")).collect()
 
     key = lambda r: (r["doc_id"], r["text"], r["n_tokens"])
@@ -400,7 +400,7 @@ def test_streaming_near_dedup_survives_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(240)
+        assert q.awaitTermination(300), "stream did not finish within 300s"
 
     write("f0.parquet", [
         dict(conv_id="a", turn_idx=0, role="user", text="omega psi chi phi",
