@@ -22,6 +22,13 @@ def stream_input(tmp_path_factory):
     return str(p), n
 
 
+def _assert_finished(q, sec: int = 300) -> None:
+    """awaitTermination WITH a timeout returns False instead of raising --
+    a contended box must fail loudly here, not as a confusing empty-output
+    assertion downstream."""
+    assert q.awaitTermination(sec), f"stream did not finish within {sec}s"
+
+
 def test_stream_equals_batch(spark, stream_input, tmp_path):
     path, n = stream_input
     out = str(tmp_path / "out")
@@ -63,7 +70,7 @@ def test_conversation_activity_windows(spark, stream_input, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish within 300s"
+    _assert_finished(q)
     rows = spark.sql("select * from activity").collect()
     # append mode only emits windows closed by the watermark; with a bounded
     # file source the final watermark closes all but the newest windows
@@ -136,10 +143,7 @@ def test_conversation_sessions_stateful(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    # awaitTermination WITH a timeout returns False instead of raising: a
-    # contended box that blows the budget must fail loudly here, not as a
-    # confusing empty-output assertion below
-    assert q.awaitTermination(300), "stream did not finish within 300s"
+    _assert_finished(q)
 
     got = {
         r["conv_id"]: r
@@ -210,7 +214,7 @@ def test_streaming_exact_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish within 300s"
+    _assert_finished(q)
 
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     fps = [r["fingerprint"] for r in rows]
@@ -286,7 +290,7 @@ def test_streaming_near_dedup(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(240), "stream did not drain within timeout"
+    _assert_finished(q)
 
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     assert len(rows) == 3
@@ -351,7 +355,7 @@ def test_stateless_text_ops_compose_on_streams(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(300), "stream did not finish within 300s"
+    _assert_finished(q)
     streamed = spark.read.parquet(str(tmp_path / "out")).collect()
 
     key = lambda r: (r["doc_id"], r["text"], r["n_tokens"])
@@ -400,7 +404,7 @@ def test_streaming_near_dedup_survives_restart(spark, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        assert q.awaitTermination(300), "stream did not finish within 300s"
+        _assert_finished(q)
 
     write("f0.parquet", [
         dict(conv_id="a", turn_idx=0, role="user", text="omega psi chi phi",
@@ -480,7 +484,7 @@ def test_streaming_near_dedup_against_corpus_bucket_table(spark, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    assert q.awaitTermination(240), "stream did not drain within timeout"
+    _assert_finished(q)
     survivors = {r["doc_id"]
                  for r in spark.read.parquet(str(tmp_path / "out")).collect()}
     assert survivors == {11, 12}
