@@ -49,6 +49,11 @@ QUERIES = [
     # the vocab-JOIN key space 10x while the broadcast weights stay fixed
     # (the committed fixture); plan shape asserted below
     "q_quality_gate",
+    # round 7 session 4: pairwise decontam + doc-level contamination scores
+    # -- the salted replicas grow BOTH the corpus shingle stream and the
+    # broadcast benchmark shingle set 10x; the benchmark side must stay a
+    # broadcast (eval suites are corpus-fraction-sized here, KB-MB in prod)
+    "q_decontaminate",
 ]
 
 #: queries whose 10x plan must keep its shape: the weights join stays a
@@ -56,6 +61,32 @@ QUERIES = [
 #: map-side-combined HashAggregate (no SortAggregate demotion)
 PLAN_CHECKS = {
     "q_quality_gate": (("BroadcastHashJoin",), ("SortAggregate",)),
+    "q_decontaminate": (("BroadcastHashJoin",), ("CartesianProduct",)),
+}
+
+
+def _clf_scoring_frame(spark, sf_dir: str):
+    """The classifier scoring plan, operator-level. q_quality_gate's
+    registry form localCheckpoints the scored frame (the top-frac leg
+    references it twice), and a checkpoint hides its subplan from
+    executedPlan() -- inspecting the registry row would make the must-HAVE
+    checks vacuously false (round-7 session-4 finding). The property being
+    pinned lives in score_documents, so check THAT plan."""
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        quality_clf as QC,
+    )
+
+    weights, bias = QC.load_classifier(
+        spark, os.path.join(REPO, "tests", "fixtures", "qclf_weights.parquet")
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return QC.score_documents(docs, weights, bias=bias)
+
+
+#: plan-check frames that differ from the registry row (checkpoint-hidden
+#: subplans); name -> callable(spark, sf_dir) -> DataFrame
+PLAN_FRAMES = {
+    "q_quality_gate": _clf_scoring_frame,
 }
 
 
@@ -151,8 +182,9 @@ def main() -> None:
             }
             if name in PLAN_CHECKS:
                 must, must_not = PLAN_CHECKS[name]
+                frame_fn = PLAN_FRAMES.get(name, fn)
                 plan = (
-                    fn(spark, PROBE_DIR)
+                    frame_fn(spark, PROBE_DIR)
                     ._jdf.queryExecution().executedPlan().toString()
                 )
                 out[name]["plan_ok"] = all(m in plan for m in must) and not any(
