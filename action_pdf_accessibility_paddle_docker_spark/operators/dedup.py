@@ -224,20 +224,24 @@ def chunk_dedup_stats(
 
 
 def _line_occurrences(
-    df: DataFrame, id_col: str, text_col: str, min_chars: int
+    df: DataFrame, id_col: str, text_col: str, min_chars: int,
+    separator: str = "\n",
 ) -> DataFrame:
-    """(doc_id, line_idx, line, h) for every newline-split line; ``h`` is
-    md5 of the RAW line (exact identity) but only for ELIGIBLE lines
-    (trimmed length >= min_chars) -- short lines ('Introduction', bullets)
+    """(doc_id, line_idx, line, h) for every separator-split unit; ``h`` is
+    md5 of the RAW unit (exact identity) but only for ELIGIBLE units
+    (trimmed length >= min_chars) -- short units ('Introduction', bullets)
     are never dedup keys, or corpus-wide removal would shred every
-    document's scaffolding. line_idx is 0-based."""
+    document's scaffolding. line_idx is 0-based. ``separator`` is a LITERAL
+    string used both as the split pattern and the rejoin glue (callers pass
+    regex-safe literals: '\n' for lines, '\n\n' for paragraphs -- the
+    Dolma-style granularity)."""
     return (
         _widen(
             df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         )
         .select(
             "doc_id",
-            F.posexplode(F.split("text", "\n")).alias("line_idx", "line"),
+            F.posexplode(F.split("text", separator)).alias("line_idx", "line"),
         )
         .withColumn(
             "h",
@@ -283,8 +287,8 @@ def _kept_lines(occ: DataFrame) -> DataFrame:
     )
 
 
-def _rebuild_text() -> "F.Column":
-    """The ONE reassembly expression (newline-join of surviving lines in
+def _rebuild_text(separator: str = "\n") -> "F.Column":
+    """The ONE reassembly expression (separator-join of surviving units in
     line_idx order) -- shared by the stats and consuming forms so the
     rewritten_fp contract (stats fp == md5 of the consuming form's text)
     cannot drift."""
@@ -293,7 +297,7 @@ def _rebuild_text() -> "F.Column":
             F.array_sort(F.collect_list(F.struct("line_idx", "line"))),
             lambda x: x["line"],
         ),
-        "\n",
+        separator,
     )
 
 
@@ -302,6 +306,7 @@ def duplicate_line_stats(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_chars: int = 30,
+    separator: str = "\n",
 ) -> DataFrame:
     """Corpus-wide exact duplicate-LINE removal, report form (RefinedWeb
     Penedo et al. 2023 / MassiveText Rae et al. 2021: boilerplate lines --
@@ -316,16 +321,16 @@ def duplicate_line_stats(
     removed report rewritten_fp = md5('')."""
     # ONE materialization of the exploded lines serves all three consumers
     # (per-doc counts, the winner aggregate, the verdict join)
-    occ = _line_occurrences(df, id_col, text_col, min_chars).localCheckpoint(
-        eager=False
-    )
+    occ = _line_occurrences(
+        df, id_col, text_col, min_chars, separator
+    ).localCheckpoint(eager=False)
     per_doc = occ.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_lines"))
     rebuilt = (
         _kept_lines(occ)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_kept"),
-            _rebuild_text().alias("_new_text"),
+            _rebuild_text(separator).alias("_new_text"),
         )
     )
     return (
@@ -349,6 +354,7 @@ def remove_duplicate_lines(
     text_col: str = "text",
     min_chars: int = 30,
     checkpoint_input: bool = True,
+    separator: str = "\n",
 ) -> DataFrame:
     """Consuming form of ``duplicate_line_stats``: original columns with
     ``text_col`` rewritten to the surviving lines. Docs with NULL text pass
@@ -364,14 +370,14 @@ def remove_duplicate_lines(
     job's per-stage counters)."""
     if checkpoint_input:
         df = df.localCheckpoint(eager=False)
-    occ = _line_occurrences(df, id_col, text_col, min_chars).localCheckpoint(
-        eager=False
-    )
+    occ = _line_occurrences(
+        df, id_col, text_col, min_chars, separator
+    ).localCheckpoint(eager=False)
     rebuilt = (
         _kept_lines(occ)
         .groupBy("doc_id")
         .agg(
-            _rebuild_text().alias("_new_text")
+            _rebuild_text(separator).alias("_new_text")
         )
         .withColumnRenamed("doc_id", "_dl_id")
     )

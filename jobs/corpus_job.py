@@ -14,7 +14,9 @@ Stage order mirrors a production curation run (each stage optional):
   linededup corpus-wide exact duplicate-LINE removal (RefinedWeb/
            MassiveText): the first occurrence (min doc_id, line_idx)
            of any >=--line-min-chars line survives, later copies are
-           removed from their documents, text reassembled in order
+           removed from their documents, text reassembled in order;
+           --linededup-unit paragraph switches the dedup key to the
+           \n\n-delimited paragraph (Dolma-style)
   spandedup corpus-wide exact duplicate-SPAN removal (Lee et al. 2021
            ExactSubstr): every duplicated run of >= --span-k whitespace
            tokens is removed except its corpus-first occurrence
@@ -125,6 +127,12 @@ def main() -> None:
     ap.add_argument("--line-min-chars", type=int, default=30,
                     help="linededup: only lines this long (trimmed) are "
                          "dedup keys; shorter lines always survive")
+    ap.add_argument("--linededup-unit", default="line",
+                    choices=("line", "paragraph"),
+                    help="linededup granularity: 'line' splits on \\n "
+                         "(RefinedWeb/MassiveText), 'paragraph' on \\n\\n "
+                         "(Dolma-style paragraph dedup -- single newlines "
+                         "inside a paragraph stay intact)")
     ap.add_argument("--span-k", type=int, default=50,
                     help="spandedup: minimum duplicated run length in "
                          "whitespace tokens (Lee et al. 2021 use 50); "
@@ -674,6 +682,11 @@ def run_pipeline(spark, args, stages) -> dict:
             D.remove_duplicate_lines(
                 df, id_col=args.id_col, text_col=args.text_col,
                 min_chars=args.line_min_chars, checkpoint_input=False,
+                separator=(
+                    "\n\n"
+                    if getattr(args, "linededup_unit", "line") == "paragraph"
+                    else "\n"
+                ),
             ),
             "linededup",
         )

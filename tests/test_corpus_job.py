@@ -16,7 +16,7 @@ def _ns(**kw):
         seen_fps=None, new_fps=None, rate=[], default_rate=1.0,
         stratum_col="source", cap_per_source=10000, hash_family="md5mix",
         line_min_chars=30, url_col="url", span_k=50,
-        seen_grams=None, new_grams=None,
+        seen_grams=None, new_grams=None, linededup_unit="line",
     )
     base.update(kw)
     return argparse.Namespace(**base)
@@ -776,6 +776,29 @@ def test_linededup_stage(spark, tmp_path):
     assert out[1] == "unique body line that is long enough to stay."
     assert out[2] == "ok"                     # short line survives
     assert res["counters"]["after_linededup"] == 3  # rewrite, not drop
+
+
+def test_linededup_paragraph_unit(spark, tmp_path):
+    """--linededup-unit paragraph: the dedup key is the \\n\\n-delimited
+    paragraph; single newlines inside a kept paragraph survive."""
+    para = ("a two line syndicated paragraph that repeats here\n"
+            "with its second physical line attached to the first")
+    src = tmp_path / "in_pu"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text=f"{para}\n\nunique zero paragraph with plenty of words", source="web"),
+        dict(doc_id=1, text=f"unique one paragraph with plenty of words\n\n{para}", source="web"),
+    ])
+    run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_pu"),
+            linededup_unit="paragraph"),
+        ["linededup"],
+    )
+    out = {r["doc_id"]: r["text"] for r in
+           spark.read.parquet(str(tmp_path / "out_pu")).collect()}
+    assert out[0].startswith(para)          # corpus-first keeps both lines
+    assert out[1] == "unique one paragraph with plenty of words"
 
 
 def test_spandedup_stage(spark, tmp_path):

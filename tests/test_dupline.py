@@ -142,3 +142,35 @@ def test_hot_boilerplate_line_drill(spark):
     ).first()
     # 19000 docs carry BOILER; the corpus-first (doc_id=1) keeps it
     assert agg["docs"] == 20_000 and agg["removed"] == 19_000 - 1
+
+
+def test_paragraph_unit_dedup(spark):
+    """separator='\\n\\n' (Dolma-style paragraph dedup): a duplicated
+    paragraph is removed whole, single newlines INSIDE paragraphs survive,
+    and lines that merely repeat across different paragraphs are untouched."""
+    para = ("this syndicated paragraph spans two physical lines\n"
+            "and repeats verbatim across many documents of the corpus")
+    rows = [
+        (0, f"{para}\n\nunique first closing paragraph with plenty of words"),
+        (1, f"unique opening paragraph for document one here\n\n{para}"),
+        (2, "short\n\nanother fully original paragraph of text right here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(df, separator="\n\n").collect()
+    }
+    assert out[0] == f"{para}\n\nunique first closing paragraph with plenty of words"
+    assert out[1] == "unique opening paragraph for document one here"
+    assert out[2] == "short\n\nanother fully original paragraph of text right here"
+    stats = {
+        r["doc_id"]: r
+        for r in duplicate_line_stats(df, separator="\n\n").collect()
+    }
+    assert (stats[1]["n_lines"], stats[1]["n_dup_removed"]) == (2, 1)
+    # line-unit over the same corpus behaves differently: each PHYSICAL line
+    # of the paragraph is its own dedup key
+    line_out = {
+        r["doc_id"]: r["text"] for r in remove_duplicate_lines(df).collect()
+    }
+    assert line_out[1] == "unique opening paragraph for document one here\n"
