@@ -232,16 +232,23 @@ def _line_occurrences(
     (trimmed length >= min_chars) -- short units ('Introduction', bullets)
     are never dedup keys, or corpus-wide removal would shred every
     document's scaffolding. line_idx is 0-based. ``separator`` is a LITERAL
-    string used both as the split pattern and the rejoin glue (callers pass
-    regex-safe literals: '\n' for lines, '\n\n' for paragraphs -- the
-    Dolma-style granularity)."""
+    string used both as the split pattern (regex-quoted via \\Q...\\E, so any
+    literal is safe) and the rejoin glue: '\n' for lines, '\n\n' for
+    paragraphs (the Dolma-style granularity). Paragraph-mode caveat: 3+
+    consecutive newlines leave a stray '\n' attached to the next unit and
+    change its hash -- normalize blank-line runs upstream if the corpus has
+    them."""
+    if "\\E" in separator:
+        raise ValueError(r"separator must not contain \E (regex literal quoting)")
     return (
         _widen(
             df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         )
         .select(
             "doc_id",
-            F.posexplode(F.split("text", separator)).alias("line_idx", "line"),
+            F.posexplode(
+                F.split("text", "\\Q" + separator + "\\E")
+            ).alias("line_idx", "line"),
         )
         .withColumn(
             "h",
@@ -316,7 +323,7 @@ def duplicate_line_stats(
     reassembled from its surviving lines in order).
 
     Returns (doc_id, n_lines, n_dup_removed, rewritten_fp) where
-    rewritten_fp is md5 of the newline-rejoined surviving text -- the
+    rewritten_fp is md5 of the separator-rejoined surviving text -- the
     byte-exact reassembly pin the oracle replays. Docs whose every line is
     removed report rewritten_fp = md5('')."""
     # ONE materialization of the exploded lines serves all three consumers

@@ -66,21 +66,20 @@ PLAN_CHECKS = {
 
 
 def _clf_scoring_frame(spark, sf_dir: str):
-    """The classifier scoring plan, operator-level. q_quality_gate's
-    registry form localCheckpoints the scored frame (the top-frac leg
-    references it twice), and a checkpoint hides its subplan from
-    executedPlan() -- inspecting the registry row would make the must-HAVE
-    checks vacuously false (round-7 session-4 finding). The property being
-    pinned lives in score_documents, so check THAT plan."""
-    from action_pdf_accessibility_paddle_docker_spark.operators import (
-        quality_clf as QC,
+    """The REAL pre-checkpoint scoring subtree of q_quality_gate
+    (queries._quality_gate_scored: gate projection + survivor-only scoring
+    WITH the string carry columns whose GROUP-BY membership is exactly what
+    can demote the aggregate to SortAggregate). The registry row itself
+    localCheckpoints this frame (the top-frac leg references it twice) and
+    a checkpoint hides the subplan from executedPlan() -- inspecting the
+    registry row made the must-HAVE checks vacuously false, and a
+    simplified bare score_documents frame would miss the demotion-prone
+    carry keys (round-7 session-4 findings, both)."""
+    from action_pdf_accessibility_paddle_docker_spark.plans.queries import (
+        _quality_gate_scored,
     )
 
-    weights, bias = QC.load_classifier(
-        spark, os.path.join(REPO, "tests", "fixtures", "qclf_weights.parquet")
-    )
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return QC.score_documents(docs, weights, bias=bias)
+    return _quality_gate_scored(spark, sf_dir)
 
 
 #: plan-check frames that differ from the registry row (checkpoint-hidden

@@ -174,3 +174,20 @@ def test_paragraph_unit_dedup(spark):
         r["doc_id"]: r["text"] for r in remove_duplicate_lines(df).collect()
     }
     assert line_out[1] == "unique opening paragraph for document one here\n"
+
+
+def test_separator_is_literal_not_regex(spark):
+    """Any literal separator is safe: the split pattern is \\Q-quoted, so a
+    regex metacharacter like '|' splits on the literal character instead of
+    exploding the text per-char and corrupting the roundtrip."""
+    rows = [
+        (0, "a long enough shared unit that repeats across docs|unique zero piece here today"),
+        (1, "a long enough shared unit that repeats across docs|unique one piece here instead"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {
+        r["doc_id"]: r["text"]
+        for r in remove_duplicate_lines(df, separator="|").collect()
+    }
+    assert out[0] == rows[0][1]            # corpus-first keeps everything
+    assert out[1] == "unique one piece here instead"
