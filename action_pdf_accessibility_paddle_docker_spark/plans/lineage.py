@@ -30,6 +30,15 @@ At 100 TB / 1000 executors the bucket count is the resume granularity knob;
 recomputation after a crash is bounded by one batch (default: the whole
 pending set -- size batches only if crash-recomputation cost matters more
 than scan count).
+
+Documented residual (single-writer assumption): nothing FENCES two drivers
+resuming the same output root concurrently -- a stalled-but-alive driver A
+and a replacement driver B can interleave dynamic-overwrite commits on the
+same bucket dirs, leaving data that does not match the committed lineage.
+A robust fence needs storage-level conditional writes (HDFS lease /
+S3 conditional PUT); a plain lock file cannot distinguish a crashed holder
+from a stalled one without a heartbeat protocol. Run one resuming driver
+per output root (the same rule every dynamic-overwrite pipeline has).
 """
 
 from __future__ import annotations
@@ -78,6 +87,10 @@ def _lineage_dir(output_root: str) -> str:
     return output_root.rstrip("/") + "/_lineage"
 
 
+#: a real lineage record is always bucket_<int>.json by construction
+_BUCKET_FILE_RE = __import__("re").compile(r"^bucket_(\d+)\.json$")
+
+
 def _active_spark() -> SparkSession:
     spark = SparkSession.getActiveSession()
     if spark is None:
@@ -92,9 +105,12 @@ def completed_buckets(output_root: str, spark: SparkSession | None = None) -> se
         return set()
     out: set[int] = set()
     for status in fs.listStatus(d):
-        name = status.getPath().getName()
-        if name.startswith("bucket_") and name.endswith(".json"):
-            out.add(int(name[len("bucket_"):-len(".json")]))
+        # strict match: debris like 'bucket_3 (1).json' (editor save-as,
+        # object-store copy tools) must be IGNORED, not crash int() and
+        # brick every subsequent resume
+        m = _BUCKET_FILE_RE.match(status.getPath().getName())
+        if m:
+            out.add(int(m.group(1)))
     return out
 
 
@@ -107,7 +123,7 @@ def read_lineage(output_root: str, spark: SparkSession | None = None) -> dict[in
         return out
     for status in fs.listStatus(d):
         name = status.getPath().getName()
-        if name.startswith("bucket_") and name.endswith(".json"):
+        if _BUCKET_FILE_RE.match(name):
             stream = fs.open(status.getPath())
             try:
                 data = bytes(
@@ -156,7 +172,14 @@ def ensure_run_config(
     First run commits ``config`` atomically to
     ``<output>/_lineage/run_config.json``; every later run must present an
     EQUAL dict or this raises with both versions. Call before reading
-    ``completed_buckets``."""
+    ``completed_buckets``.
+
+    The comparison is JSON-CANONICAL: the stored config went through a JSON
+    round trip (int dict keys become strings, tuples become lists), so the
+    current invocation's dict is normalized the same way first -- otherwise
+    an IDENTICAL rerun whose thresholds use int keys would spuriously
+    mismatch (caught live driving extract_job --resumable)."""
+    config = json.loads(json.dumps(config, sort_keys=True))
     spark = spark or _active_spark()
     d = _lineage_dir(output_root)
     fs, dpath, jvm = _fs_and_path(spark, d)
@@ -211,12 +234,38 @@ def ensure_run_config(
 _COUNTER_COLS = ("turns", "regions", "artifacts", "pages", "errors")
 
 
+def _delete_bucket_dirs(
+    spark: SparkSession, data_root: str, buckets: list[int]
+) -> None:
+    """Remove the Hive partition dirs of PENDING buckets before their batch
+    rewrite (see the call site). No-op for dirs that do not exist."""
+    fs, root, jvm = _fs_and_path(spark, data_root)
+    for b in buckets:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                data_root.rstrip("/") + f"/bucket={int(b)}"
+            ),
+            True,
+        )
+
+
 def _per_bucket_counters(
     spark: SparkSession, data_root: str, buckets: list[int], is_table: bool = False
 ) -> dict[int, dict]:
     """Aggregate the just-written output per bucket (partition-pruned read of
-    tiny columns -- NOT a kernel re-execution)."""
-    src = spark.read.table(data_root) if is_table else spark.read.parquet(data_root)
+    tiny columns -- NOT a kernel re-execution). When every row of the batch
+    was dropped upstream the data root may not exist at all (dynamic
+    overwrite writes no dirs): that ONE case returns {} so the zero-row
+    lineage records still commit and resume skips -- any OTHER read failure
+    (transient storage error) propagates, because committing rows=0 over
+    intact data would corrupt the lineage metadata permanently."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        src = (spark.read.table(data_root) if is_table
+               else spark.read.parquet(data_root))
+    except AnalysisException:
+        return {}
     df = (
         src
         .where(F.col("bucket").isin([int(b) for b in buckets]))
@@ -278,6 +327,18 @@ def run_resumable(
             "n_buckets": int(n_buckets),
             "bucket_key": "conv_id",
             "iceberg_table": iceberg_table,
+            # row-set-shaping parameters: committed buckets keep the values
+            # they ran under, so a resume under different ones would yield
+            # an inconsistent corpus with no error (review finding). The
+            # input path is pinned for the same reason -- buckets 0..k of
+            # input A plus k+1.. of input B is a silent cross-corpus mix
+            # AND a data loss (input-B rows hashing into 0..k never write).
+            "input": input_path,
+            "thresholds": thresholds,
+            "detector": "%s:%s" % (
+                detector_kind,
+                sorted((detector_kw or {}).items()),
+            ),
         },
         spark,
     )
@@ -321,6 +382,13 @@ def run_resumable(
 
             overwrite_buckets_iceberg(out, iceberg_table, batch)
         else:
+            # clear the batch's (pending, uncommitted) partition dirs first:
+            # dynamic overwrite only replaces partitions it writes rows to,
+            # so a crashed attempt's rows would survive a re-run that now
+            # yields ZERO rows for that bucket (committed lineage over stale
+            # data). Deleting pending dirs is safe -- their lineage never
+            # committed, so resume recomputes them regardless.
+            _delete_bucket_dirs(spark, data_root, batch)
             (
                 out.write.mode("overwrite")
                 .option("partitionOverwriteMode", "dynamic")

@@ -103,8 +103,17 @@ def compact_parquet(
 
     Atomic swap via the Hadoop FileSystem API (same transport as the lineage
     records, so it works on file:// and hdfs:// alike): write to
-    ``<path>.__compact_tmp``, then rename away the old dir and promote the
-    new one. A crash before the final rename leaves the original readable.
+    ``<path>.__compact_tmp``, rename the old dir aside, promote the new one.
+    The move-aside/promote pair has a crash WINDOW where neither dir sits at
+    ``path`` -- so every invocation begins with a recovery preamble: a
+    leftover ``.__compact_old`` with no live dir is renamed back before
+    anything else runs (a rerun after any crash heals the dataset), and a
+    leftover beside a live dir (crash after promote) is garbage-collected.
+
+    Hive-partitioned layouts (``bucket=N/`` subdirs, the resumable runner's
+    data root) are compacted PER PARTITION DIR -- each partition gets its
+    own recoverable swap, and the partition-from-dir-name read semantics of
+    the root are preserved.
 
     Returns {files_before, files_after, bytes}. No-op (files_before <
     min_files) returns with files_after == files_before."""
@@ -112,6 +121,18 @@ def compact_parquet(
     conf = spark._jsc.hadoopConfiguration()
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(conf)
+
+    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_tmp")
+    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_old")
+    # recovery preamble (see docstring)
+    if fs.exists(old):
+        if not fs.exists(hpath):
+            if not fs.rename(old, hpath):
+                raise IOError(
+                    f"compact: recovery rename failed; data is at {old}"
+                )
+        else:
+            fs.delete(old, True)
 
     def _data_files(p):
         out = []
@@ -121,6 +142,21 @@ def compact_parquet(
                 out.append(st)
         return out
 
+    # Hive-partitioned layout: recurse per partition dir
+    part_dirs = [
+        st.getPath() for st in fs.listStatus(hpath)
+        if st.isDirectory() and "=" in st.getPath().getName()
+    ]
+    if part_dirs:
+        agg = {"files_before": 0, "files_after": 0, "bytes": 0}
+        for pd in part_dirs:
+            # str(Path) keeps the scheme/authority (hdfs://...), which
+            # toUri().getPath() would strip
+            r = compact_parquet(spark, str(pd), target_file_mb, min_files)
+            for k in agg:
+                agg[k] += r[k]
+        return agg
+
     before = _data_files(hpath)
     total_bytes = sum(st.getLen() for st in before)
     if len(before) < min_files:
@@ -128,10 +164,7 @@ def compact_parquet(
                 "bytes": total_bytes}
 
     n_out = max(1, -(-total_bytes // (target_file_mb * 1024 * 1024)))
-    tmp = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_tmp")
-    old = jvm.org.apache.hadoop.fs.Path(path.rstrip("/") + ".__compact_old")
     fs.delete(tmp, True)
-    fs.delete(old, True)
     # coalesce, not repartition: pure file merge, no shuffle
     spark.read.parquet(path).coalesce(int(n_out)).write.mode("overwrite").parquet(
         str(tmp)
@@ -140,7 +173,10 @@ def compact_parquet(
     if not fs.rename(hpath, old):
         raise IOError(f"compact: cannot move {path} aside")
     if not fs.rename(tmp, hpath):
-        fs.rename(old, hpath)  # roll back
+        if not fs.rename(old, hpath):  # roll back -- and verify it
+            raise IOError(
+                f"compact: promote AND rollback failed; data is at {old}"
+            )
         raise IOError(f"compact: cannot promote compacted dir for {path}")
     fs.delete(old, True)
     return {"files_before": len(before), "files_after": after, "bytes": total_bytes}
@@ -158,4 +194,12 @@ def overwrite_buckets_iceberg(df: DataFrame, target: str, buckets: list[int]) ->
 
         df.writeTo(target).using("iceberg").partitionedBy(F.col("bucket")).create()
         return
+    # overwritePartitions only replaces partitions PRESENT in df: a bucket
+    # of the batch whose recomputation yields zero rows would keep a crashed
+    # attempt's stale rows. Clear the batch's buckets explicitly first --
+    # two commits, but the crash window between them is safe (the batch's
+    # lineage has not committed, so a resume recomputes it either way).
+    if buckets:
+        in_list = ",".join(str(int(b)) for b in buckets)
+        spark.sql(f"DELETE FROM {target} WHERE bucket IN ({in_list})")
     df.writeTo(target).overwritePartitions()

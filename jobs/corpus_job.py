@@ -1175,6 +1175,7 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
     )
     from action_pdf_accessibility_paddle_docker_spark.plans.lineage import (
         _commit_lineage,
+        _delete_bucket_dirs,
         completed_buckets,
         ensure_run_config,
     )
@@ -1222,15 +1223,38 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
     # ids), and the stage/column set that shapes that key. A resume under
     # different values would silently skip wrong buckets and leave stale
     # partitions from the old keying in <output>/data.
+    # row-set-shaping parameters are pinned per stage actually present:
+    # committed buckets keep the values they ran under, so a resume with
+    # (say) a stricter --min-kept-lines would yield an inconsistent corpus
+    # with no error. The input path is pinned too (a resume against a
+    # different --input silently mixes corpora AND loses every new-input
+    # row hashing into an already-committed bucket). Stages pin in the
+    # CANONICAL applied order so a reordered --stages listing of the same
+    # set does not spuriously block a legitimate resume.
+    shaping: dict = {}
+    if "clean" in stages:
+        shaping["min_kept_lines"] = int(args.min_kept_lines)
+    if "urlfilter" in stages:
+        shaping["url_col"] = args.url_col
+        shaping["blocked_domains"] = getattr(args, "blocked_domains", None)
+    if "classify" in stages:
+        shaping["clf_weights"] = args.clf_weights
+        shaping["clf_threshold"] = float(getattr(args, "clf_threshold", 0.5))
+    if "sample" in stages:
+        shaping["rates"] = sorted(getattr(args, "rate", []) or [])
+        shaping["default_rate"] = float(getattr(args, "default_rate", 1.0))
+        shaping["stratum_col"] = args.stratum_col
     ensure_run_config(
         args.output,
         {
             "kind": "corpus",
             "n_buckets": int(n_buckets),
             "bucket_key": ("fingerprint" if "dedup" in stages else "id"),
-            "stages": list(stages),
+            "stages": [st for st in STAGES if st in set(stages)],
             "id_col": args.id_col,
             "text_col": args.text_col,
+            "input": args.input,
+            **shaping,
         },
         spark,
     )
@@ -1284,6 +1308,11 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
         # would serialize a big bucket's write); partitionBy splits the
         # files per bucket dir regardless of task layout
         n_write = max(len(batch), spark.sparkContext.defaultParallelism)
+        # clear the batch's (pending, uncommitted) partition dirs first:
+        # dynamic overwrite only replaces partitions it writes rows to, so
+        # a crashed attempt's rows would survive a re-run that now yields
+        # zero rows for that bucket -- committed lineage over stale data
+        _delete_bucket_dirs(spark, data_root, [int(b) for b in batch])
         (
             out.repartition(n_write, "bucket", args.id_col)
             .write.mode("overwrite")
@@ -1298,9 +1327,14 @@ def run_pipeline_resumable(spark, args, stages) -> dict:
         # When every row of the batch was dropped upstream the data root
         # may not exist at all (dynamic overwrite writes no dirs) -- the
         # zero-row lineage records must still commit so resume skips.
+        # ONLY AnalysisException (missing path / no schema) means that; a
+        # transient storage error must propagate, or rows=0 records would
+        # be committed over intact data -- permanently wrong metadata.
+        from pyspark.errors import AnalysisException
+
         try:
             written = spark.read.parquet(data_root)
-        except Exception:  # noqa: BLE001 -- path not yet created
+        except AnalysisException:  # path not yet created (zero-row batch)
             written = None
         got = {} if written is None else {
             int(r["bucket"]): r.asDict()

@@ -920,6 +920,46 @@ def test_report_contamination_block(spark, tmp_path):
     assert c["threshold"] == 0.5
 
 
+def test_resumable_clears_stale_pending_partitions(spark, tmp_path):
+    """A crashed attempt's partition dir must not survive a re-run whose
+    recomputation yields ZERO rows for that bucket: dynamic overwrite only
+    replaces partitions it writes rows to, so pending bucket dirs are
+    cleared before the batch write."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from jobs.corpus_job import run_pipeline_resumable
+
+    src = tmp_path / "in_st"
+    src.mkdir()
+    # every doc fails the gate -> the whole run writes zero rows
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=i, text="tiny.\nnope", source="web") for i in range(6)
+    ])
+    out = tmp_path / "out_st"
+    data_root = out / "data"
+    # stale debris from a "crashed attempt": rows in a pending bucket dir
+    stale = data_root / "bucket=0"
+    stale.mkdir(parents=True)
+    pq.write_table(
+        pa.Table.from_pylist([dict(doc_id=999, text="stale row",
+                                   source="web", bucket=0)]),
+        str(stale / "junk.parquet"),
+    )
+    run_pipeline_resumable(
+        spark,
+        _ns(input=str(src), output=str(out), buckets=2, bucket_batch=None,
+            fail_after_batches=None),
+        ["gate"],
+    )
+    import os
+
+    dirs = [d for d in os.listdir(data_root)] if data_root.exists() else []
+    assert not any(d.startswith("bucket=0") and
+                   any(f.endswith(".parquet") for f in os.listdir(data_root / d))
+                   for d in dirs), "stale partition survived the rewrite"
+
+
 def test_resumable_rejects_cross_bucket_stage_in_library(spark, tmp_path):
     """The bucket-local == global invariant is owned by
     run_pipeline_resumable itself, not just argparse: a programmatic caller

@@ -115,3 +115,36 @@ def test_double_crash_then_resume(spark, input_path, tmp_path):
     got = spark.read.parquet(out_root + "/data")
     assert got.count() == n
     assert got.select("conv_id", "turn_idx").distinct().count() == n
+
+
+def test_lineage_debris_ignored(spark, input_path, tmp_path):
+    """Stray files matching bucket_*.json with a non-numeric middle (editor
+    save-as, object-store copy debris) must be ignored, not brick every
+    resume with ValueError."""
+    import os
+
+    path, n = input_path
+    out = str(tmp_path / "deb")
+    run_resumable(spark, path, out, n_buckets=4)
+    with open(os.path.join(out, "_lineage", "bucket_3 (1).json"), "w") as f:
+        f.write("{}")
+    assert completed_buckets(out, spark) == {0, 1, 2, 3}
+    assert set(read_lineage(out, spark)) == {0, 1, 2, 3}
+    # a rerun still no-ops cleanly
+    summary = run_resumable(spark, path, out, n_buckets=4)
+    assert summary["ran_buckets"] == 0
+
+
+def test_resume_refuses_different_input(spark, input_path, tmp_path):
+    """The run config pins the INPUT path: resuming against a different
+    input would silently mix corpora (committed buckets keep input-A rows;
+    input-B rows hashing into them are never written)."""
+    path, n = input_path
+    other = str(tmp_path / "other_in")
+    write_transcripts_parquet(other, n_convs=5, median_turns=3, seed=9)
+    out = str(tmp_path / "pin_in")
+    with pytest.raises(RuntimeError, match="injected"):
+        run_resumable(spark, path, out, n_buckets=4, bucket_batch=2,
+                      fail_after_batches=1)  # leaves pending buckets
+    with pytest.raises(ValueError, match="mismatch"):
+        run_resumable(spark, other, out, n_buckets=4)

@@ -105,3 +105,47 @@ def test_compact_parquet(spark, tmp_path):
     res2 = compact_parquet(spark, out, target_file_mb=256,
                            min_files=res["files_after"] + 1)
     assert res2["files_after"] == res2["files_before"]
+
+
+def test_compact_parquet_recovers_from_crash_window(spark, tmp_path):
+    """Crash BETWEEN the move-aside and promote renames leaves no dir at
+    path; the next invocation's recovery preamble must restore it before
+    doing anything else (previously the dataset stayed vanished)."""
+    import os
+
+    from action_pdf_accessibility_paddle_docker_spark.plans.sinks import compact_parquet
+
+    out = str(tmp_path / "crashy")
+    spark.range(0, 1000).withColumnRenamed("id", "v").repartition(8).write.parquet(out)
+    before = sorted(r.v for r in spark.read.parquet(out).collect())
+    # simulate the window: data moved aside, promote never happened
+    os.rename(out, out + ".__compact_old")
+    assert not os.path.exists(out)
+    res = compact_parquet(spark, out, target_file_mb=256)
+    assert sorted(r.v for r in spark.read.parquet(out).collect()) == before
+    assert res["files_after"] <= res["files_before"]
+    assert not os.path.exists(out + ".__compact_old")
+    # leftover old BESIDE a live dir (crash after promote) is GC'd
+    os.makedirs(out + ".__compact_old")
+    compact_parquet(spark, out, target_file_mb=256)
+    assert not os.path.exists(out + ".__compact_old")
+
+
+def test_compact_parquet_partitioned_layout(spark, tmp_path):
+    """Hive-partitioned roots (the resumable runner's data layout) compact
+    PER PARTITION DIR instead of silently no-opping (files_before: 0)."""
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.plans.sinks import compact_parquet
+
+    out = str(tmp_path / "parts")
+    (spark.range(0, 4000)
+     .select(F.col("id").alias("v"), (F.col("id") % 2).alias("bucket"))
+     .repartition(20, "v")
+     .write.partitionBy("bucket").parquet(out))
+    before = sorted((r.bucket, r.v) for r in spark.read.parquet(out).collect())
+    res = compact_parquet(spark, out, target_file_mb=256)
+    assert res["files_before"] >= 20           # counted inside the subdirs
+    assert res["files_after"] < res["files_before"]
+    after = sorted((r.bucket, r.v) for r in spark.read.parquet(out).collect())
+    assert after == before                     # bucket-from-dir-name intact
