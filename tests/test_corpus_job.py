@@ -920,6 +920,40 @@ def test_report_contamination_block(spark, tmp_path):
     assert c["threshold"] == 0.5
 
 
+def test_empty_input_runs_every_stage_clean(spark, tmp_path):
+    """A zero-row input (full schema, no data) must flow through the whole
+    batch stage chain without crashing and produce an empty output -- the
+    shape every sharded production run hits on its first empty shard.
+    (Verified stage-by-stage once in-session; the composed run pins the
+    union of the code paths at suite cost.)"""
+    import pyarrow as pa
+
+    src = tmp_path / "in_empty"
+    src.mkdir()
+    pq.write_table(
+        pa.Table.from_pylist([], schema=pa.schema(
+            [("doc_id", pa.int64()), ("text", pa.string()),
+             ("source", pa.string()), ("url", pa.string())])),
+        str(src / "p.parquet"),
+    )
+    bench = tmp_path / "bench_empty"
+    bench.mkdir()
+    _write_docs(bench / "b.parquet", [dict(doc_id=1, text="aa bb cc dd")])
+    blocked = tmp_path / "bl.txt"
+    blocked.write_text("example.org\n")
+    res = run_pipeline(
+        spark,
+        _ns(input=str(src), output=str(tmp_path / "out_empty"),
+            blocked_domains=str(blocked), benchmark=str(bench),
+            benchmark_id_col=None, benchmark_text_col=None,
+            decontam_overlap=0.3, span_k=8),
+        ["urlfilter", "urldedup", "clean", "linededup", "spandedup", "pii",
+         "gate", "dedup", "neardup", "decontam", "cap", "split", "sample"],
+    )
+    assert res["counters"]["input"] == 0
+    assert res["counters"]["output"] == 0
+
+
 def test_resumable_clears_stale_pending_partitions(spark, tmp_path):
     """A crashed attempt's partition dir must not survive a re-run whose
     recomputation yields ZERO rows for that bucket: dynamic overwrite only
