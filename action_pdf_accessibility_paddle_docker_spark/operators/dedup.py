@@ -408,6 +408,9 @@ def remove_duplicate_lines(
 # explode + one hash aggregate + one doc-keyed join -- no global ordered
 # structure. Whitespace is tokenizer-level: documents whose text is modified
 # are rejoined with single spaces; untouched documents stay byte-exact.
+# Honest limit: whitespace tokens mean UNSEGMENTED scripts (CJK, Thai) yield
+# one giant "token" per run of text, so spans are never detected there --
+# segment upstream or dedup those languages at the line/chunk level.
 
 SPAN_K_DEFAULT = 50  # Lee et al.'s 50-token threshold
 
