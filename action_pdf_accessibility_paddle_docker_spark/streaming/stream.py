@@ -82,7 +82,21 @@ def conversation_sessions(
     until the event-time clock passes last_ts + gap (EventTimeTimeout), so
     10^9 concurrent conversations hold one 4-field row each, evicted on
     idle -- no unbounded accumulation. Arrow batches stream per group; no
-    per-row Python."""
+    per-row Python.
+
+    The idle gap is enforced on the DATA path too, not just by timeout: a
+    batch containing turns that straddle a >gap silence (replay/catch-up,
+    where the watermark lags and the timeout never fires between them)
+    emits the earlier session(s) immediately -- without this, every
+    historical replay would collapse gap-split sessions into one (the
+    batch q_sessionize equivalence would only hold for live tailing).
+    Out-of-order turns WITHIN the watermark fold into the live session
+    (event-time order, per-batch sort); equivalence with the batch fold
+    assumes watermark <= gap so an admitted late turn can never belong to
+    an already-emitted earlier session. The tail caveat is inherent to
+    watermark semantics: conversations in the final gap+watermark of an
+    availableNow run stay in state and are not emitted -- run the batch
+    fold over the tail window if completeness matters."""
     import pandas as pd
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -99,34 +113,48 @@ def conversation_sessions(
             )
             return
         n, c, f, l = (state.get if state.exists else (0, 0, None, None))
-        last_epoch_ms = None
+        # gather this batch's turns and fold them in EVENT-TIME order so a
+        # >gap silence inside the batch closes the earlier session
+        events = []
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            n += len(pdf)
-            c += int(pdf["text"].str.len().fillna(0).sum())
-            hi_ts = pdf["ts"].max()
-            lo = pdf["ts"].min().to_pydatetime()
-            hi = hi_ts.to_pydatetime()
-            f = lo if f is None else min(f, lo)
-            l = hi if l is None else max(l, hi)
             # epoch directly from the pandas Timestamp (naive values are
             # session-tz wall time; .timestamp() on the datetime would
             # re-interpret them in the executor's SYSTEM timezone -- requires
             # spark.sql.session.timeZone=UTC, which this engine sets
             # everywhere; .value is tz-independent of the host)
-            ms = int(hi_ts.value // 1_000_000)
-            last_epoch_ms = ms if last_epoch_ms is None else max(last_epoch_ms, ms)
+            lens = pdf["text"].str.len().fillna(0)
+            for ts, ch in zip(pdf["ts"], lens):
+                events.append((int(ts.value // 1_000_000), ts.to_pydatetime(), int(ch)))
+        events.sort(key=lambda e: e[0])
+        closed = []
+        l_ms = None if l is None else int(pd.Timestamp(l).value // 1_000_000)
+        for ms, ts, ch in events:
+            if l_ms is not None and ms - l_ms > gap_ms:
+                closed.append({"conv_id": key[0], "n_turns": n, "n_chars": c,
+                               "first_ts": f, "last_ts": l})
+                n, c, f, l = 0, 0, None, None
+            n += 1
+            c += ch
+            f = ts if (f is None or ts < f) else f
+            l = ts if (l is None or ts > l) else l
+            l_ms = ms if (l_ms is None or ms > l_ms) else l_ms
+        if l_ms is None:  # no prior state and an all-empty batch: nothing
+            return        # to track (defensive -- Spark does not invoke here)
         state.update((n, c, f, l))
-        # fire when event time passes last activity + gap (must stay above
-        # the current watermark or Spark rejects the timestamp)
-        if last_epoch_ms is None:  # no new data this batch; re-arm from state
-            last_epoch_ms = int(pd.Timestamp(l).value // 1_000_000)
+        # fire when event time passes the LIVE session's last activity + gap
+        # (armed from the folded state, never the batch max alone: a batch
+        # of late-but-admitted turns must not rewind the timeout and emit a
+        # merely-minutes-idle session early). Must stay above the current
+        # watermark or Spark rejects the timestamp.
         fire_at = max(
-            last_epoch_ms + gap_ms,
+            l_ms + gap_ms,
             state.getCurrentWatermarkMs() + 1,
         )
         state.setTimeoutTimestamp(fire_at)
+        if closed:
+            yield pd.DataFrame(closed)
 
     return (
         stream.withWatermark("ts", watermark)
@@ -141,11 +169,21 @@ def conversation_sessions(
     )
 
 
-def streaming_exact_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+def streaming_exact_dedup(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
     """Streaming exact dedup: drop turns whose normalized-text fingerprint
     was already seen within the watermark horizon
     (``dropDuplicatesWithinWatermark``). The streaming twin of the batch
     ``dedup.exact_dedup``: same md5-of-normalized-text fingerprint recipe.
+
+    NULL-text rows never merge: ``dropDuplicatesWithinWatermark`` treats
+    NULL keys as EQUAL, which would irreversibly delete every NULL-text
+    turn after the first (tool-call turns legitimately carry text=NULL) --
+    so the key falls back to a per-row ``row:<id>`` value built from
+    ``id_cols``, the same guard the CLI's streaming urldedup carries.
 
     State is one fingerprint per distinct text, evicted once the event-time
     watermark passes -- bounded by the dedup horizon, not the stream length,
@@ -154,29 +192,57 @@ def streaming_exact_dedup(stream: DataFrame, watermark: str = "30 minutes") -> D
     row always survives)."""
     from ..operators.dedup import normalized
 
+    row_key = F.concat_ws(
+        "#", F.lit("row:"), *[F.col(c).cast("string") for c in id_cols]
+    )
     return (
-        stream.withColumn("fingerprint", F.md5(normalized(F.col("text"))))
+        stream.withColumn(
+            "fingerprint",
+            F.coalesce(F.md5(normalized(F.col("text"))), row_key),
+        )
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
     )
 
 
-def streaming_near_dedup(stream: DataFrame, watermark: str = "30 minutes") -> DataFrame:
+def streaming_near_dedup(
+    stream: DataFrame,
+    watermark: str = "30 minutes",
+    bits: int | None = None,
+    id_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+) -> DataFrame:
     """Streaming NEAR-duplicate drop: key the watermarked dedup on the
     row-wise simhash (`dedup.simhash_col`) instead of the exact content
     fingerprint. Reworded-but-same-bag-of-words turns (reordered tokens,
-    whitespace/case variants) collapse to one survivor; genuinely different
-    content passes.
+    whitespace/case variants) collapse to one survivor.
+
+    HONEST LIMIT -- collision rate is a function of ``bits`` and the number
+    of distinct texts inside one horizon: at the 16-bit default the
+    birthday bound reaches ~50% with only ~300 distinct texts per window,
+    so "genuinely different content passes" holds for LOW-rate streams
+    only. Size ``bits`` to the horizon volume (e.g. 32 for thousands, 64
+    for millions of docs per window) -- a wider key is a weaker near-dup
+    detector but stops deleting distinct content. NULL-text and
+    tokenless/whitespace-only rows never merge (per-row ``row:<id>``
+    fallback key, same guard as the exact form).
 
     This is only possible because simhash is computed as a stateless column
     expression -- `dropDuplicatesWithinWatermark` cannot sit downstream of a
-    stateful explode+groupBy simhash. State is one 2^bits-keyed row per
-    distinct simhash inside the horizon, evicted by the event-time
+    stateful explode+groupBy simhash. State is one simhash-keyed row per
+    distinct value inside the horizon, evicted by the event-time
     watermark, so it is bounded by the dedup window at any corpus size."""
-    from ..operators.dedup import simhash_col
+    from ..operators.dedup import SIMHASH_BITS, simhash_col
 
+    row_key = F.concat_ws(
+        "#", F.lit("row:"), *[F.col(c).cast("string") for c in id_cols]
+    )
+    sh = simhash_col(F.col("text"), bits=(bits or SIMHASH_BITS))
+    keyed = F.coalesce(
+        F.when(F.length(F.trim(F.col("text"))) > 0, sh.cast("string")),
+        row_key,
+    )
     return (
-        stream.withColumn("simhash", simhash_col(F.col("text")))
+        stream.withColumn("simhash", keyed)
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["simhash"])
     )
@@ -221,12 +287,31 @@ def streaming_near_dedup_against_corpus(
     )
 
     # adopt the static table's stamped banding (a tuned table stays
-    # probe-able), then validate -- the stamp is read once at query
-    # construction, not per micro-batch
+    # probe-able), then validate at construction -- AND keep validating per
+    # micro-batch: the static side re-resolves its FILES every trigger, so a
+    # table rebuilt out-of-band under a different family/banding mid-run
+    # would otherwise silently admit every corpus near-dup (the probe
+    # columns would match nothing). The row-level guard below re-reads the
+    # stamp values with each micro-batch's file resolution and raises
+    # instead; stamp columns are per-file constants, so the filter costs
+    # row-group-stats reads on healthy files.
     num_hashes, bands = adopt_banding(seen_buckets, None, None)
-    check_bucket_family(
-        seen_buckets, hash_family, banding=f"{num_hashes}x{bands}"
-    )
+    expected_banding = f"{num_hashes}x{bands}"
+    check_bucket_family(seen_buckets, hash_family, banding=expected_banding)
+    for col_name, expected in (("hash_family", hash_family),
+                               ("banding", expected_banding)):
+        if col_name in seen_buckets.columns:
+            seen_buckets = seen_buckets.where(
+                F.when(F.col(col_name).isNull()
+                       | (F.col(col_name) == F.lit(expected)), F.lit(True))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit(f"bucket table {col_name} changed mid-run: "
+                          f"expected {expected!r}, found "),
+                    F.col(col_name),
+                    F.lit(" -- restart the probe query against the "
+                          "rebuilt table"),
+                )))
+            )
     out = stream.withColumn(
         "_bb", minhash_buckets_col(
             F.col(text_col), num_hashes=num_hashes, bands=bands,
@@ -247,10 +332,19 @@ def streaming_near_dedup_against_corpus(
 
 
 def _duration_ms(s: str) -> int:
-    n, unit = s.split()
-    mult = {"second": 1_000, "seconds": 1_000, "minute": 60_000,
-            "minutes": 60_000, "hour": 3_600_000, "hours": 3_600_000}[unit]
-    return int(n) * mult
+    """Parse the CalendarInterval-style duration strings Spark's watermark
+    accepts (case-insensitive, singular/plural, ms through weeks) -- the
+    ``gap`` knob must not reject values every other duration knob takes."""
+    parts = s.split()
+    if len(parts) != 2:
+        raise ValueError(f"duration must be '<n> <unit>', got {s!r}")
+    n, unit = parts
+    mult = {"millisecond": 1, "second": 1_000, "minute": 60_000,
+            "hour": 3_600_000, "day": 86_400_000, "week": 604_800_000}
+    key = unit.lower().rstrip("s") if unit.lower() != "ms" else "millisecond"
+    if key not in mult:
+        raise ValueError(f"unsupported duration unit {unit!r} in {s!r}")
+    return int(n) * mult[key]
 
 
 def run_stream_to_parquet(
@@ -272,5 +366,13 @@ def run_stream_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
+    if timeout_sec is not None and not finished:
+        # awaitTermination(timeout) returns False WITHOUT stopping the
+        # query: returning a still-running query as "terminated" hands the
+        # caller a partial snapshot while commits continue in background
+        q.stop()
+        raise TimeoutError(
+            f"stream did not finish within {timeout_sec}s (query stopped)"
+        )
     return q

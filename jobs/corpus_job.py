@@ -1430,7 +1430,14 @@ def run_pipeline_streaming(spark, args, stages) -> dict:
         df = (
             df.withColumn("_ts", ts)
             .withColumn(
-                "fingerprint", F.md5(D.normalized(F.col(args.text_col)))
+                # NULL-text docs must never merge (dropDuplicates treats
+                # NULL keys as EQUAL): per-row fallback, the urldedup guard
+                "fingerprint",
+                F.coalesce(
+                    F.md5(D.normalized(F.col(args.text_col))),
+                    F.concat(F.lit("row:"),
+                             F.col(args.id_col).cast("string")),
+                ),
             )
             .withWatermark("_ts", args.dedup_horizon)
             .dropDuplicatesWithinWatermark(["fingerprint"])

@@ -501,3 +501,129 @@ def test_streaming_near_dedup_against_corpus_bucket_table(spark, tmp_path):
     with pytest.raises(ValueError, match="hash_family"):
         streaming_near_dedup_against_corpus(stream, seen,
                                             hash_family="xxhash64")
+
+
+def test_sessions_split_gap_inside_one_batch(spark, tmp_path):
+    """Replay/catch-up shape: turns straddling a >gap silence land in ONE
+    micro-batch (the watermark never ticks between them), so the data path
+    itself must close the earlier session -- previously every historical
+    replay collapsed gap-split sessions into one."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        conversation_sessions,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+    # ONE file: two turns at 10:00ish, a 2h silence, two turns at 12:00ish
+    pq.write_table(pa.Table.from_pylist([
+        dict(conv_id="a", turn_idx=0, role="user", text="xx", tool="", ts=t0),
+        dict(conv_id="a", turn_idx=1, role="user", text="yyy", tool="",
+             ts=t0 + timedelta(seconds=30)),
+        dict(conv_id="a", turn_idx=2, role="user", text="zzzz", tool="",
+             ts=t0 + timedelta(hours=2)),
+        dict(conv_id="a", turn_idx=3, role="user", text="w", tool="",
+             ts=t0 + timedelta(hours=2, seconds=10)),
+    ], schema=schema), str(src / "f0.parquet"))
+
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ).parquet(str(src))
+    )
+    out = conversation_sessions(stream, gap="30 minutes", watermark="10 seconds")
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _assert_finished(q)
+    rows = sorted(
+        spark.read.parquet(str(tmp_path / "out")).collect(),
+        key=lambda r: r["first_ts"],
+    )
+    # the 10:00 session closes ON THE DATA PATH (same batch); the 12:00
+    # session stays live state (no later watermark advance) -- tail caveat
+    assert len(rows) == 1
+    assert (rows[0]["n_turns"], rows[0]["n_chars"]) == (2, 5)
+
+
+def test_streaming_exact_dedup_null_text_never_merges(spark, tmp_path):
+    """dropDuplicatesWithinWatermark treats NULL keys as equal: without the
+    per-row fallback key, every NULL-text turn after the first would be
+    irreversibly deleted."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        streaming_exact_dedup,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist([
+        dict(conv_id="a", turn_idx=0, role="tool", text=None, tool="t",
+             ts=t0),
+        dict(conv_id="a", turn_idx=1, role="tool", text=None, tool="t",
+             ts=t0 + timedelta(seconds=1)),
+        dict(conv_id="b", turn_idx=0, role="user", text="same text", tool="",
+             ts=t0 + timedelta(seconds=2)),
+        dict(conv_id="c", turn_idx=0, role="user", text="same  TEXT", tool="",
+             ts=t0 + timedelta(seconds=3)),  # normalized dup of b
+    ], schema=schema), str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ).parquet(str(src))
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _assert_finished(q)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    # both NULL-text turns survive; the normalized text dup collapses
+    assert sum(1 for r in rows if r["text"] is None) == 2
+    assert sum(1 for r in rows if r["text"] is not None) == 1
+
+
+def test_duration_ms_accepts_sparks_unit_domain():
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        _duration_ms,
+    )
+
+    assert _duration_ms("1 day") == 86_400_000
+    assert _duration_ms("2 weeks") == 2 * 604_800_000
+    assert _duration_ms("500 milliseconds") == 500
+    assert _duration_ms("500 ms") == 500
+    assert _duration_ms("90 Seconds") == 90_000
+    import pytest
+
+    with pytest.raises(ValueError):
+        _duration_ms("1 fortnight")
+    with pytest.raises(ValueError):
+        _duration_ms("30")
