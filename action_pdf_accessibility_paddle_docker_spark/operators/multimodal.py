@@ -72,12 +72,29 @@ def _decode_one(media_id: int, payload: bytes) -> dict:
     magic = bytes(payload[:4])
     if magic == IMG_MAGIC:
         w, h = struct.unpack(">HH", bytes(payload[4:8]))
+        # truncated body or zero-area header: degrade to an error ROW (the
+        # contract mathml_from_images relies on), never a task failure or
+        # an ok=True row whose empty-slice mean is NaN
+        if w * h == 0:
+            return dict(media_id=media_id, kind="image", width=w, height=h,
+                        sample_rate=None, n_samples=None, mean_value=None,
+                        ok=False, error="zero-area image")
+        if len(payload) < 8 + w * h:
+            return dict(media_id=media_id, kind="image", width=w, height=h,
+                        sample_rate=None, n_samples=None, mean_value=None,
+                        ok=False, error="truncated image body")
         px = np.frombuffer(payload, dtype=np.uint8, count=w * h, offset=8)
         return dict(media_id=media_id, kind="image", width=w, height=h,
                     sample_rate=None, n_samples=None,
                     mean_value=float(np.round(px.mean(), 6)), ok=True, error=None)
     if magic == AUD_MAGIC:
         rate100, n = struct.unpack(">HH", bytes(payload[4:8]))
+        if n == 0 or len(payload) < 8 + n:
+            return dict(media_id=media_id, kind="audio", width=None,
+                        height=None, sample_rate=rate100 * 100, n_samples=n,
+                        mean_value=None, ok=False,
+                        error=("empty audio" if n == 0 else
+                               "truncated audio body"))
         samples = np.frombuffer(payload, dtype=np.uint8, count=n, offset=8)
         return dict(media_id=media_id, kind="audio", width=None, height=None,
                     sample_rate=rate100 * 100, n_samples=n,
@@ -111,10 +128,14 @@ def decode_base64_media(
 def decode_media(df: DataFrame, id_col: str = "media_id", bin_col: str = "payload") -> DataFrame:
     """Batch decode: binary column -> typed metadata + features."""
 
+    _cols = ["media_id", "kind", "width", "height", "sample_rate",
+             "n_samples", "mean_value", "ok", "error"]
+
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [_decode_one(int(i), p) for i, p in zip(pdf[id_col], pdf[bin_col])]
-            yield pd.DataFrame(rows)
+            # explicit columns: a zero-row batch must still carry the schema
+            yield pd.DataFrame(rows, columns=_cols)
 
     return df.mapInPandas(kernel, schema=DECODE_DDL)
 
@@ -193,7 +214,7 @@ def resize_images(
         for pdf in batches:
             out = []
             for i, p in zip(pdf[id_col], pdf[bin_col]):
-                p = bytes(p)
+                p = bytes(p) if p is not None else b""
                 if p[:4] != IMG_MAGIC:
                     continue
                 w, h = struct.unpack(">HH", p[4:8])
@@ -219,7 +240,7 @@ def sample_frames(
         for pdf in batches:
             out = []
             for i, p in zip(pdf[id_col], pdf[bin_col]):
-                p = bytes(p)
+                p = bytes(p) if p is not None else b""
                 if p[:4] != AUD_MAGIC:
                     continue
                 rate100, n = struct.unpack(">HH", p[4:8])

@@ -36,7 +36,13 @@ def concat_chunk_packs(
     shard's concatenated stream starts in pack floor(cum_before/capacity) and
     ends in pack floor((cum_before + n - 1)/capacity); documents longer than
     the remaining window span packs (they are split at chunk boundaries,
-    which is the semantic of this strategy -- no silent drops)."""
+    which is the semantic of this strategy -- no silent drops).
+
+    Deterministic layout: the within-shard order is (id, n_tokens) -- the
+    n_tokens tiebreak makes the MATERIAL layout total even when duplicate
+    ids exist upstream (two equal-id rows with different lengths would
+    otherwise swap between runs/engines and flip every later offset; two
+    equal-id equal-length rows swap harmlessly)."""
     shard = (
         F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10)
         .cast("bigint") % n_shards
@@ -44,7 +50,7 @@ def concat_chunk_packs(
     base = df.select(F.col(id_col), shard, token_count(F.col(text_col)).alias("n_tokens"))
     w = (
         Window.partitionBy("shard")
-        .orderBy(id_col)
+        .orderBy(id_col, "n_tokens")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     cum_before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))

@@ -29,11 +29,17 @@ def _as_double(col):
 
 
 def cosine(a, b):
-    """JVM-side cosine similarity of two array<double> columns."""
+    """JVM-side cosine similarity of two array<double> columns. A zero-norm
+    vector (the embedding of empty text) yields -1.0 -- matching DuckDB's
+    ``list_cosine_similarity`` convention so the oracles replay the same
+    edge -- instead of DIVIDE_BY_ZERO under ANSI mode (this engine's
+    default) or a silently-dropped NULL similarity without it."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x))
-    return dot / (na * nb)
+    na2 = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    nb2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(
+        (na2 > 0) & (nb2 > 0), dot / (F.sqrt(na2) * F.sqrt(nb2))
+    ).otherwise(F.lit(-1.0))
 
 
 def brute_force_topk(
@@ -286,13 +292,33 @@ def _ivf_udfs(corpus, n_centroids, n_probe, seed, max_iter, vec_col,
     n_probe = min(n_probe, n_centroids)
     half_sq = 0.5 * (centers * centers).sum(axis=1)  # (C,)
 
+    dim = int(centers.shape[1])
+
+    def _check(vecs):
+        """Per-row fail-loud (the signature_udf/_assert_dim contract): the
+        user must see a readable null/ragged message, never a batch-level
+        np.stack shape error; empty Arrow batches pass through."""
+        arr = vecs.to_numpy()
+        for v in arr:
+            if v is None or len(v) != dim:
+                got = "NULL" if v is None else f"dim {len(v)}"
+                raise ValueError(
+                    f"ivf: null or ragged embedding ({got}, expected dim "
+                    f"{dim}) -- clean or drop the row upstream"
+                )
+        return arr
+
     def _nearest(vecs):
-        m = np.stack(vecs.to_numpy())  # (B, dim)
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        m = np.stack(_check(vecs))  # (B, dim)
         scores = m @ centers.T - half_sq  # (B, C)
         return pd.Series(scores.argmax(axis=1).astype("int32"))
 
     def _probe(vecs):
-        m = np.stack(vecs.to_numpy())
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        m = np.stack(_check(vecs))
         scores = m @ centers.T - half_sq
         order = np.argsort(-scores, axis=1)[:, :n_probe].astype("int32")
         return pd.Series(list(order))

@@ -5,7 +5,9 @@ At 100 TB, exact `count(DISTINCT)` and exact percentiles are shuffle-heavy
 sorted group). The sketch forms — HyperLogLog++ (`approx_count_distinct`)
 and KLL-style quantiles (`percentile_approx`) — are single-pass,
 fixed-memory, and mergeable, so they keep map-side combine and scale
-linearly. This module computes BOTH in one aggregation and reports the
+linearly. This module computes sketch and exact twins side by side (as TWO
+aggregation passes -- see sketch_accuracy's docstring for why mixing the
+families into one is 14x slower) and reports the
 sketch error against the exact value, which is how the harness pins them:
 the oracle asserts the exact values plus `within tolerance = true` flags
 (the sketch itself is engine-specific and can never hash-match across
@@ -40,25 +42,42 @@ def sketch_accuracy(
     cardinality."""
     exact_p50 = F.expr(f"percentile({value_col}, 0.5)")
     approx_p50 = F.percentile_approx(value_col, 0.5, 10_000)
-    distinct_agg = df.groupBy(group_col).agg(
+    # NULL-safe group key: the two passes join on the group column, and a
+    # null-rejecting equi-join would silently DROP the NULL group that both
+    # aggregations produce (the q_training_mix sentinel lesson)
+    k = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
+    distinct_agg = df.groupBy(k.alias("_k"), F.col(group_col)).agg(
         F.countDistinct(distinct_col).alias("n_distinct_exact"),
         F.approx_count_distinct(distinct_col, 0.02).alias("n_distinct_approx"),
     )
-    pct_agg = df.groupBy(group_col).agg(
+    pct_agg = df.groupBy(k.alias("_k")).agg(
         exact_p50.alias("_p50_exact"),
         approx_p50.alias("_p50_approx"),
     )
-    out = distinct_agg.join(F.broadcast(pct_agg), group_col)
-    d_err = F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact")) / F.col(
-        "n_distinct_exact"
+    out = distinct_agg.join(F.broadcast(pct_agg), "_k")
+    # tolerance verdicts are ZERO-GUARDED (ANSI mode raises on /0): an
+    # exact value of 0 is within tolerance iff the sketch also reads 0,
+    # and an all-NULL value column (NULL exact median) pins false rather
+    # than a NULL boolean the oracle cannot replay
+    d_err_ok = F.when(
+        F.col("n_distinct_exact") == 0, F.col("n_distinct_approx") == 0
+    ).otherwise(
+        F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
+        / F.col("n_distinct_exact") <= distinct_rel_tol
     )
-    q_err = F.abs(F.col("_p50_approx") - F.col("_p50_exact")) / F.abs(
-        F.col("_p50_exact")
+    q_err_ok = F.coalesce(
+        F.when(
+            F.col("_p50_exact") == 0, F.col("_p50_approx") == 0
+        ).otherwise(
+            F.abs(F.col("_p50_approx") - F.col("_p50_exact"))
+            / F.abs(F.col("_p50_exact")) <= quantile_rel_tol
+        ),
+        F.lit(False),
     )
     return out.select(
         F.col(group_col),
         F.col("n_distinct_exact").cast("bigint"),
-        (d_err <= distinct_rel_tol).alias("distinct_within_tol"),
+        d_err_ok.alias("distinct_within_tol"),
         F.round(F.col("_p50_exact"), 2).alias("p50_exact"),
-        (q_err <= quantile_rel_tol).alias("p50_within_tol"),
+        q_err_ok.alias("p50_within_tol"),
     )

@@ -990,7 +990,7 @@ def q_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     ), c AS (
       SELECT doc_id, shard, n_tokens,
-             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id, n_tokens
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_before
       FROM base
     )
