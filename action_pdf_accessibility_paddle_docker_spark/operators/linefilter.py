@@ -17,6 +17,8 @@ oracle in ``plans/queries.py`` (``q_line_filter``).
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -72,10 +74,21 @@ def line_filter_stats(
     projection-only."""
     from .dedup import _widen
 
-    df = _widen(df)
+    return _widen(df).select(
+        *_line_filter_exprs(id_col, text_col, min_words, min_kept_lines)
+    )
+
+
+@lru_cache(maxsize=None)
+def _line_filter_exprs(
+    id_col: str, text_col: str, min_words: int, min_kept_lines: int
+) -> tuple:
+    """``line_filter_stats``' output Columns -- pure functions of the column
+    names and thresholds, compiled once per process (round 8 driver-side
+    build reduction)."""
     t = F.col(text_col)
     kept = clean_lines(t, min_words)
-    return df.select(
+    return (
         F.col(id_col),
         F.size(F.split(t, "\n")).cast("bigint").alias("n_lines"),
         F.size(kept).cast("bigint").alias("n_kept"),

@@ -16,6 +16,8 @@ on the ORIGINAL text, so the two are independent and deterministic.
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -130,7 +132,13 @@ def pii_stats(
     default keeps the hot projection strictly regex-only)."""
     from .dedup import _widen
 
-    df = _widen(df)
+    return _widen(df).select(*_pii_stats_exprs(id_col, text_col, validate_cards))
+
+
+@lru_cache(maxsize=None)
+def _pii_stats_exprs(id_col: str, text_col: str, validate_cards: bool) -> tuple:
+    """``pii_stats``' output Columns -- pure functions of the column names,
+    compiled once per process (round 8 driver-side build reduction)."""
     t = F.col(text_col)
     valid = (
         [F.size(
@@ -141,7 +149,7 @@ def pii_stats(
         ).cast("bigint").alias("n_valid_cards")]
         if validate_cards else []
     )
-    return df.select(
+    return (
         F.col(id_col),
         F.regexp_count(t, F.lit(EMAIL_RE)).cast("bigint").alias("n_emails"),
         F.regexp_count(t, F.lit(IPV4_RE)).cast("bigint").alias("n_ips"),

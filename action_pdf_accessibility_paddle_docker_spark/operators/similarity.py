@@ -28,15 +28,31 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def norm2(v):
+    """Squared L2 norm of an array<double> column -- the exact sequential
+    fold ``cosine`` uses, exposed so pair joins can precompute it ONCE PER
+    VECTOR in a projection instead of once per candidate pair (the r7
+    q_ann_topk regression: the zero-norm guard left dot + two norm folds
+    inside the per-pair expression of the broadcast join)."""
+    return F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
+
+
 def cosine(a, b):
     """JVM-side cosine similarity of two array<double> columns. A zero-norm
     vector (the embedding of empty text) yields -1.0 -- matching DuckDB's
     ``list_cosine_similarity`` convention so the oracles replay the same
     edge -- instead of DIVIDE_BY_ZERO under ANSI mode (this engine's
     default) or a silently-dropped NULL similarity without it."""
+    return cosine_from_norms(a, b, norm2(a), norm2(b))
+
+
+def cosine_from_norms(a, b, na2, nb2):
+    """``cosine`` with the squared norms supplied as (usually precomputed)
+    columns: only the dot product remains per evaluation. Bit-identical to
+    ``cosine`` -- the norm columns are the same fold, just evaluated in an
+    upstream projection (one O(dim) pass per VECTOR instead of two extra
+    per PAIR)."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
-    na2 = F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
-    nb2 = F.aggregate(F.transform(b, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x)
     return F.when(
         (na2 > 0) & (nb2 > 0), dot / (F.sqrt(na2) * F.sqrt(nb2))
     ).otherwise(F.lit(-1.0))
@@ -53,13 +69,15 @@ def brute_force_topk(
     (excluding self). Returns (query_id, neighbor_id, rank, sim)."""
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
-    )
+    ).withColumn("_qn2", norm2(F.col("qv")))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    )
+    ).withColumn("_cn2", norm2(F.col("cv")))
     # Broadcast the QUERY side: the corpus is the 100 TB relation and must
     # stream partition-local past the (small) replicated query batch. The
-    # build side is pinned by tests/test_plan_quality.py.
+    # build side is pinned by tests/test_plan_quality.py. Squared norms are
+    # projected per SIDE above, so each candidate pair pays one O(dim) fold
+    # (the dot), not three.
     sims = (
         F.broadcast(q).join(c, F.col("query_id") != F.col("neighbor_id"))
         # zip_with null-pads mismatched lengths -> null sim (silently
@@ -67,7 +85,8 @@ def brute_force_topk(
         .where(F.assert_true(
             F.size("qv") == F.size("cv"), F.lit("embedding dimension mismatch")
         ).isNull())
-        .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim_exact", cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("_qn2"), F.col("_cn2")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_exact").desc(), F.col("neighbor_id").asc()
@@ -202,7 +221,7 @@ def lsh_bucketed_topk(
             F.element_at(sig(_as_double(F.col(vec_col))), 1).alias("bucket"),
         ),
         "qv", dim,
-    )
+    ).withColumn("_qn2", norm2(F.col("qv")))
     c = _assert_dim(
         corpus.select(
             F.col(id_col).alias("neighbor_id"),
@@ -210,11 +229,12 @@ def lsh_bucketed_topk(
             F.element_at(sig(_as_double(F.col(vec_col))), 1).alias("bucket"),
         ),
         "cv", dim,
-    )
+    ).withColumn("_cn2", norm2(F.col("cv")))
     sims = (
         q.join(c, ["bucket"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim_exact", cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("_qn2"), F.col("_cn2")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_exact").desc(), F.col("neighbor_id").asc()
@@ -385,17 +405,19 @@ def ivf_topk(
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("cv")
-    ).withColumn("cid", nearest_cid("cv"))
+    ).withColumn("cid", nearest_cid("cv")).withColumn("_cn2", norm2(F.col("cv")))
     q = (
         queries.select(
             F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("qv")
         )
         .withColumn("cid", F.explode(probe_cids("qv")))
+        .withColumn("_qn2", norm2(F.col("qv")))
     )
     sims = (
         q.join(c, ["cid"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim_exact", cosine(F.col("qv"), F.col("cv")))
+        .withColumn("sim_exact", cosine_from_norms(
+            F.col("qv"), F.col("cv"), F.col("_qn2"), F.col("_cn2")))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim_exact").desc(), F.col("neighbor_id").asc()
@@ -448,14 +470,15 @@ def embedding_near_dup_pairs(
         a = _assert_dim(
             df.select(F.col(id_col).alias("id_a"), _as_double(F.col(vec_col)).alias("va")),
             "va", dim,
-        )
+        ).withColumn("_an2", norm2(F.col("va")))
         b = _assert_dim(
             df.select(F.col(id_col).alias("id_b"), _as_double(F.col(vec_col)).alias("vb")),
             "vb", dim,
-        )
+        ).withColumn("_bn2", norm2(F.col("vb")))
         return (
             a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
-            .withColumn("sim_exact", cosine(F.col("va"), F.col("vb")))
+            .withColumn("sim_exact", cosine_from_norms(
+                F.col("va"), F.col("vb"), F.col("_an2"), F.col("_bn2")))
             .where(F.col("sim_exact") >= threshold)
             .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
         )
@@ -463,24 +486,31 @@ def embedding_near_dup_pairs(
     base = _assert_dim(
         df.select(F.col(id_col).alias("vid"), _as_double(F.col(vec_col)).alias("v")),
         "v", dim,
-    )
+    ).withColumn("_n2", norm2(F.col("v")))
     # all band buckets in ONE Arrow-batched UDF call, then posexplode:
     # (band, bucket) pairs for the equi-join, plan size independent of
     # dim x bands
     sig = signature_udf(band_planes(n_bands, planes_per_band, dim))
     tagged = base.select(
-        "vid", "v", F.posexplode(sig(F.col("v"))).alias("band", "bucket")
+        "vid", "v", "_n2", F.posexplode(sig(F.col("v"))).alias("band", "bucket")
     )
-    a = tagged.select(F.col("vid").alias("id_a"), F.col("v").alias("va"), "band", "bucket")
-    b = tagged.select(F.col("vid").alias("id_b"), F.col("v").alias("vb"), "band", "bucket")
+    a = tagged.select(
+        F.col("vid").alias("id_a"), F.col("v").alias("va"),
+        F.col("_n2").alias("_an2"), "band", "bucket",
+    )
+    b = tagged.select(
+        F.col("vid").alias("id_b"), F.col("v").alias("vb"),
+        F.col("_n2").alias("_bn2"), "band", "bucket",
+    )
     cand = (
         a.join(b, ["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b", "va", "vb", "_an2", "_bn2")
         .dropDuplicates(["id_a", "id_b"])
     )
     return (
-        cand.withColumn("sim_exact", cosine(F.col("va"), F.col("vb")))
+        cand.withColumn("sim_exact", cosine_from_norms(
+            F.col("va"), F.col("vb"), F.col("_an2"), F.col("_bn2")))
         .where(F.col("sim_exact") >= threshold)
         .select("id_a", "id_b", F.round("sim_exact", 6).alias("sim"))
     )
@@ -551,12 +581,14 @@ def semantic_dedup(
     ).select(
         F.col(id_col).alias("vid"), F.col("cid"),
         _as_double(F.col(vec_col)).alias("v"),
-    ).localCheckpoint(eager=False)
+    ).withColumn("_n2", norm2(F.col("v"))).localCheckpoint(eager=False)
     a = assigned.select(
-        F.col("vid").alias("id_a"), "cid", F.col("v").alias("va")
+        F.col("vid").alias("id_a"), "cid", F.col("v").alias("va"),
+        F.col("_n2").alias("_an2"),
     )
     b = assigned.select(
-        F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb")
+        F.col("vid").alias("id_b"), "cid", F.col("v").alias("vb"),
+        F.col("_n2").alias("_bn2"),
     )
     # checkpoint the pair table too: connected_component_labels is
     # iterative, and each propagation round would otherwise re-run the
@@ -564,7 +596,8 @@ def semantic_dedup(
     pairs = (
         a.join(b, ["cid"])
         .where(F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", cosine(F.col("va"), F.col("vb")))
+        .withColumn("sim", cosine_from_norms(
+            F.col("va"), F.col("vb"), F.col("_an2"), F.col("_bn2")))
         .where(F.col("sim") >= threshold)
         .select("id_a", "id_b")
     ).localCheckpoint(eager=False)

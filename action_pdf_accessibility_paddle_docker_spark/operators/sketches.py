@@ -33,28 +33,39 @@ def sketch_accuracy(
     are the cross-engine-checkable part, the booleans pin the sketch
     quality.
 
-    Deliberately TWO aggregation passes joined on the (tiny) group key:
+    Deliberately THREE aggregation passes joined on the (tiny) group key:
     countDistinct rewrites to an Expand (x2 rows), and mixing it with the
     sort/object-based percentile aggregates forces the whole plan into one
     SortAggregate over the expanded stream -- measured 14x slower than the
-    two clean passes at sf0.1 (5.8s vs 0.4s+0.4s). Separated, each family
-    keeps its fast path and the join is a broadcast over the group
-    cardinality."""
+    clean passes at sf0.1 (5.8s vs ~1s). Worse (round 8): keeping
+    approx_count_distinct in the SAME pass as countDistinct makes the
+    Expand's partial aggregate key on (group, distinct_col), so one
+    multi-KB HLL++ buffer is allocated PER DISTINCT VALUE rather than per
+    group -- measured 1.32s vs 0.40s + 0.31s for the split passes at
+    sf0.1, and at scale that per-key buffer blowup is an OOM, not a
+    slowdown. Separated, each family keeps its fast path (the HLL pass
+    holds one buffer per GROUP) and the joins are broadcasts over the
+    group cardinality. The HLL estimate is unchanged: it ingests exactly
+    the same per-group value set either way."""
     exact_p50 = F.expr(f"percentile({value_col}, 0.5)")
     approx_p50 = F.percentile_approx(value_col, 0.5, 10_000)
-    # NULL-safe group key: the two passes join on the group column, and a
-    # null-rejecting equi-join would silently DROP the NULL group that both
+    # NULL-safe group key: the passes join on the group column, and a
+    # null-rejecting equi-join would silently DROP the NULL group that all
     # aggregations produce (the q_training_mix sentinel lesson)
     k = F.coalesce(F.col(group_col).cast("string"), F.lit("\x00<null>"))
     distinct_agg = df.groupBy(k.alias("_k"), F.col(group_col)).agg(
         F.countDistinct(distinct_col).alias("n_distinct_exact"),
+    )
+    approx_agg = df.groupBy(k.alias("_k")).agg(
         F.approx_count_distinct(distinct_col, 0.02).alias("n_distinct_approx"),
     )
     pct_agg = df.groupBy(k.alias("_k")).agg(
         exact_p50.alias("_p50_exact"),
         approx_p50.alias("_p50_approx"),
     )
-    out = distinct_agg.join(F.broadcast(pct_agg), "_k")
+    out = distinct_agg.join(F.broadcast(approx_agg), "_k").join(
+        F.broadcast(pct_agg), "_k"
+    )
     # tolerance verdicts are ZERO-GUARDED (ANSI mode raises on /0): an
     # exact value of 0 is within tolerance iff the sketch also reads 0,
     # and an all-NULL value column (NULL exact median) pins false rather

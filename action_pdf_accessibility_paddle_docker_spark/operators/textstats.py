@@ -8,6 +8,7 @@ the driver harness can verify them value-for-value.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -152,10 +153,14 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     driver-side collect. Top-k is a per-doc window."""
     from pyspark.sql import Window
 
-    from .dedup import normalized
+    from .dedup import _widen, normalized
 
     toks = F.split(normalized(F.col(text_col)), " ")
-    terms = df.select("doc_id", F.explode(toks).alias("term")).where(F.length("term") > 0)
+    terms = (
+        _widen(df.select("doc_id", F.col(text_col).alias(text_col)), key="doc_id")
+        .select("doc_id", F.explode(toks).alias("term"))
+        .where(F.length("term") > 0)
+    )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -247,16 +252,39 @@ def _gate_frame(df: DataFrame, text_col: str, p: dict):
     plus the (reasons, n_tokens) expressions over it. Original columns are
     preserved (withColumn, not select) so the filtering form can return
     rows unchanged."""
-    from .dedup import _widen, normalized
+    from .dedup import _widen
+
+    staged, reasons, cols = _gate_exprs(text_col, tuple(sorted(p.items())))
+    # hash-widen by doc id when present: the composed gate+classifier pass
+    # (score_documents) aggregates per doc downstream, and
+    # HashPartitioning(doc_id) lets that groupBy skip its own exchange of
+    # the exploded term stream (dedup._widen key= note, round 8)
+    base = (
+        _widen(df, key="doc_id" if "doc_id" in df.columns else None)
+        .withColumn("_toks", staged["_toks"])
+        .withColumn("_wt", staged["_wt"])
+        .withColumn("_bg", staged["_bg"])
+    )
+    return base, reasons, cols
+
+
+@lru_cache(maxsize=None)
+def _gate_exprs(text_col: str, p_items: tuple):
+    """The gate's staged array Columns, reject-reasons Column, and signal
+    Columns -- pure functions of (text_col, thresholds), compiled once per
+    process (round 8: this was the single heaviest expression build in the
+    repo, ~0.3 s of py4j round-trips per call). Returned containers are
+    shared -- callers must treat them as read-only."""
+    from .dedup import normalized
 
     t = F.col(text_col)
+    p = dict(p_items)
     wt = F.filter(F.split(normalized(t), " "), lambda x: x != F.lit(""))
-    base = (
-        _widen(df)
-        .withColumn("_toks", tokens(t))
-        .withColumn("_wt", wt)
-        .withColumn("_bg", F.filter(word_bigrams(F.col("_wt")), lambda x: F.length(x) > 0))
-    )
+    staged = {
+        "_toks": tokens(t),
+        "_wt": wt,
+        "_bg": F.filter(word_bigrams(F.col("_wt")), lambda x: F.length(x) > 0),
+    }
     toks = F.col("_toks")
     n_tokens = F.size(toks)
     n_chars = F.length(t)
@@ -291,7 +319,7 @@ def _gate_frame(df: DataFrame, text_col: str, p: dict):
     reasons = F.concat_ws(
         ",", *[F.when(cond(cols, p), F.lit(name)) for name, cond in _GATE_REASONS]
     )
-    return base, reasons, cols
+    return staged, reasons, cols
 
 
 def _md5_bucket(key: Column, mod: int) -> Column:
@@ -414,9 +442,22 @@ def document_stats(
             *[c.alias(f"_x_{k}") for k, c in extra.items()],
         )
     ).select(
-        "doc_id", "_t", tokens(F.col("_t")).alias("_toks"),
-        *[f"_x_{k}" for k in extra],
+        "doc_id", "_t", _DOC_TOKS_EXPR(), *[f"_x_{k}" for k in extra],
     )
+    return base.select(*_doc_stats_exprs(tuple(extra)))
+
+
+@lru_cache(maxsize=None)
+def _DOC_TOKS_EXPR():
+    return tokens(F.col("_t")).alias("_toks")
+
+
+@lru_cache(maxsize=None)
+def _doc_stats_exprs(extra_names: tuple) -> tuple:
+    """``document_stats``' output Columns over the staged ``_t``/``_toks``
+    names -- compiled once per process (round 8: the stats expressions cost
+    hundreds of driver-side py4j round-trips per call and are pure
+    functions of the staging names)."""
     toks = F.col("_toks")
     tl = F.col("_t")
     en, es, lang = _lang_signals(toks)
@@ -428,8 +469,8 @@ def document_stats(
     # tokens joined by single spaces == whitespace-normalized trimmed text
     # (concat_ws maps a NULL array to "", so keep NULL text -> NULL md5)
     norm = F.when(tl.isNotNull(), F.lower(F.concat_ws(" ", toks)))
-    return base.select(
-        "doc_id",
+    return (
+        F.col("doc_id"),
         n_chars.alias("n_chars_calc"),
         n_tokens.alias("n_tokens"),
         # ANSI-safe on empty text (same guard as quality_columns); the sf
@@ -441,7 +482,7 @@ def document_stats(
         F.round(tok_chars.cast("double") / n_tokens, 6).alias("mean_token_len"),
         lang.alias("lang_guess"),
         F.md5(norm).alias("fingerprint"),
-        *[F.col(f"_x_{k}").alias(k) for k in extra],
+        *[F.col(f"_x_{k}").alias(k) for k in extra_names],
     )
 
 
@@ -475,11 +516,13 @@ def unigram_logprob_score(
     scans), with it the source is scanned ONCE. Off by default to keep the
     operator a pure lazy plan; at warehouse scale write tf to a table
     instead of executor blocks."""
-    from .dedup import normalized
+    from .dedup import _widen, normalized
 
     toks = F.split(normalized(F.col(text_col)), " ")
     terms = (
-        df.select("doc_id", F.explode(toks).alias("term")).where(F.length("term") > 0)
+        _widen(df.select("doc_id", F.col(text_col).alias(text_col)), key="doc_id")
+        .select("doc_id", F.explode(toks).alias("term"))
+        .where(F.length("term") > 0)
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     if checkpoint_tf:

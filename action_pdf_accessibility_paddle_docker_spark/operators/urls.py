@@ -49,6 +49,7 @@ its reducer as one partial per mapper, the same posture as
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Iterable, Union
 
 from pyspark.sql import Column, DataFrame, functions as F
@@ -254,22 +255,56 @@ def with_url_columns(
     Materializing each stage as a projection column makes every reference
     an attribute, and ``CollapseProject`` keeps the stages separate
     because the staged aliases are non-cheap and multi-referenced. Same
-    values, same single scan, linear-size plan."""
+    values, same single scan, linear-size plan.
+
+    Round 8: the staged Columns are compiled ONCE per process
+    (``_staged_url_exprs`` below) -- they reference only the fixed staging
+    names, and Columns are immutable expression handles, so rebuilding the
+    ~1000-node PSL CASE on every call was pure driver-side py4j overhead
+    (guide section 1.2: per-task work includes the driver's plan
+    construction, which at many-query scale is serial time). The input
+    expression is staged as ``_u_raw`` so every downstream stage is
+    name-based (it is referenced once, so CollapseProject inlines it --
+    no extra projection in the optimized plan)."""
+    staging = ("_u_raw", "_u_s", "_u_h", "_u_hs")
+    clash = [c for c in staging if c in df.columns]
+    if clash:
+        # silently overwriting (then dropping) a user column named like a
+        # staging column would corrupt data with no error
+        raise ValueError(
+            f"with_url_columns: input already has column(s) {clash!r}, "
+            "which collide with the internal staging names -- rename them"
+        )
     u = F.col(url) if isinstance(url, str) else url
-    staged = ["_u_s"]
-    out = df.withColumn("_u_s", stripped_url(u))
+    ex = _staged_url_exprs()
+    staged = ["_u_raw", "_u_s"]
+    out = df.withColumn("_u_raw", u).withColumn("_u_s", ex["strip"])
     if host is not None or url_domain is not None:
         staged.append("_u_h")
-        out = out.withColumn("_u_h", url_host_from(F.col("_u_s")))
+        out = out.withColumn("_u_h", ex["host"])
     if norm_url is not None:
-        out = out.withColumn(norm_url, normalize_url_from(F.col("_u_s")))
+        out = out.withColumn(norm_url, ex["norm"])
     if host is not None:
         out = out.withColumn(host, F.col("_u_h"))
     if url_domain is not None:
         staged.append("_u_hs")
-        out = out.withColumn("_u_hs", _strip_www(F.col("_u_h")))
-        out = out.withColumn(url_domain, registered_domain(F.col("_u_hs")))
+        out = out.withColumn("_u_hs", ex["www"])
+        out = out.withColumn(url_domain, ex["dom"])
     return out.drop(*staged)
+
+
+@lru_cache(maxsize=None)
+def _staged_url_exprs() -> dict:
+    """The five staged URL Columns over the fixed staging names -- compiled
+    once per process (see ``with_url_columns``). Pure expression handles:
+    no data, no session state."""
+    return {
+        "strip": stripped_url(F.col("_u_raw")),
+        "host": url_host_from(F.col("_u_s")),
+        "norm": normalize_url_from(F.col("_u_s")),
+        "www": _strip_www(F.col("_u_h")),
+        "dom": registered_domain(F.col("_u_hs")),
+    }
 
 
 def url_stats(

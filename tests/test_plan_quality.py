@@ -278,8 +278,11 @@ def test_stats_operators_widen_single_split_inputs(spark):
     stats/report operator must spread a too-narrow scan across the cluster
     BEFORE its heavy per-row projection -- a single-row-group parquet file
     otherwise runs the whole stack in one task. Pinned as a plan property:
-    on a 1-partition input each operator's plan contains a round-robin
-    repartition below the projection."""
+    on a 1-partition input each operator's plan contains a repartition
+    below the projection -- round-robin, or (round 8) hash-by-doc_id when
+    the operator aggregates per document downstream, so the widen exchange
+    doubles as the groupBy's clustering and the exploded stream is never
+    re-shuffled (dedup._widen key= note)."""
     from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
         chunk_dedup_stats,
         dup_ngram_stats,
@@ -300,8 +303,51 @@ def test_stats_operators_widen_single_split_inputs(spark):
     ).coalesce(1)
     for op in (document_stats, pii_stats, line_filter_stats, quality_gate,
                repetition_signals, chunk_dedup_stats, dup_ngram_stats):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString().lower()
+        assert (
+            "roundrobin" in plan
+            or ("hashpartitioning(doc_id" in plan and "repartition_by_num" in plan)
+        ), (op.__name__, plan[:800])
+
+
+def test_widen_exchange_reused_by_per_doc_aggregate(spark):
+    """Round-8 shuffle removal (guide 2.4): when _widen hash-partitions by
+    doc_id, the downstream per-doc aggregate's ClusteredDistribution is
+    already satisfied, so the signature pipeline must contain exactly ONE
+    exchange (the widen itself) -- the exploded shingle stream is never
+    re-shuffled."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.dedup import (
+        minhash_signatures,
+        simhash,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c a b e f g h i j k"), (2, "x y z x y p q r s t u v")],
+        "doc_id long, text string",
+    ).coalesce(1)
+    for op in (minhash_signatures, simhash):
         plan = op(df)._jdf.queryExecution().executedPlan().toString()
-        assert "roundrobin" in plan.lower(), (op.__name__, plan[:800])
+        n_ex = plan.count("Exchange ")
+        assert n_ex == 1, (op.__name__, n_ex, plan[:800])
+
+
+def test_ann_pair_join_uses_precomputed_norms(spark):
+    """Round-8 q_ann_topk fix (r7 verdict item 2): the squared norms must
+    enter the pair join as per-side ATTRIBUTES (projected once per vector),
+    leaving only the dot-product fold in the per-pair expression."""
+    from action_pdf_accessibility_paddle_docker_spark.operators.similarity import (
+        brute_force_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(4)],
+        "vec_id long, embedding array<double>",
+    )
+    plan = (
+        brute_force_topk(df, df.where("vec_id < 2"), k=2)
+        ._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "_qn2" in plan and "_cn2" in plan, plan[:1200]
 
 
 def test_eager_builders_marked():
