@@ -142,10 +142,35 @@ def compact_parquet(
                 out.append(st)
         return out
 
-    # Hive-partitioned layout: recurse per partition dir
+    # Hive-partitioned layout: recurse per partition dir. Swap-machinery
+    # leftovers ('<p>.__compact_old' / '<p>.__compact_tmp' from a crashed
+    # PER-PARTITION swap) must never be treated as partitions themselves --
+    # their names contain '=', so the bare substring test used to match
+    # them, compacting a stray dir in place and stranding its rows under a
+    # bogus partition value (round-7 advice item). Recover them FIRST,
+    # exactly as the root preamble does: an old-dir with no live sibling is
+    # the data (rename it back); an old-dir beside a live sibling is a
+    # crash-after-promote leftover (delete); a tmp dir is always
+    # re-creatable garbage (delete).
+    entries = list(fs.listStatus(hpath))
+    for st in entries:
+        name = st.getPath().getName()
+        if not st.isDirectory() or ".__compact_" not in name:
+            continue
+        live_name = name.split(".__compact_")[0]
+        live = jvm.org.apache.hadoop.fs.Path(hpath, live_name)
+        if name.endswith(".__compact_old") and not fs.exists(live):
+            if not fs.rename(st.getPath(), live):
+                raise IOError(
+                    f"compact: partition recovery rename failed; data is "
+                    f"at {st.getPath()}"
+                )
+        else:
+            fs.delete(st.getPath(), True)
     part_dirs = [
         st.getPath() for st in fs.listStatus(hpath)
         if st.isDirectory() and "=" in st.getPath().getName()
+        and ".__compact_" not in st.getPath().getName()
     ]
     if part_dirs:
         agg = {"files_before": 0, "files_after": 0, "bytes": 0}

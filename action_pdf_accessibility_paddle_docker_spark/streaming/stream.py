@@ -192,16 +192,27 @@ def streaming_exact_dedup(
     row always survives)."""
     from ..operators.dedup import normalized
 
-    row_key = F.concat_ws(
-        "#", F.lit("row:"), *[F.col(c).cast("string") for c in id_cols]
-    )
     return (
         stream.withColumn(
             "fingerprint",
-            F.coalesce(F.md5(normalized(F.col("text"))), row_key),
+            F.coalesce(F.md5(normalized(F.col("text"))), _row_key(id_cols)),
         )
         .withWatermark("ts", watermark)
         .dropDuplicatesWithinWatermark(["fingerprint"])
+    )
+
+
+def _row_key(id_cols: tuple[str, ...]) -> "F.Column":
+    """Per-row fallback dedup key from the id columns, NULL-DISTINCT per
+    component: ``concat_ws`` silently skips NULL parts, so two distinct
+    NULL-text rows like (conv_id=NULL, turn_idx=5) and (conv_id=5,
+    turn_idx=NULL) would both key to ``row:#5`` and one would be
+    irreversibly dropped -- exactly the NULL-collapse this key exists to
+    prevent. Each component is therefore coalesced to an explicit sentinel
+    before joining."""
+    return F.concat_ws(
+        "#", F.lit("row:"),
+        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00<null>")) for c in id_cols],
     )
 
 
@@ -233,9 +244,7 @@ def streaming_near_dedup(
     watermark, so it is bounded by the dedup window at any corpus size."""
     from ..operators.dedup import SIMHASH_BITS, simhash_col
 
-    row_key = F.concat_ws(
-        "#", F.lit("row:"), *[F.col(c).cast("string") for c in id_cols]
-    )
+    row_key = _row_key(id_cols)
     sh = simhash_col(F.col("text"), bits=(bits or SIMHASH_BITS))
     keyed = F.coalesce(
         F.when(F.length(F.trim(F.col("text"))) > 0, sh.cast("string")),

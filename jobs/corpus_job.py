@@ -401,6 +401,26 @@ def main() -> None:
     if (args.seen_grams or args.new_grams) and "spandedup" not in stages:
         ap.error("--seen-grams/--new-grams only apply to the spandedup "
                  "stage")
+    if args.seen_grams:
+        # incremental_span_dedup's documented precondition: every doc-
+        # dropping stage must run BEFORE the appendix is derived -- the
+        # fixed stage order runs these AFTER spandedup, so the appendix
+        # would mark grams of documents that never ship, and a later
+        # shard's sole copy of a span shared with a dropped doc would be
+        # silently excised (permanent content loss; round-7 advice item)
+        droppers_after = [
+            s for s in ("gate", "classify", "dedup", "neardup", "semdedup",
+                        "decontam", "cap", "sample")
+            if s in stages
+        ]
+        if droppers_after:
+            ap.error(
+                "--seen-grams cannot be combined with doc-dropping stages "
+                f"that run after spandedup ({', '.join(droppers_after)}): "
+                "the gram appendix must describe the documents that "
+                "actually ship. Run the dropping stages in a prior pass, "
+                "then the incremental spandedup pass on its output"
+            )
     for new_p, seen_p, names in (
         (args.new_fps, args.seen_fps, "--new-fps/--seen-fps"),
         (args.new_buckets, args.seen_buckets, "--new-buckets/--seen-buckets"),
@@ -703,6 +723,25 @@ def run_pipeline(spark, args, stages) -> dict:
                 "--seen-grams and --new-grams come together (the appendix "
                 "is the other half of the CDC contract)"
             )
+        if getattr(args, "seen_grams", None):
+            # incremental_span_dedup's documented precondition, owned HERE
+            # as well as argparse (library callers bypass the CLI): every
+            # doc-dropping stage must run BEFORE the appendix is derived,
+            # or the gram appendix marks grams of documents that never
+            # ship and a later shard's sole copy of a shared span is
+            # silently excised (round-7 advice item)
+            droppers_after = [
+                s for s in ("gate", "classify", "dedup", "neardup",
+                            "semdedup", "decontam", "cap", "sample")
+                if s in stages
+            ]
+            if droppers_after:
+                raise SystemExit(
+                    "--seen-grams cannot be combined with doc-dropping "
+                    f"stages after spandedup ({', '.join(droppers_after)}): "
+                    "run them in a prior pass, then incremental spandedup "
+                    "on its output"
+                )
         # same shape as linededup: the operator references its input twice,
         # so materialize eagerly here (observation correctness) and skip its
         # internal lazy checkpoint

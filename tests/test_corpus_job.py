@@ -884,6 +884,29 @@ def test_spandedup_incremental_loop(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "grams_ap2")).count() == 0
 
 
+def test_incremental_spandedup_refuses_later_doc_droppers(spark, tmp_path):
+    """--seen-grams + any doc-dropping stage that the fixed order runs
+    AFTER spandedup must error: the appendix would mark grams of documents
+    that never ship, and a later shard's sole copy of a shared span would
+    be silently excised (round-7 advice item)."""
+    import pytest
+
+    src = tmp_path / "in"
+    src.mkdir()
+    _write_docs(src / "p.parquet", [
+        dict(doc_id=0, text="alpha bravo charlie delta echo foxtrot golf "
+                            "hotel tail", source="web"),
+    ])
+    with pytest.raises(SystemExit, match="doc-dropping"):
+        run_pipeline(
+            spark,
+            _ns(input=str(src), output=str(tmp_path / "out"), span_k=8,
+                seen_grams=str(tmp_path / "g0"),
+                new_grams=str(tmp_path / "ga")),
+            ["spandedup", "gate"],
+        )
+
+
 def test_report_contamination_block(spark, tmp_path):
     """--report + --benchmark embeds the doc-level contamination
     measurement: docs hit, docs over the decontam threshold, mean/max

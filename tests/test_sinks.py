@@ -149,3 +149,42 @@ def test_compact_parquet_partitioned_layout(spark, tmp_path):
     assert res["files_after"] < res["files_before"]
     after = sorted((r.bucket, r.v) for r in spark.read.parquet(out).collect())
     assert after == before                     # bucket-from-dir-name intact
+
+
+def test_compact_parquet_partitioned_crash_recovery(spark, tmp_path):
+    """A crash between a PER-PARTITION move-aside and promote leaves
+    'bucket=N.__compact_old' (no live 'bucket=N') plus possibly a stale
+    sibling tmp dir inside the root. The rerun must rename the old dir
+    back and delete the strays -- never treat them as partitions of their
+    own (that compacted them in place, stranding rows under a bogus
+    partition value; round-7 advice item)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from action_pdf_accessibility_paddle_docker_spark.plans.sinks import compact_parquet
+
+    out = str(tmp_path / "parts")
+    (spark.range(0, 4000)
+     .select(F.col("id").alias("v"), (F.col("id") % 2).alias("bucket"))
+     .repartition(10, "v")
+     .write.partitionBy("bucket").parquet(out))
+    before = sorted((r.bucket, r.v) for r in spark.read.parquet(out).collect())
+    # simulate: partition bucket=1 crashed mid-swap (moved aside, never
+    # promoted); a stale tmp sits beside the live bucket=0
+    os.rename(os.path.join(out, "bucket=1"),
+              os.path.join(out, "bucket=1.__compact_old"))
+    os.makedirs(os.path.join(out, "bucket=0.__compact_tmp"))
+    res = compact_parquet(spark, out, target_file_mb=256)
+    after = sorted((r.bucket, r.v) for r in spark.read.parquet(out).collect())
+    assert after == before                     # bucket=1 rows recovered
+    assert res["files_after"] < res["files_before"]
+    leftovers = [n for n in os.listdir(out) if ".__compact_" in n]
+    assert leftovers == []
+    # old-dir BESIDE a live partition (crash after promote) is GC'd, and
+    # the live rows win
+    os.makedirs(os.path.join(out, "bucket=0.__compact_old"))
+    compact_parquet(spark, out, target_file_mb=256, min_files=99)
+    assert not os.path.exists(os.path.join(out, "bucket=0.__compact_old"))
+    assert sorted((r.bucket, r.v)
+                  for r in spark.read.parquet(out).collect()) == before

@@ -611,6 +611,51 @@ def test_streaming_exact_dedup_null_text_never_merges(spark, tmp_path):
     assert sum(1 for r in rows if r["text"] is not None) == 1
 
 
+def test_streaming_dedup_null_id_components_stay_distinct(spark, tmp_path):
+    """The per-row fallback key must be NULL-DISTINCT per id component:
+    concat_ws silently skips NULL parts, so (conv_id=NULL, turn_idx=5) and
+    (conv_id='5', turn_idx=NULL) would both key to 'row:#5' and one NULL-
+    text row would be irreversibly dropped (round-7 advice item)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from datetime import datetime, timedelta, timezone
+
+    from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
+        streaming_exact_dedup,
+    )
+
+    t0 = datetime(2026, 1, 1, tzinfo=timezone.utc)
+    schema = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int32()), ("role", pa.string()),
+        ("text", pa.string()), ("tool", pa.string()),
+        ("ts", pa.timestamp("us", tz="UTC")),
+    ])
+    src = tmp_path / "in"
+    src.mkdir()
+    pq.write_table(pa.Table.from_pylist([
+        dict(conv_id=None, turn_idx=5, role="tool", text=None, tool="t", ts=t0),
+        dict(conv_id="5", turn_idx=None, role="tool", text=None, tool="t",
+             ts=t0 + timedelta(seconds=1)),
+    ], schema=schema), str(src / "f0.parquet"))
+    stream = (
+        spark.readStream.schema(
+            "conv_id string, turn_idx int, role string, text string, "
+            "tool string, ts timestamp"
+        ).parquet(str(src))
+    )
+    q = (
+        streaming_exact_dedup(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _assert_finished(q)
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(rows) == 2  # neither NULL-component row was dropped
+
+
 def test_duration_ms_accepts_sparks_unit_domain():
     from action_pdf_accessibility_paddle_docker_spark.streaming.stream import (
         _duration_ms,
