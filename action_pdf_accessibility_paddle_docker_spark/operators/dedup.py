@@ -166,9 +166,13 @@ def dup_ngram_stats(
     birthday-safe class as the identity fingerprints (SCALE.md) -- a
     gram-hash collision that could miscount a singleton needs ~2^64
     distinct grams."""
+    # round-robin widen ON PURPOSE (round 8): ``local`` below is consumed
+    # by TWO aggregates, and its groupBy exchange is the materialization
+    # point both reuse -- a doc_id-keyed widen fuses that exchange away and
+    # the explode+md5 subtree then executes once PER CONSUMER (measured
+    # 0.76 -> 1.27 s at sf0.1; the reuse posture the docstring describes)
     grams = _widen(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-        key="doc_id",
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
     ).select(
         "doc_id",
         F.explode(
@@ -239,8 +243,10 @@ def chunk_dedup_stats(
         lambda j: F.array_join(F.slice(toks, j * chunk_tokens + 1, chunk_tokens), " "),
     )
     ch = (
-        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
-               key="doc_id")
+        # round-robin widen ON PURPOSE: ``ch`` is consumed twice; its local
+        # aggregate's exchange is the shared materialization point (the
+        # dup_ngram_stats note)
+        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
         .select("doc_id", chunks.alias("chunks"))
         .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
         .select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
@@ -1304,10 +1310,15 @@ def dedup_clusters(
     single digits. ``threshold=`` tunes the banding to a target Jaccard
     similarity (see ``lsh_tuning``) -- safe here because the WITHIN-corpus
     form persists no bucket table for later runs to mismatch."""
+    # checkpoint the candidate pairs (round 8): connected_component_labels
+    # references the edge list twice per propagation round and each round
+    # is a fresh job, so without a materialization point the whole
+    # signature/banding pipeline would re-execute every round (the
+    # semantic_dedup pair-checkpoint pattern)
     pairs = minhash_lsh_candidates(
         df, id_col=id_col, text_col=text_col, hash_family=hash_family,
         threshold=threshold,
-    )
+    ).localCheckpoint(eager=False)
     nodes = df.select(F.col(id_col).alias("doc_id"))
     return connected_component_labels(nodes, pairs, max_iter=max_iter)
 

@@ -156,8 +156,12 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     from .dedup import _widen, normalized
 
     toks = F.split(normalized(F.col(text_col)), " ")
+    # round-robin widen: tf is consumed twice (docfreq + the scoring join),
+    # so its groupBy exchange must stay as the shared materialization point
+    # (the dup_ngram_stats note); the widen still parallelizes a
+    # single-split scan's tokenize+explode
     terms = (
-        _widen(df.select("doc_id", F.col(text_col).alias(text_col)), key="doc_id")
+        _widen(df.select("doc_id", F.col(text_col).alias(text_col)))
         .select("doc_id", F.explode(toks).alias("term"))
         .where(F.length("term") > 0)
     )
@@ -519,8 +523,14 @@ def unigram_logprob_score(
     from .dedup import _widen, normalized
 
     toks = F.split(normalized(F.col(text_col)), " ")
+    # doc_id-keyed widen ONLY under checkpoint_tf: it fuses tf's aggregate
+    # onto the widen exchange, but tf is referenced three times (model,
+    # total, per-doc reduce) -- without the checkpoint as materialization
+    # point the fused tokenize+explode would re-execute per reference
+    # (the dup_ngram_stats round-robin note)
     terms = (
-        _widen(df.select("doc_id", F.col(text_col).alias(text_col)), key="doc_id")
+        _widen(df.select("doc_id", F.col(text_col).alias(text_col)),
+               key="doc_id" if checkpoint_tf else None)
         .select("doc_id", F.explode(toks).alias("term"))
         .where(F.length("term") > 0)
     )
