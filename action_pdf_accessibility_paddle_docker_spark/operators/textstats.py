@@ -156,15 +156,10 @@ def tfidf_top_terms(df: DataFrame, k: int = 3, text_col: str = "text") -> DataFr
     from .dedup import _widen, normalized
 
     toks = F.split(normalized(F.col(text_col)), " ")
-    # round-robin widen: tf is consumed twice (docfreq + the scoring join),
-    # so its groupBy exchange must stay as the shared materialization point
-    # (the dup_ngram_stats note); the widen still parallelizes a
-    # single-split scan's tokenize+explode
-    terms = (
-        _widen(df.select("doc_id", F.col(text_col).alias(text_col)))
-        .select("doc_id", F.explode(toks).alias("term"))
-        .where(F.length("term") > 0)
-    )
+    # no widen, same measured rationale as unigram_logprob_score: tf's own
+    # groupBy exchange redistributes, and an added widen stage cost more
+    # than the tokenize parallelism it bought
+    terms = df.select("doc_id", F.explode(toks).alias("term")).where(F.length("term") > 0)
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df_t"))
     n_docs = df.agg(F.count(F.lit(1)).alias("n_docs"))
@@ -520,19 +515,16 @@ def unigram_logprob_score(
     scans), with it the source is scanned ONCE. Off by default to keep the
     operator a pure lazy plan; at warehouse scale write tf to a table
     instead of executor blocks."""
-    from .dedup import _widen, normalized
+    from .dedup import normalized
 
+    # NO widen here, measured on purpose (round 8): the tokenize+explode of
+    # this path is cheap relative to its aggregates, tf's own groupBy
+    # exchange already redistributes, and every widen variant (round-robin
+    # OR doc_id-keyed) added a stage that cost more than it saved
+    # (q_lm_quality 0.84 s no-widen vs 0.93-1.17 s with one at sf0.1)
     toks = F.split(normalized(F.col(text_col)), " ")
-    # doc_id-keyed widen ONLY under checkpoint_tf: it fuses tf's aggregate
-    # onto the widen exchange, but tf is referenced three times (model,
-    # total, per-doc reduce) -- without the checkpoint as materialization
-    # point the fused tokenize+explode would re-execute per reference
-    # (the dup_ngram_stats round-robin note)
     terms = (
-        _widen(df.select("doc_id", F.col(text_col).alias(text_col)),
-               key="doc_id" if checkpoint_tf else None)
-        .select("doc_id", F.explode(toks).alias("term"))
-        .where(F.length("term") > 0)
+        df.select("doc_id", F.explode(toks).alias("term")).where(F.length("term") > 0)
     )
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     if checkpoint_tf:
