@@ -137,7 +137,8 @@ def word_ngrams(text_col, n: int):
 
 
 def dup_ngram_stats(
-    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, n: int = 8, id_col: str = "doc_id", text_col: str = "text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Per-document duplicated-n-gram fraction -- the substring-level
     duplication signal from Lee et al., "Deduplicating Training Data Makes
@@ -166,13 +167,20 @@ def dup_ngram_stats(
     birthday-safe class as the identity fingerprints (SCALE.md) -- a
     gram-hash collision that could miscount a singleton needs ~2^64
     distinct grams."""
-    # round-robin widen ON PURPOSE (round 8): ``local`` below is consumed
-    # by TWO aggregates, and its groupBy exchange is the materialization
-    # point both reuse -- a doc_id-keyed widen fuses that exchange away and
-    # the explode+md5 subtree then executes once PER CONSUMER (measured
-    # 0.76 -> 1.27 s at sf0.1; the reuse posture the docstring describes)
+    # doc_id-keyed widen + a lazy checkpoint of ``local`` (round 8): the
+    # keyed widen fuses the (doc, gram) aggregate onto the widen exchange,
+    # so the EXPLODED gram stream is never shuffled (only raw rows are,
+    # once) -- but ``local`` is consumed by TWO aggregates, and with its
+    # own exchange fused away they would otherwise each re-execute the
+    # explode+md5 subtree (measured 0.76 -> 1.27 s). The checkpoint
+    # restores the shared materialization point the exchange used to
+    # provide; net 1.30 -> 1.06 s at sf0.1, and at corpus scale the
+    # gram-occurrence shuffle this removes is several times the raw text.
+    # (Same executor-block storage caveat as unigram's tf: at warehouse
+    # scale persist ``local`` to a table instead.)
     grams = _widen(
-        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+        key="doc_id",
     ).select(
         "doc_id",
         F.explode(
@@ -180,6 +188,10 @@ def dup_ngram_stats(
         ).alias("gram"),
     )
     local = grams.groupBy("doc_id", "gram").agg(F.count(F.lit(1)).alias("c_local"))
+    if checkpoint:
+        # checkpoint=False keeps the whole plan visible (plan-gate tests /
+        # pure-lazy composition); the double-execution cost then returns
+        local = local.localCheckpoint(eager=False)
     per_doc = local.groupBy("doc_id").agg(F.sum("c_local").alias("n_ngrams"))
     singles_per_doc = (
         local.groupBy("gram")
@@ -208,7 +220,8 @@ def dup_ngram_stats(
 
 
 def chunk_dedup_stats(
-    df: DataFrame, chunk_tokens: int = 20, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame, chunk_tokens: int = 20, id_col: str = "doc_id", text_col: str = "text",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Paragraph-level dedup stats (Dolma-style), with fixed-width token
     chunks standing in for paragraphs (the synthetic corpus has no hard
@@ -243,14 +256,19 @@ def chunk_dedup_stats(
         lambda j: F.array_join(F.slice(toks, j * chunk_tokens + 1, chunk_tokens), " "),
     )
     ch = (
-        # round-robin widen ON PURPOSE: ``ch`` is consumed twice; its local
-        # aggregate's exchange is the shared materialization point (the
-        # dup_ngram_stats note)
-        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")))
+        # keyed widen + lazy checkpoint (round 8, the dup_ngram_stats
+        # note): ``ch`` is consumed twice; the checkpoint is its shared
+        # materialization point, the keyed widen lets per_doc fuse, and
+        # the exploded chunk-hash stream is never shuffled (1.34 -> 0.97 s
+        # at sf0.1)
+        _widen(df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+               key="doc_id")
         .select("doc_id", chunks.alias("chunks"))
         .select("doc_id", F.posexplode("chunks").alias("chunk_idx", "chunk"))
         .select("doc_id", "chunk_idx", F.md5("chunk").alias("h"))
     )
+    if checkpoint:
+        ch = ch.localCheckpoint(eager=False)
     per_doc = ch.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
     canon_per_doc = (
         ch.groupBy("h")

@@ -301,13 +301,21 @@ def test_stats_operators_widen_single_split_inputs(spark):
         [(1, "hello world one"), (2, "two words here")],
         "doc_id long, text string",
     ).coalesce(1)
+    import functools
+
     for op in (document_stats, pii_stats, line_filter_stats, quality_gate,
-               repetition_signals, chunk_dedup_stats, dup_ngram_stats):
+               repetition_signals,
+               # checkpoint=False so the widen is visible in the plan (the
+               # round-8 lazy checkpoint hides it behind a LogicalRDD)
+               functools.partial(chunk_dedup_stats, checkpoint=False),
+               functools.partial(dup_ngram_stats, checkpoint=False)):
         plan = op(df)._jdf.queryExecution().executedPlan().toString().lower()
+        name = getattr(op, "__name__", getattr(getattr(op, "func", None),
+                                               "__name__", str(op)))
         assert (
             "roundrobin" in plan
             or ("hashpartitioning(doc_id" in plan and "repartition_by_num" in plan)
-        ), (op.__name__, plan[:800])
+        ), (name, plan[:800])
 
 
 def test_widen_exchange_reused_by_per_doc_aggregate(spark):
