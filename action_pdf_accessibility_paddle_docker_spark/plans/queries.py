@@ -2447,7 +2447,15 @@ def q_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"percentile(mean_nll, {_THIRD!r})").alias("q1"),
         F.expr(f"percentile(mean_nll, {_TWO_THIRDS!r})").alias("q2"),
     )
-    counts = _read(spark, sf_dir, "documents").select(
+    # doc_id-keyed widen on the counts side (round 8): the BPE-ish regex is
+    # the heaviest per-row expression in this query and was running in the
+    # scan's few splits (1.0 s -> 0.31 s at the 10x probe); single-consumer
+    # projection, so the fusion hazard does not apply, and hash(doc_id)
+    # co-partitions the join with the checkpointed nll side
+    # (q_lm_quality 1.03 -> 0.91 s at sf0.1, 3.91 -> 2.76 s at 10x)
+    counts = D._widen(
+        _read(spark, sf_dir, "documents").select("doc_id", "text"), key="doc_id"
+    ).select(
         "doc_id",
         T.token_count(D.normalized(F.col("text"))).cast("bigint").alias("n_ws_tokens"),
         T.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_tokens"),
