@@ -18,28 +18,44 @@ ANNOTATED = {
     "q_asof_join": "as-of via union + window merge: one shuffle by key, "
     "no pairwise join",
     "q_minhash_lsh": "posting-list + chained explode pair expansion: "
-    "candidates meet in (band, bucket) groups, never a cross product",
+    "candidates meet in (band, bucket) groups, never a cross product; "
+    "round 8: the signature aggregate fuses onto the doc_id-keyed widen "
+    "exchange (the exploded shingle stream is never shuffled) and the "
+    "pair-dedup distinct fuses onto a range exchange so the output sort "
+    "is partition-local (10 -> 6 Exchange)",
     "q_tfidf_top_terms": "vocab-sized docfreq broadcast back; "
     "WindowGroupLimit pushes the top-k below the full sort",
     "q_ann_topk": "query side broadcast (corpus streams); "
-    "window top-k per query",
+    "window top-k per query; round 8: squared norms are projected once "
+    "per VECTOR on each side (_qn2/_cn2 attributes) so the per-pair "
+    "expression is one dot fold, not three O(dim) folds",
     "q_pack_sequences": "one running-sum window per md5 shard; "
     "no cross-shard exchange",
     "q_line_filter": "C4 line cleaning as ONE codegen projection "
-    "(split + array filter + array_join): no explode, the only exchange "
-    "is the output sort",
+    "(split + array filter + array_join): no explode; round 8: the only "
+    "exchange is the range-widen of the INPUT on the sort key, so the "
+    "output sort is partition-local and the sampling pass re-executes "
+    "only the scan, never the projection",
     "q_pii_redact": "regexp counts + 6-pass redaction (emails, IPv4, "
     "cards, SSNs, intl + dashed phones) in one projection over the scan; "
-    "no shuffle before the output sort",
-    "q_simhash": "row-wise array-fold simhash: no Generate (explode), "
-    "no HashAggregate -- the vote never leaves the projection",
+    "round 8: range-widened input, same single-exchange shape as "
+    "q_line_filter",
+    "q_simhash": "explode + per-bit vote aggregate (codegen'd; the "
+    "row-wise fold form exists for streaming); round 8: the aggregate "
+    "fuses onto the range-widen exchange and the output sort is local -- "
+    "ONE exchange in the whole plan (was 6)",
     "q_chunk_dedup": "the ONLY hash-keyed op is a map-side-combined min "
     "aggregate; n_dup = n_chunks - n_canonical, all joins on doc_id -- "
-    "no window (unsplittable) and no hash join-back (reused explode "
-    "stage blocks skew splitting)",
+    "no window (unsplittable) and no hash join-back; round 8: the "
+    "exploded chunk-hash table is checkpointed (Scan ExistingRDD in this "
+    "plan) so the doc_id-keyed widen can fuse the per-doc aggregate "
+    "without double-executing the explode for its two consumers",
     "q_sketch_accuracy": "distinct-count family and percentile family "
     "aggregated in separate passes then broadcast-joined: mixing them "
-    "forces one SortAggregate over Expand-doubled rows (14x slower)",
+    "forces one SortAggregate over Expand-doubled rows (14x slower); "
+    "round 8: the HLL sketch moved to its own third pass -- inside the "
+    "countDistinct Expand its partial buffer was allocated per DISTINCT "
+    "VALUE, not per group (an OOM class at scale)",
     "q_incremental_dedup": "shard collapses to one row per fingerprint "
     "(map-side min-struct agg) BEFORE the LeftAnti join -- no hot "
     "fingerprint can dominate a join partition; with a bucketed "
@@ -47,8 +63,10 @@ ANNOTATED = {
     "with NO Exchange, and method='probe' streams it map-only. The round-7 span leg keeps the same posture: the shard's distinct gram set broadcasts and the corpus gram table streams map-only (zero exchanges of the state)",
     "q_doc_stats": "one regex-split pass: every signal (and the round-6 "
     "URL-normalization leg, riding via document_stats(extra=)) derives "
-    "from a single projection over ONE scan; the only exchange is the "
-    "output sort",
+    "from a single projection over ONE scan; round 8: the only exchange "
+    "is the range-widen of the input on doc_id (4 -> 2 Exchange) -- the "
+    "output sort is partition-local and the range sample re-executes "
+    "only the scan, not the projection",
     "q_quality_gate": "round 7: the final plan reads the CHECKPOINTED "
     "per-doc scored frame (Scan ExistingRDD -- the scoring subtree runs "
     "once even though the top-fraction cut references it twice; its shape "
@@ -66,7 +84,9 @@ ANNOTATED = {
     "join -- survivable, AQE can skew-split it, unlike a forced broadcast "
     "OOM; AQE still elects broadcast when the vocab is small); bucket "
     "cutpoints are two quantile doubles cross-joined back, not a global "
-    "ntile sort",
+    "ntile sort; round 8: the BPE-count side is doc_id-keyed-widened "
+    "(the regex was parallelism-starved in the scan splits) and "
+    "co-partitions the final join",
 }
 
 
