@@ -78,10 +78,21 @@ def _widen(df: DataFrame, key: str | None = None) -> DataFrame:
     part = (F.col(key),) if key is not None else ()
     try:
         want = df.sparkSession.sparkContext.defaultParallelism
-        n_parts = df.rdd.getNumPartitions()
+        # the .rdd partition-count probe costs ~35 ms of driver time per
+        # call (plan -> RDD conversion); memoize it per semantically-equal
+        # plan (round 8). A (vanishingly unlikely) 32-bit hash collision
+        # could only flip the widen DECISION, never a value -- repartition
+        # is value-neutral; same staleness caveat as the scan memo.
+        ck = (df.sparkSession, df.semanticHash())
+        n_parts = _NPARTS_CACHE.get(ck)
+        if n_parts is None:
+            n_parts = _NPARTS_CACHE[ck] = df.rdd.getNumPartitions()
     except Exception:  # Spark Connect: no sparkContext / DataFrame.rdd
         return df.repartition(16, *part)
     return df.repartition(want, *part) if n_parts < want else df
+
+
+_NPARTS_CACHE: dict = {}
 
 
 def range_widen(df: DataFrame, key: str) -> DataFrame:
