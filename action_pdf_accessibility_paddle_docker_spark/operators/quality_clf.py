@@ -39,6 +39,8 @@ No reference analog (engine extension beyond
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -92,7 +94,7 @@ def score_documents(
     bigrams: bool = True,
     round_to: int = 6,
     carry: tuple[str, ...] = (),
-    terms_col: Column | str | None = None,
+    terms_col: Column | str | tuple[str, ...] | None = None,
     gate_col: str | None = None,
 ) -> DataFrame:
     """Score every document under a trained linear model: one row per input
@@ -107,11 +109,14 @@ def score_documents(
     ``WEIGHT_FP_SCALE``). ``clf_score`` is rounded before the threshold
     compare so both engines gate on the same stored value.
 
-    ``terms_col`` (a column name or Column over ``df``) supplies a
-    PRECOMPUTED term array instead of re-deriving it from ``text_col`` --
-    e.g. the quality gate already materializes the filtered word and bigram
-    arrays (``keep_cols=("_wt", "_bg")``), so the composed gate+classifier
-    pass normalizes and splits each document exactly once.
+    ``terms_col`` (a column name, a TUPLE of array-column names to concat,
+    or a Column over ``df``) supplies a PRECOMPUTED term array instead of
+    re-deriving it from ``text_col`` -- e.g. the quality gate already
+    materializes the filtered word and bigram arrays
+    (``keep_cols=("_wt", "_bg")``), so the composed gate+classifier pass
+    normalizes and splits each document exactly once. Prefer the name forms:
+    they make the whole expression build cacheable (``_score_exprs``); an
+    arbitrary Column is accepted but compiles fresh per call.
 
     ``gate_col`` names a BOOLEAN carry column (must appear in ``carry``):
     only rows where it is true are exploded and scored -- the DCLM ordering,
@@ -129,47 +134,97 @@ def score_documents(
     aggregate to SortAggregate, while compound keys keep the map-side-
     combined HashAggregate. Scalars only: each carried value is duplicated
     per term row until the partial aggregate collapses it."""
-    if terms_col is None:
-        t = terms_array(F.col(text_col), bigrams=bigrams)
+    if gate_col is not None and gate_col not in carry:
+        raise ValueError(
+            f"gate_col {gate_col!r} must be one of the carry columns "
+            f"{carry!r} so the verdict can NULL gated-out scores"
+        )
+    if isinstance(terms_col, Column):
+        # caller-supplied Column: not name-keyable, compile fresh per call
+        row_cols, agg_expr, out_cols = _score_exprs.__wrapped__(
+            id_col, tuple(carry), _TermsExpr(terms_col), gate_col,
+            text_col, bigrams, float(bias), float(threshold), round_to,
+        )
     else:
-        t = F.col(terms_col) if isinstance(terms_col, str) else terms_col
+        row_cols, agg_expr, out_cols = _score_exprs(
+            id_col, tuple(carry), terms_col, gate_col,
+            text_col, bigrams, float(bias), float(threshold), round_to,
+        )
+    agg = (
+        df.select(*row_cols)
+        .join(F.broadcast(weights), "term", "left")
+        .groupBy(id_col, *carry, "_n")
+        .agg(agg_expr)
+    )
+    return agg.select(*out_cols)
+
+
+class _TermsExpr:
+    """Opaque carrier for a caller-supplied terms Column so the UNCACHED
+    path can reuse ``_score_exprs``' body (via ``__wrapped__``) without the
+    Column ever touching the lru_cache key."""
+
+    __slots__ = ("col",)
+
+    def __init__(self, col: Column):
+        self.col = col
+
+
+@lru_cache(maxsize=None)
+def _score_exprs(
+    id_col: str,
+    carry: tuple,
+    terms_key,
+    gate_col,
+    text_col: str,
+    bigrams: bool,
+    bias: float,
+    threshold: float,
+    round_to: int,
+):
+    """``score_documents``' Column fragments -- (explode-select list,
+    aggregate expression, output-select list) -- pure functions of names
+    and scalars, compiled once per process (round-8 residual 5: ~0.15 s of
+    py4j round-trips per call on the q_quality_gate path). ``terms_key`` is
+    None (derive from ``text_col``), a column name, a tuple of array-column
+    names to concat, or a ``_TermsExpr`` (uncached path only). Returned
+    containers are shared -- callers must treat them as read-only."""
+    if terms_key is None:
+        t = terms_array(F.col(text_col), bigrams=bigrams)
+    elif isinstance(terms_key, _TermsExpr):
+        t = terms_key.col
+    elif isinstance(terms_key, tuple):
+        t = F.concat(*[F.col(c) for c in terms_key])
+    else:
+        t = F.col(terms_key)
     if gate_col is not None:
-        if gate_col not in carry:
-            raise ValueError(
-                f"gate_col {gate_col!r} must be one of the carry columns "
-                f"{carry!r} so the verdict can NULL gated-out scores"
-            )
         t = F.when(F.col(gate_col), t).otherwise(F.array().cast("array<string>"))
-    rows = df.select(
+    row_cols = (
         F.col(id_col),
         *[F.col(c) for c in carry],
         F.size(t).alias("_n"),
         F.explode_outer(t).alias("term"),
     )
-    agg = (
-        rows.join(F.broadcast(weights), "term", "left")
-        .groupBy(id_col, *carry, "_n")
-        .agg(
-            F.sum(F.floor(F.col("weight") * F.lit(float(WEIGHT_FP_SCALE))))
-            .alias("_wsum")
-        )
-    )
-    z = F.lit(float(bias)) + (
+    agg_expr = F.sum(
+        F.floor(F.col("weight") * F.lit(float(WEIGHT_FP_SCALE)))
+    ).alias("_wsum")
+    z = F.lit(bias) + (
         F.coalesce(F.col("_wsum"), F.lit(0)).cast("double")
         / F.lit(float(WEIGHT_FP_SCALE))
     )
     score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), round_to)
-    keep = score >= F.lit(float(threshold))
+    keep = score >= F.lit(threshold)
     if gate_col is not None:
         score = F.when(F.col(gate_col), score)
         keep = F.when(F.col(gate_col), keep)
-    return agg.select(
+    out_cols = (
         id_col,
         *carry,
         F.col("_n").cast("bigint").alias("n_terms"),
         score.alias("clf_score"),
         keep.alias("clf_keep"),
     )
+    return row_cols, agg_expr, out_cols
 
 
 def apply_classifier(

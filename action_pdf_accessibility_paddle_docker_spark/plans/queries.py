@@ -870,7 +870,7 @@ def _quality_gate_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     weights, bias = _qclf_model(spark)
     return QC.score_documents(
         g, weights, bias=bias,
-        terms_col=F.concat("_wt", "_bg"),
+        terms_col=("_wt", "_bg"),
         gate_col="keep",
         carry=("n_tokens", "punct_ratio", "stopword_ratio",
                "distinct_word_frac", "top_bigram_frac",

@@ -282,6 +282,47 @@ def test_terms_col_reuses_gate_arrays(spark):
     assert via_arrays == via_text
 
 
+def test_terms_col_tuple_form_cached(spark):
+    """The name-tuple terms_col (the cache-keyable form q_quality_gate now
+    uses) scores identically to the explicit concat Column, the repeat call
+    is a cache hit, and a different carry tuple misses (no key collision)."""
+    from action_pdf_accessibility_paddle_docker_spark.operators import (
+        textstats as T,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    weights, bias = C.load_classifier(spark, FIXTURE)
+    g = T.quality_gate(docs, include_signals=True, keep_cols=("_wt", "_bg"))
+
+    def rows(df):
+        return {
+            r["doc_id"]: (r["n_terms"], r["clf_score"], r["clf_keep"])
+            for r in df.collect()
+        }
+
+    via_col = rows(
+        C.score_documents(g, weights, bias=bias, terms_col=F.concat("_wt", "_bg"))
+    )
+    C._score_exprs.cache_clear()
+    via_tuple = rows(
+        C.score_documents(g, weights, bias=bias, terms_col=("_wt", "_bg"))
+    )
+    assert via_tuple == via_col
+    info = C._score_exprs.cache_info()
+    assert (info.hits, info.misses) == (0, 1)
+    # identical call -> pure cache hit; shared fragments still score right
+    assert rows(
+        C.score_documents(g, weights, bias=bias, terms_col=("_wt", "_bg"))
+    ) == via_col
+    assert C._score_exprs.cache_info().hits == 1
+    # a different key (extra carry) must not collide with the cached entry
+    with_carry = C.score_documents(
+        g, weights, bias=bias, terms_col=("_wt", "_bg"), carry=("n_tokens",)
+    )
+    assert "n_tokens" in with_carry.columns
+    assert C._score_exprs.cache_info().misses == 2
+
+
 def test_plan_jvm_only_and_broadcast(spark):
     """No Python nodes in the scoring plan; the weights side broadcasts."""
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
